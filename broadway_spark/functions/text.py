@@ -1,0 +1,177 @@
+"""Text-analysis expressions: tokenization, language ID, quality, counts.
+
+All pure Catalyst expressions (split/filter/transform/aggregate higher-
+order functions) — no Python in the hot path, so these run inside
+whole-stage codegen and scale linearly with input bytes. Each function
+has an exact DuckDB-SQL twin used by the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Per-language stopword marker sets for the n-gram/stopword language-ID
+# heuristic. Deterministic, tiny, and embedded in both the Spark plan and
+# the oracle SQL. Order matters: ties break by first-listed language.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "de", "y", "que", "los", "una", "por"),
+    "fr": ("le", "la", "les", "et", "des", "une", "est", "que"),
+    "zh": ("的", "了", "是", "在", "我", "有", "他", "这"),
+}
+
+# A BPE-ish tokenizer regex: words, single digits, or single punctuation
+# marks — approximates subword token counts without a vocab file.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens, lowercased. array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), " ")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"string_split(lower({expr}), ' ')"
+
+
+def word_shingles(col_name: str, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text column. array<string>.
+
+    Built with sequence+transform (1-indexed element_at to mirror
+    DuckDB's 1-based list indexing), then array_distinct. Texts shorter
+    than k words yield one (partial) shingle so no doc drops out.
+    """
+    tok = _tok_expr(col_name)
+    # try_element_at: out-of-range → NULL (concat_ws skips it), matching
+    # DuckDB's 1-based list indexing, and safe under ANSI mode.
+    parts = ", ".join(f"try_element_at({tok}, i + {j})" for j in range(k))
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size({tok}) - {k - 1}, 1)), "
+            f"i -> concat_ws(' ', {parts}))"
+        )
+    )
+
+
+def _tok_expr(col_name: str) -> str:
+    return f"split(lower({col_name}), ' ')"
+
+
+def word_shingles_sql(expr: str, k: int = 3) -> str:
+    """DuckDB twin of ``word_shingles`` (1-based list indexing)."""
+    tok = f"string_split(lower({expr}), ' ')"
+    parts = ", ".join(f"{tok}[i + {j}]" for j in range(k))
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({tok}) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (INT)."""
+    return F.size(tokens(col))
+
+
+def token_count_sql(expr: str) -> str:
+    return f"len(string_split(lower({expr}), ' '))"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Subword-ish token count via the BPE-ish regex (INT)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def bpe_ish_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{BPE_ISH_PATTERN}'))"
+
+
+def _marker_score(col: Column | str, markers: tuple[str, ...]) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    in_list = ", ".join("'" + m.replace("'", "''") + "'" for m in markers)
+    col_sql = col if isinstance(col, str) else None
+    if col_sql is None:
+        raise ValueError("language_id requires a column name string")
+    return F.expr(
+        f"size(filter(split(lower({col_sql}), ' '), x -> x IN ({in_list})))"
+    )
+
+
+def language_id(col_name: str) -> Column:
+    """Stopword-marker language ID. Returns best-scoring language code,
+    'und' (undetermined) when no marker hits. Ties break in LANG_MARKERS
+    declaration order — deterministic on every engine.
+    """
+    scores = {lang: _marker_score(col_name, ms) for lang, ms in LANG_MARKERS.items()}
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # Iterate in reverse so earlier languages win ties.
+    for lang in reversed(list(scores)):
+        s = scores[lang]
+        best = F.when(s >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(best)
+        best_score = F.greatest(best_score, s)
+    return best
+
+
+def language_id_sql(expr: str) -> str:
+    """DuckDB twin of ``language_id`` — same tie-break order."""
+    score_exprs = {}
+    for lang, ms in LANG_MARKERS.items():
+        in_list = ", ".join("'" + m.replace("'", "''") + "'" for m in ms)
+        score_exprs[lang] = (
+            f"len(list_filter(string_split(lower({expr}), ' '), "
+            f"x -> x IN ({in_list})))"
+        )
+    # CASE picks the first language achieving the global max score >= 1.
+    all_scores = ", ".join(score_exprs.values())
+    cases = " ".join(
+        f"WHEN {s} >= 1 AND {s} >= greatest({all_scores}) THEN '{lang}'"
+        for lang, s in score_exprs.items()
+    )
+    return f"(CASE {cases} ELSE 'und' END)"
+
+
+def quality_score(col_name: str) -> Column:
+    """Heuristic document quality in [0, 1]:
+    mean of three deterministic components —
+
+    - length component: least(n_tokens / 64, 1)
+    - alpha ratio: alphabetic chars / chars (whitespace excluded)
+    - stopword component: least(4 * stopword_ratio, 1) (natural prose
+      has 25-60% stopwords; near-zero signals keyword soup or code)
+
+    Pure integer counts + one final division → bit-identical across
+    engines.
+    """
+    n_tok = F.size(F.split(F.lower(F.col(col_name)), " ")).cast("double")
+    no_ws = F.regexp_replace(F.col(col_name), r"\s+", "")
+    n_chars = F.length(no_ws).cast("double")
+    n_alpha = F.length(F.regexp_replace(no_ws, r"[^A-Za-z]", "")).cast("double")
+    en_markers = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    n_stop = F.expr(
+        f"size(filter(split(lower({col_name}), ' '), x -> x IN ({en_markers})))"
+    ).cast("double")
+    length_c = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    alpha_c = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    stop_c = F.least(F.lit(4.0) * n_stop / F.greatest(n_tok, F.lit(1.0)), F.lit(1.0))
+    return F.round((length_c + alpha_c + stop_c) / F.lit(3.0), 6)
+
+
+def quality_score_sql(expr: str) -> str:
+    en_markers = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    n_tok = f"CAST(len(string_split(lower({expr}), ' ')) AS DOUBLE)"
+    no_ws = f"regexp_replace({expr}, '\\s+', '', 'g')"
+    n_chars = f"CAST(length({no_ws}) AS DOUBLE)"
+    n_alpha = f"CAST(length(regexp_replace({no_ws}, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    n_stop = (
+        f"CAST(len(list_filter(string_split(lower({expr}), ' '), "
+        f"x -> x IN ({en_markers}))) AS DOUBLE)"
+    )
+    length_c = f"least({n_tok} / 64.0, 1.0)"
+    alpha_c = f"(CASE WHEN {n_chars} > 0 THEN {n_alpha} / {n_chars} ELSE 0.0 END)"
+    stop_c = f"least(4.0 * {n_stop} / greatest({n_tok}, 1.0), 1.0)"
+    return f"round(({length_c} + {alpha_c} + {stop_c}) / 3.0, 6)"

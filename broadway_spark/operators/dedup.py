@@ -1,0 +1,342 @@
+"""Deduplication operators: exact, fingerprint, MinHash-LSH, SimHash,
+embedding near-dup.
+
+All shuffle-conscious by construction:
+
+- exact / fingerprint dedup: one hash-aggregate on the dedup key (with
+  map-side partial aggregation) — the canonical 100 TB dedup plan.
+- MinHash-LSH: per-row signatures (codegen'd md5 math, no Python), then
+  a *band-bucket equi-join* to generate candidate pairs — O(n·bands)
+  shuffle instead of an O(n²) cross join. Shingle arrays are joined
+  back only for the surviving candidate pairs.
+- SimHash: 32-bit signature per document, again pure expression math.
+- embedding near-dup: cosine pairs within a blocking bucket.
+
+Hashes are md5-derived (``functions.hashing.portable_hash``) so a
+DuckDB oracle reproduces every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from broadway_spark.functions.hashing import fingerprint
+from broadway_spark.functions.text import word_shingles
+from broadway_spark.functions.vectors import cosine_similarity
+
+
+def exact_dedup_stats(
+    df: DataFrame, key_cols: list[str], id_col: str
+) -> DataFrame:
+    """Exact dedup as a deterministic aggregate: per duplicate-group the
+    keeper (min id) and the copy count. (dropDuplicates keeps an
+    *arbitrary* row, which can't be oracle-checked; min-id keeper can.)
+    """
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-exact dedup on the whitespace-normalized md5 fingerprint."""
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _hash_expr(var: str, seed: int) -> str:
+    """SQL text hashing lambda variable ``var`` with ``seed`` (portable)."""
+    return (
+        f"CAST(conv(substring(md5(concat('{seed}', ':', {var})), 1, 8), 16, 10) "
+        f"AS BIGINT)"
+    )
+
+
+# Affine MinHash family: h_i(s) = (A[i] * base(s) + B[i]) mod P where
+# base(s) is ONE md5-derived 32-bit hash per shingle. One md5 instead of
+# num_hashes md5s per shingle — the classic universal-hashing trick; the
+# constants are fixed so any engine reproduces the family exactly.
+MINHASH_P = 4294967291  # largest prime < 2^32
+MINHASH_A = [((2654435761 * (i + 1)) % 2**30) | 1 for i in range(64)]
+MINHASH_B = [(40503 * (i + 7) * 2654435761) % 2**30 for i in range(64)]
+
+
+def minhash_signature(
+    text_col_name: str, num_hashes: int = 16, shingle_k: int = 3
+) -> Column:
+    """MinHash signature (array<bigint>, length num_hashes) over distinct
+    k-word shingles — one self-contained codegen'd SQL expression.
+
+    Cost: one md5 per shingle + num_hashes affine min-folds. A[i]·base
+    stays < 2^62 (A < 2^30, base < 2^32) so BIGINT arithmetic is exact.
+    """
+    from broadway_spark.functions.text import _tok_expr
+
+    tok = _tok_expr(text_col_name)
+    parts = ", ".join(f"try_element_at({tok}, i + {j})" for j in range(shingle_k))
+    sh = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size({tok}) - {shingle_k - 1}, 1)), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+    base = f"transform({sh}, s -> {_hash_expr('s', 0)})"
+    a_arr = "array(" + ", ".join(str(a) for a in MINHASH_A[:num_hashes]) + ")"
+    b_arr = "array(" + ", ".join(str(b) for b in MINHASH_B[:num_hashes]) + ")"
+    # One lambda body iterated num_hashes times at runtime (not unrolled
+    # num_hashes times into the plan): unrolling produced a generated-code
+    # blob that took ~50 s to janino-compile. The struct LET binds the
+    # base-hash array and constant tables once.
+    return F.expr(
+        f"element_at(transform(array(struct({base} AS bh, "
+        f"{a_arr} AS ca, {b_arr} AS cb)), "
+        f"t -> transform(sequence(0, {num_hashes - 1}), "
+        f"i -> array_min(transform(t.bh, h -> "
+        f"(CAST(element_at(t.ca, i + 1) AS BIGINT) * h + element_at(t.cb, i + 1)) "
+        f"% {MINHASH_P})))), 1)"
+    )
+
+
+def minhash_signature_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signatures as a flat aggregate: (id, m0 .. m{n-1}).
+
+    The fast path. ``minhash_signature`` (the array-column form) walks
+    nested lambda expressions, which Spark interprets per element —
+    fine for composability, ~100× too slow for bulk scoring. Here the
+    shingle array is exploded once and everything downstream is plain
+    codegen'd projection + hash aggregate with map-side partial min:
+
+        explode(shingles) → md5 base hash → groupBy(id).agg(min_i(...))
+
+    which is also the right 100 TB plan: narrow ops + one partial-agg
+    shuffle keyed by doc id.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(text_col, shingle_k).alias("__sh"),
+    )
+    return _signature_from_shingles(shingled, num_hashes)
+
+
+def _signature_from_shingles(shingled: DataFrame, num_hashes: int) -> DataFrame:
+    """(__id, __sh shingle-array) → (__id, m0 .. m{n-1}) via explode +
+    codegen projection + partial-agg groupBy."""
+    exploded = shingled.select("__id", F.explode("__sh").alias("__s"))
+    hashed = exploded.select("__id", F.expr(_hash_expr("__s", 0)).alias("__h"))
+    aggs = [
+        F.min(
+            (F.lit(MINHASH_A[i]).cast("bigint") * F.col("__h") + F.lit(MINHASH_B[i]))
+            % F.lit(MINHASH_P)
+        ).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy("__id").agg(*aggs)
+
+
+def band_values(sig_col: Column | str, num_hashes: int, bands: int) -> Column:
+    """LSH band keys: array<string>, one joined-value string per band."""
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    rows_per_band = num_hashes // bands
+    vals = []
+    for b in range(bands):
+        elems = [
+            F.element_at(sig, b * rows_per_band + j + 1).cast("string")
+            for j in range(rows_per_band)
+        ]
+        vals.append(F.concat_ws("-", F.lit(str(b)), *elems))
+    return F.array(*vals)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH + exact Jaccard verification.
+
+    Plan shape (scale-first):
+      1. per-row signature + band keys       (narrow, codegen)
+      2. explode bands → grouply equi-join   (shuffle on band key;
+         candidate generation without a cross join)
+      3. distinct candidate pairs            (shuffle on pair)
+      4. join shingle sets back, exact Jaccard filter ≥ threshold
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Skew note: a degenerate band key (e.g. thousands of identical
+    boilerplate docs) produces a quadratic bucket; AQE skew-join splits
+    the straggler, and exact-dup fingerprint dedup should run *before*
+    LSH so identical texts never reach this operator.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(text_col, shingle_k).alias("__sh"),
+    ).persist()
+    # Materialize the cache NOW: the downstream plan reads this subtree
+    # from three branches (signature build + both sides of the verify
+    # join), and broadcast exchanges execute eagerly in parallel — on a
+    # cold cache each branch would recompute the shingling. At cluster
+    # scale this persist would be a checkpoint to a staging table.
+    shingled.count()
+    sigs = _signature_from_shingles(shingled, num_hashes)
+    rows_per_band = num_hashes // bands
+    band_exprs = []
+    for b in range(bands):
+        elems = [
+            F.col(f"m{b * rows_per_band + j}").cast("string")
+            for j in range(rows_per_band)
+        ]
+        band_exprs.append(F.concat_ws("-", F.lit(str(b)), *elems))
+    banded = sigs.select("__id", F.explode(F.array(*band_exprs)).alias("__band"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    a = shingled.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = shingled.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(text_col_name: str, bits: int = 32, seed: int = 99) -> Column:
+    """SimHash signature (BIGINT, ``bits`` wide) over whitespace tokens.
+
+    bit b of the signature is set iff the sum over tokens of ±1
+    (+1 when bit b of the token hash is set) is non-negative — the
+    classic Charikar construction, as one nested higher-order-function
+    expression (no Python, no shuffle).
+    """
+    th = (
+        f"transform(split(lower({text_col_name}), ' '), "
+        f"t -> {_hash_expr('t', seed)})"
+    )
+    bitsum = (
+        f"aggregate(th, CAST(0 AS BIGINT), "
+        f"(a2, h) -> a2 + IF(pmod(shiftright(h, b), 2) = 1, 1, -1))"
+    )
+    # Bind the token-hash array once (LET trick): without it, the md5
+    # pass would re-run inside every one of the `bits` bit-sums.
+    return F.expr(
+        f"element_at(transform(array({th}), th -> "
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "
+        f"(acc, b) -> acc + IF({bitsum} >= 0, shiftleft(CAST(1 AS BIGINT), b), "
+        f"CAST(0 AS BIGINT)))), 1)"
+    )
+
+
+def simhash_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    seed: int = 99,
+) -> DataFrame:
+    """SimHash as a flat aggregate: (id, simhash BIGINT) — the fast path.
+
+    Like ``minhash_signature_table``: explode tokens (multiset — dup
+    tokens weigh twice, matching the expression form), hash each with
+    one codegen'd md5, then one groupBy with ``bits`` signed bit-sum
+    aggregates and a final unrolled bit-combine projection. No lambdas
+    anywhere, so the whole plan stays in whole-stage codegen.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__t"),
+    )
+    hashed = exploded.select("__id", F.expr(_hash_expr("__t", seed)).alias("__h"))
+    aggs = [
+        F.sum(
+            F.when(F.pmod(F.shiftright(F.col("__h"), b), F.lit(2)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    sums = hashed.groupBy("__id").agg(*aggs)
+    combine = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"b{b}") >= 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        combine = term if combine is None else combine + term
+    return sums.select("__id", combine.alias("simhash"))
+
+
+def hamming_distance(a: Column | str, b: Column | str, bits: int = 32) -> Column:
+    """Hamming distance between two simhash values (bit_count of xor)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking bucket.
+
+    The bucket column (a coarse cluster id / label / LSH sign bucket)
+    turns the O(n²) all-pairs problem into per-bucket quadratics — the
+    standard blocking pattern. Returns (id_a, id_b, cos_sim rounded 6dp)
+    with id_a < id_b and cos_sim ≥ threshold.
+    """
+    from broadway_spark.functions.vectors import dot_product, l2_norm
+
+    # Norms are per-row: compute them once before pairing instead of
+    # inside every pair's cosine (3× fewer vector folds in the join).
+    slim = df.select(
+        F.col(bucket_col).alias("__bucket"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+        l2_norm(vec_col).alias("__norm"),
+    )
+    l, r = slim.alias("l"), slim.alias("r")
+    denom = F.col("l.__norm") * F.col("r.__norm")
+    cos = F.when(
+        denom > 0,
+        dot_product(F.col("l.__vec"), F.col("r.__vec")) / denom,
+    ).otherwise(F.lit(0.0))
+    return (
+        l.join(
+            r,
+            (F.col("l.__bucket") == F.col("r.__bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )

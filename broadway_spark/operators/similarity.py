@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns.
+
+- ``ann_bruteforce_topk``: exact top-k cosine neighbors — a broadcast
+  nested-loop join of a *small* query set against the full corpus, one
+  scan, per-query heap via window ranking. At 100 TB the corpus side
+  streams through executors once; the query side must stay broadcast-
+  small (thousands, not millions).
+- ``ann_lsh_topk``: the scale path — sign-random-projection buckets
+  prune the corpus before scoring, trading recall for a much smaller
+  candidate set. Planes are derived from the portable md5 hash so the
+  bucketing is deterministic and oracle-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from broadway_spark.functions.vectors import cosine_similarity, dot_product, l2_norm
+
+
+def _cos_from_parts() -> F.Column:
+    denom = F.col("__qn") * F.col("__cn")
+    return F.when(
+        denom > 0, dot_product(F.col("__qv"), F.col("__cv")) / denom
+    ).otherwise(F.lit(0.0))
+
+
+def ann_bruteforce_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` must be small (it is broadcast). Norms are computed once
+    per row (not per pair). Self-matches (same id) are excluded. Ties
+    order deterministically: (cos_sim desc, id asc) on the 6dp-rounded
+    similarity, so ranking is engine-independent.
+    Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+        l2_norm(vec_col).alias("__cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(_cos_from_parts(), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def srp_bucket(vec_col_name: str, num_planes: int = 8, dim: int = 64, seed: int = 7) -> F.Column:
+    """Sign-random-projection bucket id (0 .. 2^num_planes - 1).
+
+    Plane p's component j is a deterministic pseudo-random value in
+    [-0.5, 0.5) derived from the portable md5 hash of (seed, p, j) — so
+    the same bucket function exists in any engine with md5.
+    """
+    def plane_component(p: int, j: str) -> str:
+        return (
+            f"(CAST(conv(substring(md5(concat('{seed}', ':', {p}, ':', {j})), 1, 8), 16, 10) AS DOUBLE)"
+            f" / 4294967296.0 - 0.5)"
+        )
+
+    bits = []
+    for p in range(num_planes):
+        dot = (
+            f"aggregate(sequence(1, {dim}), CAST(0.0 AS DOUBLE), "
+            f"(acc, j) -> acc + CAST(try_element_at({vec_col_name}, j) AS DOUBLE)"
+            f" * {plane_component(p, 'j')})"
+        )
+        bits.append(f"IF({dot} >= 0, {2 ** p}, 0)")
+    return F.expr("(" + " + ".join(bits) + ")").cast("long")
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's SRP bucket.
+
+    Bucket join replaces the full cross product — with 2^num_planes
+    buckets the candidate set shrinks ~2^num_planes-fold; recall loss is
+    the usual SRP tradeoff (raise recall by probing neighbor buckets or
+    multiple tables; this baseline uses one table).
+    """
+    bucket = srp_bucket(vec_col, num_planes, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
+        bucket.alias("__bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+        l2_norm(vec_col).alias("__cn"),
+        bucket.alias("__bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(_cos_from_parts(), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
