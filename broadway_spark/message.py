@@ -1,0 +1,117 @@
+"""The Message envelope — the engine's row schema.
+
+Mirrors ``%Broadway.Message{}`` (reference ``lib/broadway/message.ex:45-65``)
+as explicit DataFrame columns instead of a dynamic struct:
+
+    <data columns...>                -- the payload (typed, user schema)
+    metadata   MAP<STRING,STRING>    -- producer-attached (message.ex:47)
+    batcher    STRING                -- routing target    (message.ex:49)
+    batch_key  STRING                -- grouping key      (message.ex:50)
+    batch_mode STRING                -- 'bulk' | 'flush'  (message.ex:51)
+    status     STRUCT<ok BOOLEAN, reason STRING, stage STRING>
+                                     -- embedded error channel (:52-56)
+    ack        STRUCT<source STRING, ack_ref STRING, ack_data STRING>
+                                     -- lineage to the source (:19-34)
+
+Unlike the reference, ``data`` is not an opaque term: payload columns
+stay top-level and typed so Catalyst can prune/push down through them.
+The envelope columns are additive — ``normalize`` wraps any source
+DataFrame without touching payload columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ENVELOPE_COLS = ("metadata", "batcher", "batch_key", "batch_mode", "status", "ack")
+
+STATUS_TYPE = StructType(
+    [
+        StructField("ok", BooleanType(), False),
+        StructField("reason", StringType(), True),
+        StructField("stage", StringType(), True),
+    ]
+)
+
+ACK_TYPE = StructType(
+    [
+        StructField("source", StringType(), True),
+        StructField("ack_ref", StringType(), True),
+        StructField("ack_data", StringType(), True),
+    ]
+)
+
+METADATA_TYPE = MapType(StringType(), StringType())
+
+DEFAULT_BATCHER = "default"  # message.ex:62
+DEFAULT_BATCH_KEY = "default"  # message.ex:63
+BATCH_MODE_BULK = "bulk"  # message.ex:64 (default)
+BATCH_MODE_FLUSH = "flush"
+
+
+def ok_status() -> Column:
+    return F.struct(
+        F.lit(True).alias("ok"),
+        F.lit(None).cast("string").alias("reason"),
+        F.lit(None).cast("string").alias("stage"),
+    )
+
+
+def failed_status(reason: Column | str, stage: str) -> Column:
+    r = F.lit(reason) if isinstance(reason, str) else reason
+    return F.struct(
+        F.lit(False).alias("ok"),
+        r.alias("reason"),
+        F.lit(stage).alias("stage"),
+    )
+
+
+def normalize(
+    df: DataFrame,
+    source_name: str,
+    ack_ref: str,
+    ack_data: Column | None = None,
+    metadata: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Wrap a raw source DataFrame in the Message envelope.
+
+    The transformer-stage analogue of building ``%Message{}`` from a raw
+    event (reference ``producer_stage.ex:267-291``): every row gets the
+    default batcher/batch_key/batch_mode, an ok status, and ack lineage
+    back to the source.
+    """
+    meta = (
+        F.create_map(
+            *[x for k, v in (metadata or {}).items() for x in (F.lit(k), v)]
+        )
+        if metadata
+        else F.lit(None).cast(METADATA_TYPE)
+    )
+    ack = F.struct(
+        F.lit(source_name).alias("source"),
+        F.lit(ack_ref).alias("ack_ref"),
+        (ack_data if ack_data is not None else F.lit(None).cast("string")).alias(
+            "ack_data"
+        ),
+    )
+    return (
+        df.withColumn("metadata", meta)
+        .withColumn("batcher", F.lit(DEFAULT_BATCHER))
+        .withColumn("batch_key", F.lit(DEFAULT_BATCH_KEY))
+        .withColumn("batch_mode", F.lit(BATCH_MODE_BULK))
+        .withColumn("status", ok_status())
+        .withColumn("ack", ack)
+    )
+
+
+def payload_columns(df: DataFrame) -> list[str]:
+    """The non-envelope (payload) columns of an enveloped DataFrame."""
+    return [c for c in df.columns if c not in ENVELOPE_COLS]

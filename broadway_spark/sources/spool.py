@@ -1,0 +1,167 @@
+"""SpoolSource — a custom Python DataSource with rate-limit admission.
+
+The Spark translation of the reference's producer stage + token-bucket
+rate limiter (``lib/broadway/topology/producer_stage.ex`` +
+``rate_limiter.ex:44-106``):
+
+- the *queue* is a directory of JSON-lines files; appending a file is
+  ``Broadway.push_messages/2`` (``broadway.ex:1291-1297``)
+- *admission control* happens driver-side in ``latestOffset``: each
+  micro-batch advances the offset by at most ``allowed_per_trigger``
+  rows — with ``Trigger.ProcessingTime(interval)`` this is exactly the
+  "≤ allowed_messages per interval" contract
+  (``options.ex:98-128``; contract test ``broadway_test.exs:2595-2645``)
+- *acknowledgement* is ``commit(offset)``: the committed offset is
+  journaled to ``_commits.jsonl`` in the spool dir — the source-side
+  half of at-least-once delivery (``acknowledger.ex``; SURVEY §1.2 maps
+  per-message acks to offset commit + checkpoint)
+
+The offset is a single row index over the sorted file list, so
+admission is exact across partitions (the reference makes the same
+single-node trade: "rate limiting takes the node as the unit",
+``broadway.ex:55-59``; on a cluster the spool would shard by file).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+SPOOL_FORMAT = "broadway_spool"
+COMMIT_JOURNAL = "_commits.jsonl"
+
+
+def _data_files(path: str) -> list[str]:
+    try:
+        names = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".jsonl") and not f.startswith("_")
+        )
+    except FileNotFoundError:
+        return []
+    return [os.path.join(path, f) for f in names]
+
+
+def _count_rows(path: str) -> int:
+    total = 0
+    for f in _data_files(path):
+        with open(f, "rb") as fh:
+            total += sum(1 for line in fh if line.strip())
+    return total
+
+
+class _SpoolPartition(InputPartition):
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+class _SpoolStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.path = options["path"]
+        self.allowed = int(options.get("allowed_per_trigger", 0)) or None
+        self.fields = [f.name for f in schema.fields]
+        self.schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        # Admission control: this is the rate_limiter.ex token bucket —
+        # one refill per trigger, computed on the driver so the cap is
+        # global, not per-partition. Spark calls latestOffset once per
+        # trigger; we remember the last end we handed out to advance by
+        # at most `allowed` rows each call.
+        prev = getattr(self, "_last_end", 0)
+        total = _count_rows(self.path)
+        nxt = min(total, prev + self.allowed) if self.allowed else total
+        self._last_end = nxt
+        return {"row": nxt}
+
+    def partitions(self, start: dict, end: dict):
+        return [_SpoolPartition(self.path, start["row"], end["row"])]
+
+    def read(self, partition: _SpoolPartition):
+        idx = 0
+        for f in _data_files(partition.path):
+            with open(f, "r", encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    if idx >= partition.end:
+                        return
+                    if idx >= partition.start:
+                        rec = json.loads(line)
+                        yield tuple(rec.get(name) for name in self.fields)
+                    idx += 1
+
+    def commit(self, end: dict) -> None:
+        # Source-side ack: journal the committed offset (at-least-once;
+        # replay after crash restarts from the checkpoint, and the
+        # journal shows what the source has seen acknowledged). Spark
+        # calls this at the start of the trigger AFTER the batch is
+        # durably committed to the checkpoint — the journal lags one
+        # trigger; the checkpoint commit log is the authoritative ack.
+        with open(os.path.join(self.path, COMMIT_JOURNAL), "a") as fh:
+            fh.write(json.dumps({"committed_row": end["row"]}) + "\n")
+
+    def stop(self) -> None:
+        pass
+
+
+class SpoolDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return SPOOL_FORMAT
+
+    def schema(self) -> str:
+        return self.options["schema_ddl"]
+
+    def streamReader(self, schema: StructType) -> _SpoolStreamReader:
+        return _SpoolStreamReader(schema, dict(self.options))
+
+
+def register_spool_source(spark: SparkSession) -> None:
+    spark.dataSource.register(SpoolDataSource)
+
+
+@dataclass
+class SpoolSource:
+    """Pipeline-facing handle (the ``source`` argument of Pipeline)."""
+
+    name: str
+    path: str
+    schema_ddl: str
+    ack_data_column: str
+    allowed_per_trigger: int | None = None
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        register_spool_source(spark)
+        reader = (
+            spark.readStream.format(SPOOL_FORMAT)
+            .option("path", self.path)
+            .option("schema_ddl", self.schema_ddl)
+        )
+        if self.allowed_per_trigger is not None:
+            reader = reader.option("allowed_per_trigger", self.allowed_per_trigger)
+        return reader.load()
+
+    def push_messages(self, records: list[dict], filename: str) -> None:
+        """Broadway.push_messages/2 — append out-of-band messages."""
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp_{filename}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for r in records:
+                fh.write(json.dumps(r) + "\n")
+        os.rename(tmp, os.path.join(self.path, filename))

@@ -1,0 +1,189 @@
+"""The foreachBatch router — one micro-batch through the back half of
+the pipeline.
+
+This is the Spark translation of Broadway's batcher + batch-processor +
+acknowledger stages (SURVEY §3.2 steps 4-6). Per micro-batch:
+
+1. persist the batch (it feeds the failed branch, every batcher branch,
+   and the ack log — one compute, many consumers)
+2. failed rows → ``handle_failed`` hook → DLQ sink → acked as failed
+   (reference ``acknowledger.ex:96-150``)
+3. ok rows, per batcher: chunk per batch_key by size or weight budget
+   (``batcher_stage.ex:108-221``), run ``handle_batch`` as
+   ``applyInPandas`` over (batch_key, chunk) groups
+   (``batch_processor_stage.ex:52-127``), write the batcher's sink
+4. append the ack log — the bulk-ack analogue of
+   ``acknowledger.ex:63-85``'s one-ack-call-per-source-handle, keyed by
+   (batch_id, ack_ref) so at-least-once reruns are deduplicatable
+
+Trigger labels on ack rows mirror ``BatchInfo.trigger``
+(``batch_info.ex:40-41``): full chunks are 'size', the trailing partial
+chunk of a micro-batch is 'timeout' (the micro-batch boundary plays the
+role of the batch-timeout timer), and 'flush' when the row's
+batch_mode is 'flush'.
+
+Scale notes: the only shuffle is the per-batcher chunking window keyed
+by batch_key; consumer-mode pipelines (no batchers) are shuffle-free.
+Sinks receive partition-parallel writes; nothing funnels through the
+driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from broadway_spark.config import TopologyConfig
+from broadway_spark.operators.batching import chunk_by_budget, chunk_by_size
+
+ACK_LOG_SCHEMA = (
+    "batch_id long, ack_ref string, ack_data string, outcome string, "
+    "reason string, batcher string, batch_key string, trigger string, "
+    "batch_size int"
+)
+
+
+def _write(df: DataFrame, path: str, fmt: str) -> None:
+    if fmt == "noop":
+        df.write.format("noop").mode("overwrite").save()
+    else:
+        df.write.format(fmt).mode("append").save(path)
+
+
+def _ack_rows(
+    df: DataFrame, batch_id: int, outcome: str, trigger_col=None
+) -> DataFrame:
+    trig = trigger_col if trigger_col is not None else F.lit(None).cast("string")
+    return df.select(
+        F.lit(batch_id).alias("batch_id"),
+        F.col("ack.ack_ref").alias("ack_ref"),
+        F.col("ack.ack_data").alias("ack_data"),
+        F.lit(outcome).alias("outcome"),
+        F.col("status.reason").alias("reason"),
+        F.col("batcher").alias("batcher"),
+        F.col("batch_key").alias("batch_key"),
+        trig.alias("trigger"),
+        F.col("batch_size_").alias("batch_size")
+        if "batch_size_" in df.columns
+        else F.lit(None).cast("int").alias("batch_size"),
+    )
+
+
+def _make_batch_hook(batcher_name: str, hook, order_col: str):
+    """Wrap the user's handle_batch for applyInPandas (single-arg),
+    presenting rows in processing order (Broadway delivers batches in
+    arrival order per key) and enforcing the all-messages contract
+    (batch_processor_stage.ex:78-84)."""
+
+    def per_batch(pdf):
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        out = hook(batcher_name, pdf)
+        if len(out) != len(pdf):
+            raise RuntimeError(
+                "handle_batch must return exactly the messages it "
+                f"received: got {len(out)}, want {len(pdf)}"
+            )
+        return out
+
+    return per_batch
+
+
+def build_router(
+    config: TopologyConfig,
+) -> Callable[[DataFrame, int], None]:
+    """Compile the topology's back half into a foreachBatch function."""
+
+    def router(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            ack_parts: list[DataFrame] = []
+
+            failed = batch_df.filter(~F.col("status.ok"))
+            ok = batch_df.filter(F.col("status.ok"))
+
+            # --- failed branch: handle_failed hook → DLQ → ack failed
+            if config.handle_failed is not None:
+                hook_failed = config.handle_failed
+                failed_schema = failed.schema
+
+                def _apply_failed(batches, _hook=hook_failed):
+                    for pdf in batches:
+                        yield _hook(pdf) if len(pdf) else pdf
+
+                # Arrow-batched, distributed — the hook never sees the
+                # driver (reference handle_failed runs in the stage
+                # process, acknowledger.ex:96-150; ours runs in the task).
+                failed = failed.mapInPandas(_apply_failed, schema=failed_schema)
+            if config.dlq is not None:
+                _write(failed, config.dlq.path, config.dlq.format)
+            ack_parts.append(_ack_rows(failed, batch_id, "failed"))
+
+            if not config.batchers:
+                # Consumer mode (topology.ex:277-281): processors are
+                # terminal; ack in place, optional default sink.
+                sink = config.sinks.get("default")
+                if sink is not None:
+                    _write(ok, sink.path, sink.format)
+                ack_parts.append(_ack_rows(ok, batch_id, "ok"))
+            else:
+                order_col = config.order_by
+                for name, bcfg in config.batchers.items():
+                    sub = ok.filter(F.col("batcher") == name)
+                    if isinstance(bcfg.batch_size, tuple):
+                        weight_col, budget = bcfg.batch_size
+                        chunked = chunk_by_budget(
+                            sub, ["batch_key"], order_col, weight_col, budget
+                        )
+                        size_lit = None
+                    else:
+                        chunked = chunk_by_size(
+                            sub, ["batch_key"], order_col, bcfg.batch_size
+                        )
+                        size_lit = bcfg.batch_size
+                    w = Window.partitionBy("batch_key", "chunk_id")
+                    chunked = chunked.withColumn(
+                        "batch_size_", F.count(F.lit(1)).over(w).cast("int")
+                    )
+                    trigger = (
+                        F.when(F.col("batch_mode") == "flush", F.lit("flush"))
+                        .when(
+                            F.lit(size_lit is not None)
+                            & (F.col("batch_size_") == F.lit(size_lit or -1)),
+                            F.lit("size"),
+                        )
+                        .otherwise(F.lit("timeout"))
+                    )
+                    chunked = chunked.withColumn("trigger_", trigger)
+
+                    if config.handle_batch is not None:
+                        per_batch = _make_batch_hook(
+                            name, config.handle_batch, order_col
+                        )
+                        chunked = chunked.groupBy(
+                            "batch_key", "chunk_id"
+                        ).applyInPandas(per_batch, schema=chunked.schema)
+
+                    sink = config.sinks[name]
+                    _write(
+                        chunked.drop("chunk_id", "batch_size_", "trigger_"),
+                        sink.path,
+                        sink.format,
+                    )
+                    ack_parts.append(
+                        _ack_rows(
+                            chunked, batch_id, "ok", trigger_col=F.col("trigger_")
+                        )
+                    )
+
+            if config.ack_log is not None:
+                acks = ack_parts[0]
+                for p in ack_parts[1:]:
+                    acks = acks.unionByName(p)
+                _write(acks, config.ack_log.path, config.ack_log.format)
+        finally:
+            batch_df.unpersist()
+
+    return router
