@@ -413,6 +413,69 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", H.fingerprint("text").alias("fp"))
 
 
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: SRP-bucketed candidates, then exact rerank —
+    the scale path next to the brute-force baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < ANN_NQUERY)
+    return S.ann_lsh_topk(
+        emb, queries_df, "vec_id", "embedding", k=ANN_K, num_planes=4, dim=64
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text bytes as stand-in media content →
+    typed metadata (JVM-side) → Arrow-batched featurizer (mapInPandas,
+    deterministic stub backend). f0/f1 are exact (k/65536 is a dyadic
+    rational, lossless in float32)."""
+    from broadway_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    media = MM.attach_media(docs, "content", "text/plain")
+    feats = MM.featurize(media, "content", backend="deterministic_stub")
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        "content_md5",
+        F.element_at("feature", 1).cast("double").alias("f0"),
+        F.element_at("feature", 2).cast("double").alias("f1"),
+    )
+
+
+def q_h4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / semi-join: orders having at least one returned line."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_r1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate over (event_type, value-band)."""
+    ev = _t(spark, sf_dir, "events")
+    # floor() then cast: DuckDB's double→INT cast rounds-to-nearest
+    # while Spark truncates — floor makes both exact-equal.
+    band = F.floor(F.col("value") / 100).cast("int").alias("value_band")
+    return (
+        ev.select("event_type", band, "value")
+        .rollup("event_type", "value_band")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("value").alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("value_band").cast("string"), F.lit("ALL")).alias(
+                "value_band"
+            ),
+            "n",
+            "sum_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -462,6 +525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "sim_ann_bruteforce": q_sim_ann_bruteforce,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "multimodal_features": q_multimodal_features,
+        "h4_priority_exists": q_h4_priority_exists,
+        "r1_rollup": q_r1_rollup,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -559,6 +626,27 @@ scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round({cos}, 6) AS cos_sim
   FROM embeddings c CROSS JOIN q
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+"""
+
+
+def _ann_lsh_oracle() -> str:
+    cos = V.cosine_similarity_sql("c.embedding", "q.embedding")
+    bucket = S.srp_bucket_sql("embedding", num_planes=4, dim=64)
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), q AS (SELECT * FROM bucketed WHERE vec_id < {ANN_NQUERY}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({cos}, 6) AS cos_sim
+  FROM bucketed c JOIN q ON c.bucket = q.bucket
   WHERE q.vec_id <> c.vec_id
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM (
@@ -709,6 +797,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT {H.fingerprint_sql('text')} AS fp,
                    min(doc_id) AS keeper_id, count(*) AS n_copies
             FROM documents GROUP BY 1""",
+        "sim_ann_lsh": _ann_lsh_oracle(),
+        "multimodal_features": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS INT) AS byte_len,
+                   md5(text) AS content_md5,
+                   CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) / 65536.0
+                     AS f0,
+                   CAST(concat('0x', substr(md5(text), 5, 4)) AS INT) / 65536.0
+                     AS f1
+            FROM documents""",
+        "h4_priority_exists": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority""",
+        "r1_rollup": f"""
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(CAST(value_band AS VARCHAR), 'ALL') AS value_band,
+                   count(*) AS n, {_dsum_sql('value')} AS sum_value
+            FROM (SELECT event_type, CAST(floor(value / 100) AS INT) AS value_band,
+                         value FROM events)
+            GROUP BY ROLLUP(event_type, value_band)""",
         "dedup_minhash": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_embedding": _embedding_neardup_oracle(),

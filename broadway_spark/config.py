@@ -174,6 +174,13 @@ class TopologyConfig:
     batch_key_by: Column | None = None
     handle_batch: Callable[[str, Any], Any] | None = None
     handle_failed: Callable[[Any], Any] | None = None
+    # Shuffle/state-store partition count for stateful queries. Unlike
+    # joins/aggs, stateful operators can't rely on AQE: the state store
+    # shards by the shuffle partitioning fixed at first run. Size it to
+    # the expected distinct (batcher, batch_key) cardinality / executor
+    # count; a vanilla session's 200 is pathological for small key
+    # spaces.
+    state_partitions: int = 32
     # Column giving the deterministic intra-key processing order (the
     # arrival-order stand-in; Broadway relies on mailbox order,
     # broadway.ex:524-607). Defaults to ack_data, which is only safe if

@@ -31,7 +31,28 @@ from pyspark.sql.types import (
     StructType,
 )
 
-ENVELOPE_COLS = ("metadata", "batcher", "batch_key", "batch_mode", "status", "ack")
+ENVELOPE_COLS = (
+    "metadata",
+    "batcher",
+    "batch_key",
+    "batch_mode",
+    "status",
+    "ack",
+    "ack_policy",
+)
+
+# ack_policy values (A3/A4 in SURVEY §2.5):
+#   'late'    — default: ack at the terminal stage (at-least-once)
+#   'early'   — Message.ack_immediately/1 (message.ex:172-201): ack as
+#               soon as processing succeeds; the terminal ack becomes a
+#               no-op (at-most-once region for this row)
+#   'retry'   — configure_ack on_failure=retry (acknowledger.ex:44-61):
+#               a failed row is NOT acked, so the source redelivers it
+#   'discard' — failed row acked as failed and dropped (DLQ only)
+ACK_LATE = "late"
+ACK_EARLY = "early"
+ACK_RETRY_ON_FAILURE = "retry"
+ACK_DISCARD_ON_FAILURE = "discard"
 
 STATUS_TYPE = StructType(
     [
@@ -109,6 +130,29 @@ def normalize(
         .withColumn("batch_mode", F.lit(BATCH_MODE_BULK))
         .withColumn("status", ok_status())
         .withColumn("ack", ack)
+        .withColumn("ack_policy", F.lit(ACK_LATE))
+    )
+
+
+def ack_immediately(df: DataFrame, when: Column | None = None) -> DataFrame:
+    """Message.ack_immediately/1 (message.ex:172-201): mark rows for
+    early ack; the terminal ack for them becomes a no-op."""
+    cond = when if when is not None else F.lit(True)
+    return df.withColumn(
+        "ack_policy",
+        F.when(cond, F.lit(ACK_EARLY)).otherwise(F.col("ack_policy")),
+    )
+
+
+def configure_ack(df: DataFrame, on_failure: str, when: Column | None = None) -> DataFrame:
+    """Message.configure_ack/2 (message.ex:135-155): per-row failure
+    policy — 'retry' (no ack → source redelivery) or 'discard'."""
+    if on_failure not in (ACK_RETRY_ON_FAILURE, ACK_DISCARD_ON_FAILURE):
+        raise ValueError(f"unknown on_failure policy: {on_failure!r}")
+    cond = when if when is not None else F.lit(True)
+    return df.withColumn(
+        "ack_policy",
+        F.when(cond, F.lit(on_failure)).otherwise(F.col("ack_policy")),
     )
 
 

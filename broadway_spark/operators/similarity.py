@@ -66,28 +66,49 @@ def ann_bruteforce_topk(
     )
 
 
+def srp_plane(p: int, dim: int, seed: int = 7) -> list[float]:
+    """Plane p's components: deterministic pseudo-random values in
+    [-0.5, 0.5) derived from md5(seed:p:j) — computed in Python once
+    and embedded as literals, so any engine (and the DuckDB oracle)
+    shares the exact same planes without per-row hashing."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{seed}:{p}:{j}".encode()).hexdigest()[:8], 16)
+        / 4294967296.0
+        - 0.5
+        for j in range(dim)
+    ]
+
+
 def srp_bucket(vec_col_name: str, num_planes: int = 8, dim: int = 64, seed: int = 7) -> F.Column:
     """Sign-random-projection bucket id (0 .. 2^num_planes - 1).
 
-    Plane p's component j is a deterministic pseudo-random value in
-    [-0.5, 0.5) derived from the portable md5 hash of (seed, p, j) — so
-    the same bucket function exists in any engine with md5.
+    The dot product against each literal plane runs as one fold over
+    the (vector, plane) zip; no hashing in the row path.
     """
-    def plane_component(p: int, j: str) -> str:
-        return (
-            f"(CAST(conv(substring(md5(concat('{seed}', ':', {p}, ':', {j})), 1, 8), 16, 10) AS DOUBLE)"
-            f" / 4294967296.0 - 0.5)"
-        )
-
     bits = []
     for p in range(num_planes):
+        plane = srp_plane(p, dim, seed)
+        plane_lit = "array(" + ", ".join(repr(v) for v in plane) + ")"
         dot = (
-            f"aggregate(sequence(1, {dim}), CAST(0.0 AS DOUBLE), "
-            f"(acc, j) -> acc + CAST(try_element_at({vec_col_name}, j) AS DOUBLE)"
-            f" * {plane_component(p, 'j')})"
+            f"aggregate(zip_with(CAST({vec_col_name} AS ARRAY<DOUBLE>), "
+            f"{plane_lit}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+            f"(acc, v) -> acc + v)"
         )
         bits.append(f"IF({dot} >= 0, {2 ** p}, 0)")
     return F.expr("(" + " + ".join(bits) + ")").cast("long")
+
+
+def srp_bucket_sql(vec_expr: str, num_planes: int = 8, dim: int = 64, seed: int = 7) -> str:
+    """DuckDB twin of ``srp_bucket`` (same literal planes)."""
+    bits = []
+    for p in range(num_planes):
+        plane = srp_plane(p, dim, seed)
+        plane_lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        dot = f"list_dot_product(CAST({vec_expr} AS DOUBLE[]), {plane_lit})"
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {2 ** p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
 
 
 def ann_lsh_topk(

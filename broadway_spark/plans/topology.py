@@ -82,6 +82,48 @@ class Pipeline:
             )
         return df
 
+    # -- introspection (L4: Broadway.topology/1, broadway.ex:1184-1276)
+
+    def topology(self) -> dict:
+        """Describe the compiled topology — producer, processor, and
+        batcher layers with their effective settings."""
+        cfg = self.config
+        return {
+            "name": cfg.name,
+            "producers": [
+                {
+                    "name": self.source.name,
+                    "kind": type(self.source).__name__,
+                    "rate_limit": (
+                        {
+                            "allowed_messages": cfg.rate_limit.allowed_messages,
+                            "interval_ms": cfg.rate_limit.interval_ms,
+                        }
+                        if cfg.rate_limit
+                        else None
+                    ),
+                }
+            ],
+            "processors": [
+                {
+                    "concurrency": cfg.processors.concurrency,
+                    "max_demand": cfg.processors.max_demand,
+                    "partition_by": cfg.processors.partition_by,
+                }
+            ],
+            "batchers": [
+                {
+                    "name": n,
+                    "batch_size": b.batch_size,
+                    "batch_timeout_ms": b.batch_timeout_ms,
+                    "concurrency": b.concurrency,
+                    "partition_by": b.partition_by,
+                    "sink": cfg.sinks[n].path if n in cfg.sinks else None,
+                }
+                for n, b in cfg.batchers.items()
+            ],
+        }
+
     # -- run ----------------------------------------------------------
 
     def start(
@@ -104,6 +146,90 @@ class Pipeline:
         else:
             raise ConfigError(f"unknown trigger {trigger!r}")
         return writer.queryName(cfg.name).start()
+
+    def start_stateful(
+        self,
+        spark: SparkSession,
+        processing_time: str = "500 milliseconds",
+    ) -> StreamingQuery:
+        """Run with the *stateful* batcher: cross-micro-batch buffers +
+        per-key timeout timers (``streaming/stateful_batcher.py``) — the
+        faithful B2/B3 semantics. Requires integer batch sizes.
+
+        The stateful stage does the chunking; foreachBatch only fans
+        chunks out to sinks and appends the ack log.
+        """
+        cfg = self.config
+        if cfg.checkpoint_dir is None:
+            raise ConfigError("checkpoint_dir is required to start a pipeline")
+        for name, b in cfg.batchers.items():
+            if not isinstance(b.batch_size, int):
+                raise ConfigError(
+                    f"stateful batching requires integer batch_size "
+                    f"(batcher {name!r})"
+                )
+        from broadway_spark.streaming.router import _write
+        from broadway_spark.streaming.stateful_batcher import (
+            stateful_batch_stream,
+        )
+
+        stream = self.build_stream(spark)
+        batched = stateful_batch_stream(
+            stream,
+            batch_sizes={n: b.batch_size for n, b in cfg.batchers.items()},
+            batch_timeouts_ms={
+                n: b.batch_timeout_ms for n, b in cfg.batchers.items()
+            },
+            order_by=cfg.order_by,
+        )
+
+        def sink_writer(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df = batch_df.persist()
+            try:
+                ok = batch_df.filter(F.col("status_ok"))
+                failed = batch_df.filter(~F.col("status_ok"))
+                for name, sink in cfg.sinks.items():
+                    _write(
+                        ok.filter(F.col("batcher") == name).drop(
+                            "chunk_seq", "trigger", "batch_size"
+                        ),
+                        sink.path,
+                        sink.format,
+                    )
+                if cfg.dlq is not None:
+                    _write(failed, cfg.dlq.path, cfg.dlq.format)
+                if cfg.ack_log is not None:
+                    acks = batch_df.select(
+                        F.lit(batch_id).alias("batch_id"),
+                        F.col("ack_ref"),
+                        F.col("ack_data"),
+                        F.when(F.col("status_ok"), "ok")
+                        .otherwise("failed")
+                        .alias("outcome"),
+                        F.col("status_reason").alias("reason"),
+                        F.col("batcher"),
+                        F.col("batch_key"),
+                        F.col("trigger"),
+                        F.col("batch_size"),
+                    )
+                    _write(acks, cfg.ack_log.path, cfg.ack_log.format)
+            finally:
+                batch_df.unpersist()
+
+        # Pin the state-store partition count for this query: the query
+        # captures the conf at start; restore the session value after.
+        prev = spark.conf.get("spark.sql.shuffle.partitions")  # effective value
+        spark.conf.set("spark.sql.shuffle.partitions", cfg.state_partitions)
+        try:
+            return (
+                batched.writeStream.foreachBatch(sink_writer)
+                .option("checkpointLocation", cfg.checkpoint_dir)
+                .trigger(processingTime=processing_time)
+                .queryName(f"{cfg.name}-stateful")
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     def run_to_completion(self, spark: SparkSession, timeout_s: int = 300) -> None:
         """Drain everything currently available, then stop — the

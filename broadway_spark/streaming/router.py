@@ -104,6 +104,19 @@ def build_router(
             failed = batch_df.filter(~F.col("status.ok"))
             ok = batch_df.filter(F.col("status.ok"))
 
+            has_policy = "ack_policy" in batch_df.columns
+            if has_policy:
+                # A3: early-acked rows get their ack at the processor
+                # stage (message.ex:172-201); terminal ack is a no-op.
+                early = ok.filter(F.col("ack_policy") == "early")
+                ack_parts.append(
+                    _ack_rows(early, batch_id, "ok", trigger_col=F.lit("early"))
+                )
+                # A4: failed rows with on_failure=retry are NOT acked —
+                # the source's redelivery owns them (A6: no built-in
+                # retries, broadway.ex:332-338).
+                failed = failed.filter(F.col("ack_policy") != "retry")
+
             # --- failed branch: handle_failed hook → DLQ → ack failed
             if config.handle_failed is not None:
                 hook_failed = config.handle_failed
@@ -127,7 +140,10 @@ def build_router(
                 sink = config.sinks.get("default")
                 if sink is not None:
                     _write(ok, sink.path, sink.format)
-                ack_parts.append(_ack_rows(ok, batch_id, "ok"))
+                late_ok = (
+                    ok.filter(F.col("ack_policy") != "early") if has_policy else ok
+                )
+                ack_parts.append(_ack_rows(late_ok, batch_id, "ok"))
             else:
                 order_col = config.order_by
                 for name, bcfg in config.batchers.items():
@@ -172,9 +188,17 @@ def build_router(
                         sink.path,
                         sink.format,
                     )
+                    late_chunked = (
+                        chunked.filter(F.col("ack_policy") != "early")
+                        if has_policy
+                        else chunked
+                    )
                     ack_parts.append(
                         _ack_rows(
-                            chunked, batch_id, "ok", trigger_col=F.col("trigger_")
+                            late_chunked,
+                            batch_id,
+                            "ok",
+                            trigger_col=F.col("trigger_"),
                         )
                     )
 

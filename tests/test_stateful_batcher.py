@@ -1,0 +1,113 @@
+"""Stateful-batcher tests: cross-micro-batch assembly + per-key timeout
+timers (reference ``batcher_stage.ex`` semantics; SURVEY §2.4 B1-B4).
+"""
+
+import time
+
+from pyspark.sql import functions as F
+
+from broadway_spark.config import BatcherConfig, SinkConfig, TopologyConfig
+from broadway_spark.plans import Pipeline
+from broadway_spark.sources import SpoolSource
+
+from .conftest import EVENTS_DDL, make_events
+
+
+def _wait_for_acks(spark, path, want, timeout_s=120):
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(path).count() >= want:
+                return True
+        except Exception:
+            pass
+        time.sleep(1)
+    return False
+
+
+def test_cross_batch_assembly_and_timeout(spark, tmp_dirs):
+    """Rows trickle in 40 per trigger with batch_size 50: full chunks
+    can only form across micro-batches; the final 30-row remainder must
+    be flushed by the per-key timer with trigger='timeout'
+    (batcher_stage.ex:80-89,108-176)."""
+    src = SpoolSource(
+        name="spool",
+        path=tmp_dirs["spool"],
+        schema_ddl=EVENTS_DDL,
+        ack_data_column="event_id",
+        allowed_per_trigger=40,
+    )
+    src.push_messages(make_events(130), "000.jsonl")
+    cfg = TopologyConfig(
+        name="stateful",
+        order_by="event_id",
+        batchers={"default": BatcherConfig(batch_size=50, batch_timeout_ms=2000)},
+        sinks={"default": SinkConfig(path=tmp_dirs["sink"])},
+        ack_log=SinkConfig(path=tmp_dirs["ack"]),
+        checkpoint_dir=tmp_dirs["ckpt"],
+    )
+    q = Pipeline(cfg, src).start_stateful(spark, processing_time="300 milliseconds")
+    try:
+        assert _wait_for_acks(spark, tmp_dirs["ack"], 130), "drain incomplete"
+    finally:
+        q.stop()
+
+    ack = spark.read.parquet(tmp_dirs["ack"])
+    assert ack.count() == 130
+    assert ack.select("ack_data").distinct().count() == 130
+
+    groups = {
+        (r["trigger"], r["batch_size"]): r["n"]
+        for r in ack.groupBy("trigger", "batch_size")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # two full size-50 chunks + one 30-row timeout flush
+    assert groups.get(("size", 50)) == 100
+    assert groups.get(("timeout", 30)) == 30
+
+
+def test_flush_mode_empties_buffer(spark, tmp_dirs):
+    """batch_mode='flush' delivers everything buffered immediately
+    (message.ex:118-133): no waiting for size or timer."""
+    src = SpoolSource(
+        name="spool",
+        path=tmp_dirs["spool"],
+        schema_ddl=EVENTS_DDL,
+        ack_data_column="event_id",
+    )
+    events = make_events(30)
+    for e in events:
+        e["event_type"] = "view"
+    events[-1]["event_type"] = "flushme"
+    src.push_messages(events, "000.jsonl")
+
+    def handle_message(df):
+        return df.withColumn(
+            "batch_mode",
+            F.when(F.col("event_type") == "flushme", F.lit("flush")).otherwise(
+                F.col("batch_mode")
+            ),
+        )
+
+    cfg = TopologyConfig(
+        name="flush",
+        order_by="event_id",
+        handle_message=handle_message,
+        batchers={
+            "default": BatcherConfig(batch_size=1000, batch_timeout_ms=600000)
+        },
+        sinks={"default": SinkConfig(path=tmp_dirs["sink"])},
+        ack_log=SinkConfig(path=tmp_dirs["ack"]),
+        checkpoint_dir=tmp_dirs["ckpt"],
+    )
+    q = Pipeline(cfg, src).start_stateful(spark, processing_time="300 milliseconds")
+    try:
+        # despite huge batch_size and timeout, flush delivers all 30
+        assert _wait_for_acks(spark, tmp_dirs["ack"], 30, timeout_s=60)
+    finally:
+        q.stop()
+
+    ack = spark.read.parquet(tmp_dirs["ack"])
+    assert ack.count() == 30
+    assert {r[0] for r in ack.select("trigger").distinct().collect()} == {"flush"}
