@@ -26,6 +26,26 @@ from broadway_spark.functions.text import word_shingles
 from broadway_spark.functions.vectors import cosine_similarity
 
 
+def dedup_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    event_time_col: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup: exactly-once per key within the watermark.
+
+    With an event-time column, uses ``dropDuplicatesWithinWatermark`` so
+    the key-state expires after ``watermark_delay`` (bounded state — the
+    only way dedup state survives at 100 TB/day); without, plain
+    ``dropDuplicates`` (state grows forever — batch or tests only).
+    """
+    if event_time_col is not None:
+        return df.withWatermark(
+            event_time_col, watermark_delay
+        ).dropDuplicatesWithinWatermark(key_cols)
+    return df.dropDuplicates(key_cols)
+
+
 def exact_dedup_stats(
     df: DataFrame, key_cols: list[str], id_col: str
 ) -> DataFrame:

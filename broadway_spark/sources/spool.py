@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass
+from datetime import date, datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
@@ -38,6 +39,7 @@ from pyspark.sql.types import StructType
 
 SPOOL_FORMAT = "broadway_spool"
 COMMIT_JOURNAL = "_commits.jsonl"
+RATE_CONTROL_FILE = "_rate_control.json"
 
 
 def _data_files(path: str) -> list[str]:
@@ -72,6 +74,21 @@ class _SpoolStreamReader(DataSourceStreamReader):
         self.allowed = int(options.get("allowed_per_trigger", 0)) or None
         self.fields = [f.name for f in schema.fields]
         self.schema = schema
+        # JSON carries timestamps/dates as strings; the data source API
+        # wants real datetime objects — build per-field coercers once.
+        self.coercers = []
+        for f in schema.fields:
+            t = f.dataType.simpleString()
+            if t.startswith("timestamp"):
+                self.coercers.append(
+                    lambda v: datetime.fromisoformat(v) if isinstance(v, str) else v
+                )
+            elif t == "date":
+                self.coercers.append(
+                    lambda v: date.fromisoformat(v) if isinstance(v, str) else v
+                )
+            else:
+                self.coercers.append(None)
 
     def initialOffset(self) -> dict:
         return {"row": 0}
@@ -81,12 +98,24 @@ class _SpoolStreamReader(DataSourceStreamReader):
         # one refill per trigger, computed on the driver so the cap is
         # global, not per-partition. Spark calls latestOffset once per
         # trigger; we remember the last end we handed out to advance by
-        # at most `allowed` rows each call.
+        # at most `allowed` rows each call. The rate-control file (F3:
+        # Broadway.update_rate_limiting/2, broadway.ex:1447-1523) is
+        # re-read every trigger so the limit can change at runtime.
         prev = getattr(self, "_last_end", 0)
         total = _count_rows(self.path)
-        nxt = min(total, prev + self.allowed) if self.allowed else total
+        allowed = self._current_allowed()
+        nxt = min(total, prev + allowed) if allowed else total
         self._last_end = nxt
         return {"row": nxt}
+
+    def _current_allowed(self) -> int | None:
+        ctrl = os.path.join(self.path, RATE_CONTROL_FILE)
+        try:
+            with open(ctrl) as fh:
+                v = json.load(fh).get("allowed_per_trigger")
+                return int(v) if v else None
+        except (FileNotFoundError, ValueError, json.JSONDecodeError):
+            return self.allowed
 
     def partitions(self, start: dict, end: dict):
         return [_SpoolPartition(self.path, start["row"], end["row"])]
@@ -103,7 +132,11 @@ class _SpoolStreamReader(DataSourceStreamReader):
                         return
                     if idx >= partition.start:
                         rec = json.loads(line)
-                        yield tuple(rec.get(name) for name in self.fields)
+                        yield tuple(
+                            c(rec.get(name)) if c and rec.get(name) is not None
+                            else rec.get(name)
+                            for name, c in zip(self.fields, self.coercers)
+                        )
                     idx += 1
 
     def commit(self, end: dict) -> None:
@@ -156,6 +189,22 @@ class SpoolSource:
         if self.allowed_per_trigger is not None:
             reader = reader.option("allowed_per_trigger", self.allowed_per_trigger)
         return reader.load()
+
+    def update_rate_limiting(self, allowed_per_trigger: int | None) -> None:
+        """F3: Broadway.update_rate_limiting/2 — change the admission
+        cap at runtime; the reader re-reads it on the next trigger.
+        None resets to unlimited."""
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, RATE_CONTROL_FILE), "w") as fh:
+            json.dump({"allowed_per_trigger": allowed_per_trigger}, fh)
+
+    def get_rate_limiting(self) -> int | None:
+        """F3: Broadway.get_rate_limiting/1."""
+        try:
+            with open(os.path.join(self.path, RATE_CONTROL_FILE)) as fh:
+                return json.load(fh).get("allowed_per_trigger")
+        except FileNotFoundError:
+            return self.allowed_per_trigger
 
     def push_messages(self, records: list[dict], filename: str) -> None:
         """Broadway.push_messages/2 — append out-of-band messages."""

@@ -1,0 +1,168 @@
+"""Streaming-native operator tests: watermark dedup, windowed
+aggregation with late data, runtime rate-limit update (F3)."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from broadway_spark.config import BatcherConfig, SinkConfig, TopologyConfig
+from broadway_spark.operators.dedup import dedup_stream
+from broadway_spark.plans import Pipeline
+from broadway_spark.sources import SpoolSource
+
+from .conftest import EVENTS_DDL, make_events
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_dirs):
+    """Duplicate event_ids delivered across micro-batches are emitted
+    once (dropDuplicatesWithinWatermark over the envelope stream)."""
+    src = SpoolSource(
+        name="spool",
+        path=tmp_dirs["spool"],
+        schema_ddl=EVENTS_DDL + ", ts timestamp",
+        ack_data_column="event_id",
+    )
+    base = make_events(50)
+    for i, e in enumerate(base):
+        e["ts"] = f"2024-01-01 00:{i % 60:02d}:00"
+    dupes = [dict(e) for e in base[:20]]  # redelivered subset
+    src.push_messages(base, "000.jsonl")
+    src.push_messages(dupes, "001.jsonl")
+
+    stream = src.read_stream(spark)
+    deduped = dedup_stream(
+        stream, ["event_id"], event_time_col="ts", watermark_delay="1 hour"
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", tmp_dirs["sink"])
+        .option("checkpointLocation", tmp_dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(tmp_dirs["sink"])
+    assert out.count() == 50
+    assert out.select("event_id").distinct().count() == 50
+
+
+def test_windowed_agg_with_watermark(spark, tmp_dirs):
+    """Event-time tumbling window + watermark over the stream: counts
+    match the batch computation on the same data."""
+    src = SpoolSource(
+        name="spool",
+        path=tmp_dirs["spool"],
+        schema_ddl=EVENTS_DDL + ", ts timestamp",
+        ack_data_column="event_id",
+    )
+    events = make_events(120)
+    for i, e in enumerate(events):
+        e["ts"] = f"2024-01-01 {i // 30:02d}:{(i * 2) % 60:02d}:00"
+    src.push_messages(events, "000.jsonl")
+
+    stream = src.read_stream(spark)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+            "n",
+        )
+    )
+
+    def drain():
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", tmp_dirs["sink"])
+            .option("checkpointLocation", tmp_dirs["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # Append mode emits a window only after a *subsequent* batch sees
+    # the watermark past its end: sentinel1 closes the data windows on
+    # drain 2... except windows straddling the pre-sentinel watermark,
+    # which need one more hop — sentinel2 on drain 3. The last
+    # sentinel's own window stays open (never asserted).
+    sentinel1 = make_events(1, start=10_000)[0]
+    sentinel1["ts"] = "2024-01-02 00:00:00"
+    src.push_messages([sentinel1], "001_sentinel.jsonl")
+    drain()
+    sentinel2 = make_events(1, start=10_001)[0]
+    sentinel2["ts"] = "2024-01-03 00:00:00"
+    src.push_messages([sentinel2], "002_sentinel.jsonl")
+    drain()
+
+    got = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(tmp_dirs["sink"]).collect()
+        if r["hour"] < "2024-01-02"  # sentinel windows emit on later hops
+    }
+    batch = spark.createDataFrame(events)
+    want = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in batch.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(
+            F.date_format(
+                F.window("ts", "1 hour").getField("start"), "yyyy-MM-dd HH"
+            ).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # after the sentinel advanced the watermark, every data window is
+    # closed and emitted exactly once — streamed result == batch result
+    assert got == want
+
+
+def test_runtime_rate_limit_update(spark, tmp_dirs):
+    """F3: update_rate_limiting takes effect on subsequent triggers
+    (broadway.ex:1447-1523)."""
+    src = SpoolSource(
+        name="spool",
+        path=tmp_dirs["spool"],
+        schema_ddl=EVENTS_DDL,
+        ack_data_column="event_id",
+        allowed_per_trigger=10,
+    )
+    src.push_messages(make_events(60), "000.jsonl")
+    assert src.get_rate_limiting() == 10
+    src.update_rate_limiting(50)
+    assert src.get_rate_limiting() == 50
+
+    cfg = TopologyConfig(
+        name="ratelimit-update",
+        order_by="event_id",
+        batchers={"default": BatcherConfig(batch_size=100)},
+        sinks={"default": SinkConfig(path=tmp_dirs["sink"])},
+        ack_log=SinkConfig(path=tmp_dirs["ack"]),
+        checkpoint_dir=tmp_dirs["ckpt"],
+    )
+    q = Pipeline(cfg, src).start(
+        spark, trigger="processingTime", processing_time="0 seconds"
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(tmp_dirs["ack"]).count() >= 60:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    ack = spark.read.parquet(tmp_dirs["ack"])
+    assert ack.count() == 60
+    per_batch = [r["count"] for r in ack.groupBy("batch_id").count().collect()]
+    # updated cap (50) applies: some batch carries >10 rows, none >50
+    assert max(per_batch) > 10
+    assert max(per_batch) <= 50
