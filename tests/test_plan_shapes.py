@@ -1,0 +1,94 @@
+"""Physical-plan audits: the 100 TB contracts, asserted.
+
+Correctness says *what* a query returns; these tests pin *how*:
+filters reach the parquet scan, projections prune columns, small dims
+broadcast, aggregates keep map-side partial phases. A regression here
+is a 100× slowdown at cluster scale that no correctness test would
+catch.
+"""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """h6: the discount/quantity filters must appear as PushedFilters
+    in the parquet scan, not as a post-scan Filter only."""
+    df = entry.q_h6_revenue(spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "l_discount" in plan.split("PushedFilters:")[1][:300]
+
+
+def test_column_pruning_in_scan(spark):
+    """p2_map projects 7 expressions from 16 lineitem columns: the scan
+    must read only the needed ones."""
+    df = entry.q_p2_map(spark, SF)
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_partkey" not in read_schema  # unused column pruned
+    assert "l_tax" not in read_schema
+
+
+def test_broadcast_join_for_small_dims(spark):
+    """p1_enrich: customer and nation are dimensions — both joins must
+    be broadcast, never sort-merge (no big shuffle on the fact side)."""
+    df = entry.q_p1_enrich(spark, SF)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_aggregation_present(spark):
+    """s1/x4: hash aggregates must have a partial (map-side) phase so
+    the shuffle carries group aggregates, not raw rows."""
+    df = entry.q_x4_batch_key(spark, SF)
+    plan = _plan(df)
+    # partial + final HashAggregate pair
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semi_join_not_materialized(spark):
+    """h4: EXISTS compiles to a semi join (no duplicate explosion)."""
+    df = entry.q_h4_priority_exists(spark, SF)
+    plan = _plan(df)
+    assert "Semi" in plan
+
+
+def test_ann_broadcasts_query_side(spark):
+    """ANN: the query set must broadcast; the corpus side streams."""
+    df = entry.q_sim_ann_bruteforce(spark, SF)
+    plan = _plan(df)
+    assert "Broadcast" in plan
+
+
+def test_minhash_no_cartesian(spark):
+    """LSH candidate generation must be an equi-join on band keys —
+    a cartesian/BNL join here would be O(n²) at scale."""
+    df = entry.q_dedup_minhash(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    """The scalar-transform suite must run inside WholeStageCodegen."""
+    df = entry.q_p2_map(spark, SF)
+    plan = _plan(df)
+    # codegen'd operators are prefixed "*(n)" in the plan string
+    assert "*(1)" in plan
