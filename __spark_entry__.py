@@ -413,6 +413,140 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", H.fingerprint("text").alias("fp"))
 
 
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as deterministic keeper-aggregate on the raw text."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup_stats(docs, ["text"], "doc_id").select(
+        "keeper_id", "n_copies"
+    )
+
+
+JACCARD_PAIR_THRESHOLD = 0.5
+
+
+def q_text_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup pairs, blocked by (lang, source) —
+    the n-gram-Jaccard dedup family with a direct set formulation."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"),
+    )
+    l, r = docs.alias("l"), docs.alias("r")
+    inter = F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks"))).cast(
+        "double"
+    )
+    union = F.size(F.array_union(F.col("l.toks"), F.col("r.toks"))).cast("double")
+    return (
+        l.join(
+            r,
+            (F.col("l.lang") == F.col("r.lang"))
+            & (F.col("l.source") == F.col("r.source"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_PAIR_THRESHOLD)
+    )
+
+
+def q_h5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-flavored 6-way join: revenue per nation where the
+    customer and supplier share the nation, within one region."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(dp).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_str_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface over part names."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.substring("p_name", 1, 5).alias("sub5"),
+        F.length("p_name").alias("len"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devowel"),
+        F.reverse(F.col("p_type")).alias("rev_type"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.trim(F.lpad("p_brand", 12, "#")).alias("padded"),
+    )
+
+
+def q_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date/time surface over order dates."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        (F.dayofweek(d) - 1).alias("dow"),  # 0=Sunday, matches duckdb dow
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias(
+            "plus30"
+        ),
+        F.datediff(F.lit("2026-01-01").cast("date"), d.cast("date")).alias(
+            "days_to_2026"
+        ),
+    )
+
+
+def q_h7_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped agg with HAVING: busy customers only."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice").alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+def q_j1_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join with null semantics: per customer, count of
+    high-value orders (0 for customers with none)."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 4000)
+    j = cust.join(big, cust.c_custkey == big.o_custkey, "left")
+    return j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_big_orders"),
+        F.coalesce(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            F.lit(0.0),
+        ).alias("big_total"),
+    )
+
+
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN: SRP-bucketed candidates, then exact rerank —
     the scale path next to the brute-force baseline."""
@@ -520,6 +654,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_tumbling": q_w2_tumbling,
         "d1_distinct": q_d1_distinct,
         "set1_except": q_set1_except,
+        "dedup_exact": q_dedup_exact,
+        "text_jaccard_pairs": q_text_jaccard_pairs,
+        "h5_nation_revenue": q_h5_nation_revenue,
+        "str_suite": q_str_suite,
+        "date_suite": q_date_suite,
+        "h7_having": q_h7_having,
+        "j1_outer_nulls": q_j1_outer_nulls,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -793,6 +934,76 @@ def oracle_sql() -> dict[str, str]:
               EXCEPT
               SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
             )""",
+        "dedup_exact": """
+            SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+            FROM documents GROUP BY text""",
+        "text_jaccard_pairs": f"""
+            WITH d AS (
+              SELECT doc_id, lang, source,
+                     list_distinct(string_split(lower(text), ' ')) AS toks
+              FROM documents
+            )
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                   round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+                         / CAST(len(list_distinct(list_concat(l.toks, r.toks)))
+                                AS DOUBLE), 6) AS jaccard
+            FROM d l JOIN d r
+              ON l.lang = r.lang AND l.source = r.source
+             AND l.doc_id < r.doc_id
+            WHERE round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+                        / CAST(len(list_distinct(list_concat(l.toks, r.toks)))
+                               AS DOUBLE), 6) >= {JACCARD_PAIR_THRESHOLD}""",
+        "h5_nation_revenue": """
+            SELECT n_name AS nation,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+                     AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+            GROUP BY n_name""",
+        "str_suite": """
+            SELECT p_partkey,
+                   upper(p_name) AS up,
+                   substr(p_name, 1, 5) AS sub5,
+                   CAST(length(p_name) AS INT) AS len,
+                   regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+                   reverse(p_type) AS rev_type,
+                   concat_ws('|', p_brand, p_type) AS brand_type,
+                   CAST(strpos(p_name, 'a') AS INT) AS first_a,
+                   CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+                   trim(lpad(p_brand, 12, '#')) AS padded
+            FROM part""",
+        "date_suite": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INT) AS y,
+                   CAST(quarter(o_orderdate) AS INT) AS q,
+                   CAST(month(o_orderdate) AS INT) AS m,
+                   CAST(day(o_orderdate) AS INT) AS dom,
+                   CAST(dayofweek(o_orderdate) AS INT) AS dow,
+                   strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+                   strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY,
+                            '%Y-%m-%d') AS plus30,
+                   CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                  DATE '2026-01-01') AS INT) AS days_to_2026
+            FROM orders""",
+        "h7_having": f"""
+            SELECT o_custkey, count(*) AS n_orders,
+                   {_dsum_sql('o_totalprice')} AS total_spend
+            FROM orders GROUP BY o_custkey HAVING count(*) >= 15""",
+        "j1_outer_nulls": """
+            SELECT c_custkey, count(o_orderkey) AS n_big_orders,
+                   coalesce(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                 AS DOUBLE), 0.0) AS big_total
+            FROM customer LEFT JOIN
+                 (SELECT * FROM orders WHERE o_totalprice > 4000) o
+              ON c_custkey = o.o_custkey
+            GROUP BY c_custkey""",
         "dedup_fingerprint": f"""
             SELECT {H.fingerprint_sql('text')} AS fp,
                    min(doc_id) AS keeper_id, count(*) AS n_copies
