@@ -35,12 +35,19 @@ def main() -> None:
     # so per-query numbers measure the plan, not JIT warmup.
     qs["s1_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Two passes per query, report the min: this host shows up to 4×
+    # wall-clock variance (VM) and first execution pays one-time codegen
+    # compile — min-of-2 approximates steady-state per-plan cost.
     total0 = time.time()
     for name, fn in qs.items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-    total = round(time.time() - total0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
+    total = round(sum(timings.values()), 3)
 
     print(
         json.dumps(

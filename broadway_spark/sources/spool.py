@@ -72,6 +72,7 @@ class _SpoolStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.path = options["path"]
         self.allowed = int(options.get("allowed_per_trigger", 0)) or None
+        self.num_partitions = int(options.get("num_partitions", 4))
         self.fields = [f.name for f in schema.fields]
         self.schema = schema
         # JSON carries timestamps/dates as strings; the data source API
@@ -118,7 +119,17 @@ class _SpoolStreamReader(DataSourceStreamReader):
             return self.allowed
 
     def partitions(self, start: dict, end: dict):
-        return [_SpoolPartition(self.path, start["row"], end["row"])]
+        # S4 (producer concurrency): split the admitted row range into
+        # contiguous chunks — one task per chunk. Admission stays global
+        # and exact (decided in latestOffset); only the *read* fans out.
+        lo, hi = start["row"], end["row"]
+        n = max(1, min(self.num_partitions, hi - lo))
+        step = (hi - lo + n - 1) // n if hi > lo else 1
+        parts = []
+        while lo < hi:
+            parts.append(_SpoolPartition(self.path, lo, min(lo + step, hi)))
+            lo += step
+        return parts or [_SpoolPartition(self.path, start["row"], end["row"])]
 
     def read(self, partition: _SpoolPartition):
         idx = 0
@@ -178,6 +189,7 @@ class SpoolSource:
     schema_ddl: str
     ack_data_column: str
     allowed_per_trigger: int | None = None
+    num_partitions: int = 4
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
         register_spool_source(spark)
@@ -185,6 +197,7 @@ class SpoolSource:
             spark.readStream.format(SPOOL_FORMAT)
             .option("path", self.path)
             .option("schema_ddl", self.schema_ddl)
+            .option("num_partitions", self.num_partitions)
         )
         if self.allowed_per_trigger is not None:
             reader = reader.option("allowed_per_trigger", self.allowed_per_trigger)
