@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from broadway_spark.functions import hashing as H
+from broadway_spark.functions import sketches as K
 from broadway_spark.functions import text as T
 from broadway_spark.functions import vectors as V
 from broadway_spark.operators import batching as B
@@ -30,6 +31,7 @@ from broadway_spark.operators import dedup as D
 from broadway_spark.operators import failure as FL
 from broadway_spark.operators import partitioning as P
 from broadway_spark.operators import similarity as S
+from broadway_spark.operators import temporal as TM
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -611,6 +613,115 @@ def q_r1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temporal / sketch / IVF extensions
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+HLL_SEED = 5
+IVF_NCENT = 16
+IVF_NPROBE = 4
+
+
+def q_aj1_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's most recent prior-or-
+    simultaneous click (id, value, gap in µs). Union + one keyed sort —
+    no join explosion (operators/temporal.py::asof_join)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    joined = TM.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        order_col="event_id",
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("event_id_right").alias("click_id"),
+        F.col("value_right").alias("click_value"),
+        (F.unix_micros("ts") - F.unix_micros("matched_ts")).alias("gap_us"),
+    )
+
+
+def q_w3_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap activity sessions per user via the
+    native (streaming-capable) session_window aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    s = TM.sessionize(
+        ev,
+        "ts",
+        ["user_id"],
+        gap=f"{SESSION_GAP_MIN} minutes",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value").alias("sum_value"),
+        ],
+    )
+    return s.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (the built-in
+    ``percentile``, a single sort-based aggregate; rounded 6dp)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, array(0.25D, 0.5D, 0.9D))").alias("__p"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.round(F.element_at("__p", 1), 6).alias("p25"),
+            F.round(F.element_at("__p", 2), 6).alias("p50"),
+            F.round(F.element_at("__p", 3), 6).alias("p90"),
+            "n",
+        )
+    )
+
+
+def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-user estimate per event_type, next
+    to the exact count (functions/sketches.py — integer-exact registers,
+    engine-reproducible)."""
+    ev = _t(spark, sf_dir, "events")
+    est = K.hll_count_distinct(ev, ["event_type"], "user_id", seed=HLL_SEED)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return exact.join(est, "event_type")
+
+
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: coarse-quantizer cells + nprobe probing
+    (operators/similarity.py::ann_ivf_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQUERY)
+    return S.ann_ivf_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=ANN_K,
+        num_centroids=IVF_NCENT,
+        nprobe=IVF_NPROBE,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -673,6 +784,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "aj1_asof_clicks": q_aj1_asof_clicks,
+        "w3_sessions": q_w3_sessions,
+        "agg_percentiles": q_agg_percentiles,
+        "sketch_hll_users": q_sketch_hll_users,
+        "sim_ann_ivf": q_sim_ann_ivf,
     }
 
 
@@ -789,6 +905,41 @@ scored AS (
          round({cos}, 6) AS cos_sim
   FROM bucketed c JOIN q ON c.bucket = q.bucket
   WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+"""
+
+
+def _ann_ivf_oracle() -> str:
+    cell_cos = V.cosine_similarity_sql("e.embedding", "c.pv")
+    score_cos = V.cosine_similarity_sql("ca.embedding", "qa.qemb")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS pv FROM embeddings
+  WHERE vec_id < {IVF_NCENT}
+), ca AS (
+  SELECT vec_id AS neighbor_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({cell_cos}, 6) DESC, c.cid ASC) AS rk
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rk = 1
+), qa AS (
+  SELECT vec_id AS query_id, qemb, cell FROM (
+    SELECT e.vec_id, e.embedding AS qemb, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({cell_cos}, 6) DESC, c.cid ASC) AS rk
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < {ANN_NQUERY}
+  ) WHERE rk <= {IVF_NPROBE}
+), scored AS (
+  SELECT qa.query_id, ca.neighbor_id, round({score_cos}, 6) AS cos_sim
+  FROM ca JOIN qa ON ca.cell = qa.cell
+  WHERE qa.query_id <> ca.neighbor_id
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
@@ -1048,4 +1199,66 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": f"""
             SELECT doc_id, {H.fingerprint_sql('text')} AS fp
             FROM documents""",
+        "aj1_asof_clicks": """
+            WITH u AS (
+              SELECT user_id, ts, 1 AS is_l, CAST(-1 AS BIGINT) AS ord,
+                     event_id,
+                     CAST(NULL AS BIGINT) AS r_event_id,
+                     CAST(NULL AS DOUBLE) AS r_value
+              FROM events WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT user_id, ts, 0, event_id,
+                     CAST(NULL AS BIGINT), event_id, value
+              FROM events WHERE event_type = 'click'
+            ), w AS (
+              SELECT user_id, ts, is_l, event_id,
+                     last_value(r_event_id IGNORE NULLS) OVER win AS click_id,
+                     last_value(r_value IGNORE NULLS) OVER win AS click_value,
+                     last_value(CASE WHEN is_l = 0 THEN ts END IGNORE NULLS)
+                       OVER win AS m_ts
+              FROM u
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_l, ord
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+            )
+            SELECT event_id AS purchase_id, user_id, click_id, click_value,
+                   epoch_us(ts) - epoch_us(m_ts) AS gap_us
+            FROM w WHERE is_l = 1""",
+        "w3_sessions": f"""
+            WITH o AS (
+              SELECT user_id, ts, value, event_id,
+                     CASE WHEN lag(ts) OVER win IS NULL
+                          OR ts - lag(ts) OVER win
+                             > INTERVAL {SESSION_GAP_MIN} MINUTES
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts, value,
+                     SUM(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+                   count(*) AS n_events, {_dsum_sql('value')} AS sum_value
+            FROM s GROUP BY user_id, sid""",
+        "agg_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 6) AS p25,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   count(*) AS n
+            FROM events GROUP BY event_type""",
+        "sketch_hll_users": f"""
+            WITH est AS (
+              {K.hll_count_distinct_sql('events', ['event_type'], 'user_id',
+                                        seed=HLL_SEED)}
+            ), ex AS (
+              SELECT event_type, count(DISTINCT user_id) AS n_exact
+              FROM events GROUP BY event_type
+            )
+            SELECT ex.event_type, n_exact, n_hll
+            FROM ex JOIN est USING (event_type)""",
+        "sim_ann_ivf": _ann_ivf_oracle(),
     }

@@ -1,0 +1,132 @@
+"""Portable sketches: a HyperLogLog distinct-count whose every bit is
+reproducible across engines.
+
+Spark's builtin ``approx_count_distinct`` is a fine HLL++ — but its
+register values depend on Spark's internal xxHash64, so no external
+oracle can verify it. This module implements classic HLL (Flajolet et
+al. 2007) from md5-derived hashes with *integer-exact* register
+arithmetic, so the DuckDB oracle reproduces the estimate bit-for-bit:
+
+- 60-bit hash ``h`` = first 15 hex chars of ``md5(seed ':' value)``.
+- register index = ``h % m``; suffix ``w = h div m`` (51 bits at b=9).
+- rho(w) = leading-zeros-of-suffix + 1 = ``52 - bitlen(w)``, computed
+  via ``length(bin(w))`` (both engines have ``bin``); capped at 30.
+- The harmonic sum ``sum(2^-M_j)`` is computed as the INTEGER
+  ``sum(2^(30-M_j)) + (m - present) * 2^30`` then divided by ``2^30``
+  once: every partial sum fits in 53 bits, so floating-point
+  associativity never matters and parallel aggregation order is
+  irrelevant — the property that makes the sketch mergeable AND
+  deterministic on a 1000-executor cluster.
+- Small-range correction (linear counting) applied exactly as in the
+  paper when ``E <= 2.5 m`` and empty registers exist.
+
+The two-level plan (groupBy(key, register) max-rho, then groupBy(key)
+fold of m rows) is the canonical distributed-HLL shape: map-side
+partial max per register, one shuffle keyed by (key, register), then a
+trivially small final merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HLL_B = 9
+HLL_M = 1 << HLL_B  # 512 registers
+HLL_RHO_CAP = 30
+# alpha_m for m >= 128 (Flajolet et al. 2007, fig. 3)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+_SUFFIX_BITS = 60 - HLL_B  # 51
+
+
+def _hash60_expr(value_expr: str, seed: int) -> str:
+    """60-bit md5-derived hash as a SQL string (Spark + DuckDB share
+    md5/substring/conv... DuckDB spells conv differently, see twin)."""
+    return (
+        f"CAST(conv(substring(md5(concat('{seed}', ':', "
+        f"CAST({value_expr} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def hll_count_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str, seed: int = 5
+) -> DataFrame:
+    """Per-group HLL distinct estimate: (group_cols..., n_hll BIGINT)."""
+    h = F.expr(_hash60_expr(value_col, seed))
+    regs = (
+        df.select(*group_cols, h.alias("__h"))
+        .select(
+            *group_cols,
+            (F.col("__h") % F.lit(HLL_M)).alias("__idx"),
+            F.least(
+                F.lit(_SUFFIX_BITS + 1)
+                - F.length(F.expr(f"bin(__h DIV {HLL_M})")),
+                F.lit(HLL_RHO_CAP),
+            ).alias("__rho"),
+        )
+        .groupBy(*group_cols, "__idx")
+        .agg(F.max("__rho").alias("__mrho"))
+    )
+    folded = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_CAP} - __mrho)")
+        ).alias("__s_present"),
+    )
+    s_total = (
+        F.col("__s_present")
+        + (F.lit(HLL_M) - F.col("__present")) * F.lit(1 << HLL_RHO_CAP).cast("bigint")
+    ).cast("double") / F.lit(float(1 << HLL_RHO_CAP))
+    e_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / s_total
+    v = F.lit(HLL_M) - F.col("__present")
+    est = F.when(
+        (v > 0) & (e_raw <= F.lit(2.5 * HLL_M)),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return folded.select(
+        *group_cols, F.round(est).cast("bigint").alias("n_hll")
+    )
+
+
+def hll_count_distinct_sql(
+    table: str, group_cols: list[str], value_expr: str, seed: int = 5
+) -> str:
+    """DuckDB twin of ``hll_count_distinct`` (identical constants)."""
+    g = ", ".join(group_cols)
+    h = (
+        f"CAST(concat('0x', substr(md5(concat('{seed}', ':', "
+        f"CAST({value_expr} AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    cap = 1 << HLL_RHO_CAP
+    # Every float constant is CAST AS DOUBLE: DuckDB parses bare decimal
+    # literals as DECIMAL and would do fixed-point (overflowing) math.
+    alpha = f"CAST({HLL_ALPHA!r} AS DOUBLE)"
+    capd = f"CAST({float(cap)!r} AS DOUBLE)"
+    md = f"CAST({float(HLL_M)!r} AS DOUBLE)"
+    e_raw = (
+        f"({alpha} * {HLL_M} * {HLL_M})"
+        f" / ((s_present + ({HLL_M} - present) * CAST({cap} AS BIGINT))"
+        f" / {capd})"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT {g}, {h} AS h FROM {table}
+), regs AS (
+  SELECT {g}, h % {HLL_M} AS idx,
+         MAX(LEAST({_SUFFIX_BITS + 1} - length(bin(h // {HLL_M})),
+                   {HLL_RHO_CAP})) AS mrho
+  FROM hashed GROUP BY {g}, idx
+), folded AS (
+  SELECT {g}, count(*) AS present,
+         SUM(CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - mrho)) AS s_present
+  FROM regs GROUP BY {g}
+)
+SELECT {g},
+  CAST(round(CASE
+    WHEN ({HLL_M} - present) > 0
+     AND {e_raw} <= CAST({2.5 * HLL_M!r} AS DOUBLE)
+    THEN {md} * ln({md} / ({HLL_M} - present))
+    ELSE {e_raw}
+  END) AS BIGINT) AS n_hll
+FROM folded
+"""

@@ -111,6 +111,83 @@ def srp_bucket_sql(vec_expr: str, num_planes: int = 8, dim: int = 64, seed: int 
     return "(" + " + ".join(bits) + ")"
 
 
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: a coarse quantizer assigns every
+    corpus vector to its nearest centroid cell; queries probe only the
+    ``nprobe`` nearest cells.
+
+    Centroids here are the first ``num_centroids`` corpus vectors —
+    deterministic "sampled centroids", so the oracle reproduces the
+    index exactly. A k-means refinement would run offline and feed its
+    centroids in the same way (the plan shape is identical).
+
+    Scale shape: the cell-assignment pass is a broadcast nested-loop
+    against ``num_centroids`` rows (one corpus scan, no shuffle); the
+    probe join shuffles only the candidate cells. With C cells and
+    balanced assignment the scoring work drops ~C/nprobe-fold versus
+    brute force. Ties everywhere break on (cos desc, id asc) over the
+    6dp-rounded similarity so ranking is engine-independent.
+    Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    cent = corpus.filter(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).cast("array<double>").alias("__pv"),
+        l2_norm(vec_col).alias("__pn"),
+    )
+
+    def _assign(side: DataFrame, id_alias: str, keep_rank: int) -> DataFrame:
+        s = side.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            l2_norm(vec_col).alias("__n"),
+        )
+        denom = F.col("__n") * F.col("__pn")
+        cos = F.when(denom > 0, dot_product(F.col("__v"), F.col("__pv")) / denom).otherwise(
+            F.lit(0.0)
+        )
+        w = Window.partitionBy(id_alias).orderBy(
+            F.round(cos, 6).desc(), F.col("__cid").asc()
+        )
+        return (
+            s.crossJoin(F.broadcast(cent))
+            .withColumn("__crank", F.row_number().over(w))
+            .filter(F.col("__crank") <= keep_rank)
+            .select(id_alias, "__v", "__n", F.col("__cid").alias("__cell"))
+        )
+
+    c_assigned = _assign(corpus, "neighbor_id", 1)
+    q_assigned = (
+        _assign(queries, "query_id", nprobe)
+        .withColumnRenamed("__v", "__qv")
+        .withColumnRenamed("__n", "__qn")
+    )
+    denom = F.col("__qn") * F.col("__n")
+    cos = F.when(
+        denom > 0, dot_product(F.col("__qv"), F.col("__v")) / denom
+    ).otherwise(F.lit(0.0))
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), "__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cos, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

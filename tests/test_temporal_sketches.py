@@ -1,0 +1,146 @@
+"""Unit tests: as-of join, sessionization, portable HLL, IVF ANN.
+
+Semantics pinned here (oracle parity is checked separately by
+scripts/selfcheck.py):
+- asof_join: backward inclusive, per-key, deterministic tie-breaks,
+  null fill when no prior right row exists.
+- sessionize: strict session boundary at exactly `gap` (Spark's
+  session_window half-open interval).
+- HLL: estimate within theoretical error of exact; two-level register
+  plan merges under parallelism.
+- IVF: results are a subset of brute-force scores (same cosine), ranks
+  contiguous from 1.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from broadway_spark.functions.sketches import hll_count_distinct
+from broadway_spark.operators.similarity import ann_bruteforce_topk, ann_ivf_topk
+from broadway_spark.operators.temporal import asof_join, sessionize
+
+
+def _ts(minute: int, second: int = 0):
+    return datetime.datetime(2024, 1, 1, 10, minute, second)
+
+
+def test_asof_join_backward_inclusive_and_null_fill(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts(10)),  # matches click 11 (ts 5 < 10)
+            (1, 101, _ts(20)),  # matches click 12 (inclusive at ts 20)
+            (2, 102, _ts(5)),   # user 2 has no click before ts 5 -> null
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 11, _ts(5), 1.0),
+            (1, 12, _ts(20), 2.0),   # equal-ts: inclusive match
+            (1, 13, _ts(25), 3.0),   # after both lefts: never matched
+            (2, 14, _ts(6), 4.0),
+        ],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    out = asof_join(
+        left, right, ["user_id"], "ts", "ts", ["event_id", "value"], "event_id"
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert rows[100]["event_id_right"] == 11 and rows[100]["value_right"] == 1.0
+    assert rows[101]["event_id_right"] == 12  # inclusive semantics
+    assert rows[102]["event_id_right"] is None
+    assert rows[102]["matched_ts"] is None
+
+
+def test_asof_join_tie_breaks_on_order_col(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10))], "user_id long, event_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, 11, _ts(10), 1.0), (1, 12, _ts(10), 2.0)],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    out = asof_join(
+        left, right, ["user_id"], "ts", "ts", ["event_id", "value"], "event_id"
+    ).collect()
+    # Greatest order_col among equal-ts right rows wins.
+    assert out[0]["event_id_right"] == 12
+
+
+def test_sessionize_gap_boundary(spark):
+    # Gap of 10 minutes. Spark's session_window treats the boundary as
+    # CLOSED: an event at exactly prev_ts + gap still merges (verified
+    # empirically; the DuckDB oracle uses `> gap` for new-session to
+    # match). An event strictly past the gap starts a new session.
+    df = spark.createDataFrame(
+        [
+            (1, _ts(0)),
+            (1, _ts(9, 59)),   # within gap -> same session
+            (1, _ts(19, 59)),  # exactly 10:00 after prev -> merges
+            (1, _ts(30)),      # 10:01 after prev -> NEW session
+            (2, _ts(0)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = sessionize(df, "ts", ["user_id"], gap="10 minutes")
+    per_user = {
+        u: sorted(
+            r["session_start"] for r in out.collect() if r["user_id"] == u
+        )
+        for u in (1, 2)
+    }
+    # user 1: session {0, 9:59, 19:59} and a separate session {30:00}
+    assert len(per_user[1]) == 2
+    assert per_user[1][0] == _ts(0) and per_user[1][1] == _ts(30)
+    assert len(per_user[2]) == 1
+    n = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in out.collect()
+    }
+    assert n[(1, _ts(0))] == 3
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    n = 2000
+    df = spark.range(n).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+    )
+    # Estimate per group (1000 distinct each); m=512 -> stderr ~4.6%.
+    out = {r["g"]: r["n_hll"] for r in hll_count_distinct(df, ["g"], "v").collect()}
+    for g in (0, 1):
+        assert abs(out[g] - 1000) / 1000 < 0.15
+    # Parallelism invariance: same result with a different partitioning.
+    out2 = {
+        r["g"]: r["n_hll"]
+        for r in hll_count_distinct(df.repartition(13), ["g"], "v").collect()
+    }
+    assert out == out2
+
+
+def test_ivf_results_subset_of_bruteforce(spark, sf_dir="/root/testdata/sf0.001"):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    bf = ann_bruteforce_topk(emb, queries, "vec_id", "embedding", k=50)
+    ivf = ann_ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, num_centroids=8, nprobe=2
+    )
+    bf_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in bf.collect()
+    }
+    ivf_rows = ivf.collect()
+    assert len(ivf_rows) > 0
+    for r in ivf_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        # Every IVF hit that brute force ranked within its k=50 horizon
+        # must carry the identical cosine score.
+        if key in bf_scores:
+            assert r["cos_sim"] == pytest.approx(bf_scores[key], abs=1e-9)
+    # Ranks are contiguous from 1 per query.
+    by_q: dict[int, list[int]] = {}
+    for r in ivf_rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
