@@ -92,3 +92,43 @@ def test_whole_stage_codegen_on_hot_path(spark):
     plan = _plan(df)
     # codegen'd operators are prefixed "*(n)" in the plan string
     assert "*(1)" in plan
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    """aj1: the as-of join must compile to union + ONE keyed exchange +
+    window — no Join operator at all (the formulation that survives
+    100 TB; a range/theta join here would explode)."""
+    df = entry.q_aj1_asof_clicks(spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "Union" in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Window" in plan
+
+
+def test_hll_two_level_aggregation(spark):
+    """HLL: register build must be a hash aggregate with a map-side
+    partial phase (mergeable sketch), never a sort-based fallback."""
+    df = entry.q_sketch_hll_users(spark, SF)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 levels
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_broadcasts_centroids_and_queries(spark):
+    """IVF: both the centroid table (assignment pass) and the probed
+    query set must broadcast; the corpus side must never be the build
+    side of a shuffle join."""
+    df = entry.q_sim_ann_ivf(spark, SF)
+    plan = _plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") >= 1  # centroid cross
+    assert "SortMergeJoin" not in plan
+
+
+def test_sessionize_native_session_window(spark):
+    """w3: sessionization must use the native session-window aggregate
+    (streaming-capable state layout), one shuffle on the user key."""
+    df = entry.q_w3_sessions(spark, SF)
+    plan = _plan(df)
+    assert "session_window" in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
