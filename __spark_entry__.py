@@ -722,6 +722,211 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational suite, second wave: correlated-subquery shape, deep joins,
+# set ops, CUBE, rolling windows, range join, exact moment statistics
+# ---------------------------------------------------------------------------
+
+FOLLOW_WINDOW_MIN = 5
+
+
+def q_h2_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape: orders strictly above their customer's
+    average order value. Spark-first: the correlated scalar subquery is
+    re-expressed as ONE window pass (count+sum over the customer
+    partition) — no self-join, no per-row subquery. Decimal-exact
+    compare (price*n > sum) avoids division entirely."""
+    orders = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("tot", F.sum(dec).over(w))
+        .filter(dec * F.col("n") > F.col("tot"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_h10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep join: top-20 customers by revenue lost to returned lines
+    (lineitem ⋈ orders ⋈ customer ⋈ broadcast nation)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(dp).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_set2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT as the scalable semi-join: users who both viewed and
+    purchased."""
+    ev = _t(spark, sf_dir, "events")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return viewers.join(buyers, "user_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_both")
+    )
+
+
+def q_u1_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two tagged branches, re-aggregated (the multi-source
+    ingest merge)."""
+    ev = _t(spark, sf_dir, "events")
+    big = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 500)).select(
+        F.lit("big_purchase").alias("src"), "event_id", "value"
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.lit("error").alias("src"), "event_id", "value"
+    )
+    return big.unionAll(err).groupBy("src").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum("value").alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+    )
+
+
+def q_r2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week) — all 4 grouping sets in one
+    shuffle (Expand + partial agg, no re-scan per set)."""
+    ev = _t(spark, sf_dir, "events")
+    dow = (F.dayofweek("ts") - 1).alias("dow")  # 0=Sunday, matches DuckDB
+    return (
+        ev.select("event_type", dow, "value")
+        .cube("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("value").alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dow").cast("string"), F.lit("ALL")).alias("dow"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_w4_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling/offset windows per user ordered by event_id: lag, lead,
+    and a 7-row trailing sum (decimal-exact, order-deterministic)."""
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("event_id")
+    w7 = wo.rowsBetween(-6, 0)
+    dec = F.col("value").cast("decimal(18,2)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 1).over(wo).alias("prev_value"),
+        F.lead("value", 1).over(wo).alias("next_value"),
+        F.sum(dec).over(w7).cast("double").alias("roll_sum7"),
+        F.count(F.lit(1)).over(w7).alias("roll_n7"),
+    )
+
+
+def q_rj1_follow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range self-join: which event types follow which within 5
+    minutes for the same user — bucket-expansion equi-join, not a theta
+    join (operators/temporal.py::follow_within)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    pairs = TM.follow_within(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        window=f"{FOLLOW_WINDOW_MIN} minutes",
+        id_col="event_id",
+        cols=["event_type"],
+    )
+    return pairs.groupBy(
+        F.col("event_type").alias("type_a"),
+        F.col("event_type_b").alias("type_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max(F.unix_micros("ts_b") - F.unix_micros("ts")).alias("max_gap_us"),
+    )
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment statistics (mean / sample stddev / correlation) computed
+    from decimal-exact power sums so both engines do the *same* float
+    ops on the *same* exact inputs — bit-reproducible, unlike native
+    stddev/corr whose partial-sum order differs per engine."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,2)")
+    u = F.col("user_id").cast("decimal(18,0)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(u).alias("su"),
+        F.sum(u * u).alias("suu"),
+        F.sum(x * u).alias("sxu"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    su = F.col("su").cast("double")
+    suu = F.col("suu").cast("double")
+    sxu = F.col("sxu").cast("double")
+    var = (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
+    corr = (n * sxu - sx * su) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * suu - su * su)
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round(sx / n, 6).alias("mean_v"),
+        F.round(F.sqrt(var), 6).alias("stddev_v"),
+        F.round(corr, 6).alias("corr_vu"),
+    )
+
+
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token bigrams across the corpus (explode + count — the
+    n-gram frequency primitive under LM data curation)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    # NB: Spark's sequence(1, 0) counts *down* ([1, 0]) instead of
+    # returning empty, so single-token docs must be filtered out first.
+    bigrams = F.expr(
+        "transform(sequence(1, size(__toks) - 1),"
+        " i -> concat_ws(' ', __toks[i-1], __toks[i]))"
+    )
+    return (
+        docs.select(toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+def q_j2_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join null semantics: event activity per user id merged
+    with the customer dimension; either side may be absent."""
+    ev = _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = ev.join(cust, ev.user_id == cust.c_custkey, "full")
+    return j.select(
+        F.coalesce("user_id", "c_custkey").alias("uid"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        (~F.isnull("c_custkey")).alias("is_customer"),
+        F.coalesce("c_mktsegment", F.lit("NONE")).alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -789,6 +994,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles": q_agg_percentiles,
         "sketch_hll_users": q_sketch_hll_users,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "h2_above_avg": q_h2_above_avg,
+        "h10_returned": q_h10_returned,
+        "set2_intersect": q_set2_intersect,
+        "u1_union": q_u1_union,
+        "r2_cube": q_r2_cube,
+        "w4_rolling": q_w4_rolling,
+        "rj1_follow_pairs": q_rj1_follow_pairs,
+        "agg_stats": q_agg_stats,
+        "text_bigrams": q_text_bigrams,
+        "j2_full_outer": q_j2_full_outer,
     }
 
 
@@ -1261,4 +1476,117 @@ def oracle_sql() -> dict[str, str]:
             SELECT ex.event_type, n_exact, n_hll
             FROM ex JOIN est USING (event_type)""",
         "sim_ann_ivf": _ann_ivf_oracle(),
+        "h2_above_avg": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM (
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     count(*) OVER (PARTITION BY o_custkey) AS n,
+                     SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       OVER (PARTITION BY o_custkey) AS tot
+              FROM orders
+            ) WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n > tot""",
+        "h10_returned": """
+            SELECT c_custkey, c_name, n_name AS nation,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+                     AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20""",
+        "set2_intersect": """
+            SELECT count(*) AS n_both FROM (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+              INTERSECT
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            )""",
+        "u1_union": f"""
+            SELECT src, count(*) AS n, {_dsum_sql('value')} AS sum_value,
+                   min(event_id) AS min_id
+            FROM (
+              SELECT 'big_purchase' AS src, event_id, value FROM events
+              WHERE event_type = 'purchase' AND value > 500
+              UNION ALL
+              SELECT 'error' AS src, event_id, value FROM events
+              WHERE event_type = 'error'
+            ) GROUP BY src""",
+        "r2_cube": f"""
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(CAST(dow AS VARCHAR), 'ALL') AS dow,
+                   count(*) AS n, {_dsum_sql('value')} AS sum_value
+            FROM (SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow, value
+                  FROM events)
+            GROUP BY CUBE(event_type, dow)""",
+        "w4_rolling": """
+            SELECT event_id, user_id, value,
+                   lag(value, 1) OVER win AS prev_value,
+                   lead(value, 1) OVER win AS next_value,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                     PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     AS roll_sum7,
+                   count(*) OVER (
+                     PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_n7
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY event_id)""",
+        "rj1_follow_pairs": f"""
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_pairs,
+                   max(epoch_us(b.ts) - epoch_us(a.ts)) AS max_gap_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts >= a.ts
+             AND b.ts <= a.ts + INTERVAL {FOLLOW_WINDOW_MIN} MINUTES
+             AND a.event_id <> b.event_id
+            GROUP BY 1, 2""",
+        "agg_stats": """
+            WITH g AS (
+              SELECT event_type, count(*) AS n,
+                     SUM(CAST(value AS DECIMAL(18,2))) AS sx,
+                     SUM(CAST(value AS DECIMAL(18,2))
+                         * CAST(value AS DECIMAL(18,2))) AS sxx,
+                     SUM(CAST(user_id AS DECIMAL(18,0))) AS su,
+                     SUM(CAST(user_id AS DECIMAL(18,0))
+                         * CAST(user_id AS DECIMAL(18,0))) AS suu,
+                     SUM(CAST(value AS DECIMAL(18,2))
+                         * CAST(user_id AS DECIMAL(18,0))) AS sxu
+              FROM events GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_v,
+                   round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))),
+                         6) AS stddev_v,
+                   round((CAST(n AS DOUBLE) * CAST(sxu AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(su AS DOUBLE))
+                         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * sqrt(CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+                                   - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))),
+                         6) AS corr_vu
+            FROM g""",
+        "text_bigrams": """
+            WITH t AS (
+              SELECT string_split(lower(text), ' ') AS toks FROM documents
+            ), b AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> concat_ws(' ', toks[i], toks[i + 1]))) AS bigram
+              FROM t
+            )
+            SELECT bigram, count(*) AS n FROM b
+            GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""",
+        "j2_full_outer": """
+            SELECT coalesce(e.user_id, c.c_custkey) AS uid,
+                   coalesce(e.n_events, 0) AS n_events,
+                   c.c_custkey IS NOT NULL AS is_customer,
+                   coalesce(c.c_mktsegment, 'NONE') AS segment
+            FROM (SELECT user_id, count(*) AS n_events
+                  FROM events GROUP BY user_id) e
+            FULL OUTER JOIN customer c ON e.user_id = c.c_custkey""",
     }

@@ -93,6 +93,66 @@ def asof_join(
     )
 
 
+def follow_within(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    window: str = "5 minutes",
+    id_col: str = "event_id",
+    cols: list[str] | None = None,
+    suffix: str = "_b",
+) -> DataFrame:
+    """Bounded range self-join: all pairs (a, b) sharing ``keys`` with
+    ``a.ts <= b.ts <= a.ts + window`` and ``a.id != b.id`` ("which
+    events follow a within the window").
+
+    Scale formulation: a naive theta join (``b.ts BETWEEN a.ts AND
+    a.ts + W``) compiles to BroadcastNestedLoopJoin/Cartesian and dies
+    at 100 TB. Instead both sides get a time bucket ``floor(ts / W)``;
+    the left side is exploded into buckets {k, k+1} (any b within W of
+    a lands in one of those two), the join is a plain **equi-join** on
+    (keys..., bucket) — one hash shuffle, AQE-skew-splittable — and the
+    exact range predicate filters the candidates. The left row's two
+    buckets are distinct, so no dedup pass is needed.
+
+    ``window`` must be a Spark interval string ("5 minutes"). ``cols``
+    are the payload columns carried for both sides (default: all non-key
+    non-ts non-id columns are dropped; id + ts always carried).
+    """
+    cols = cols or []
+    sec = F.unix_micros(F.col(ts_col))
+    win_us = F.expr(f"unix_micros(timestamp '1970-01-01 00:00:00Z' + interval {window})")
+    bucket = F.floor(sec / win_us)
+    base = df.select(
+        *keys,
+        F.col(id_col),
+        F.col(ts_col),
+        *cols,
+        bucket.alias("__bk"),
+    )
+    a = base.withColumn("__bks", F.array(F.col("__bk"), F.col("__bk") + 1)).select(
+        *keys,
+        F.col(id_col),
+        F.col(ts_col),
+        *cols,
+        F.explode("__bks").alias("__bk"),
+    )
+    b = base.select(
+        *[F.col(k) for k in keys],
+        F.col(id_col).alias(id_col + suffix),
+        F.col(ts_col).alias(ts_col + suffix),
+        *[F.col(c).alias(c + suffix) for c in cols],
+        "__bk",
+    )
+    joined = a.join(b, [*keys, "__bk"]).drop("__bk")
+    ts_a, ts_b = F.col(ts_col), F.col(ts_col + suffix)
+    return joined.filter(
+        (ts_b >= ts_a)
+        & (F.unix_micros(ts_b) - F.unix_micros(ts_a) <= win_us)
+        & (F.col(id_col) != F.col(id_col + suffix))
+    )
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str,

@@ -132,3 +132,41 @@ def test_sessionize_native_session_window(spark):
     plan = _plan(df)
     assert "session_window" in plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_follow_within_is_equi_join(spark):
+    """rj1: the bounded range self-join must compile to a hash-
+    partitioned equi-join on (key, time-bucket) — never a
+    BroadcastNestedLoopJoin/CartesianProduct theta join, which is the
+    formulation that dies at 100 TB."""
+    df = entry.q_rj1_follow_pairs(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # keyed equi-join on (user_id, bucket); at test SF the build side is
+    # tiny so Spark picks BroadcastHashJoin — any *hash-keyed* join is
+    # the contract (AQE upgrades to SMJ/SHJ when both sides are large)
+    assert (
+        "BroadcastHashJoin [user_id" in plan
+        or "SortMergeJoin [user_id" in plan
+        or "ShuffledHashJoin [user_id" in plan
+    )
+
+
+def test_h2_correlated_subquery_as_single_window(spark):
+    """h2: the correlated scalar subquery must be one window pass over
+    the customer partition — no self-join, no per-row subquery."""
+    df = entry.q_h2_above_avg(spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1
+
+
+def test_cube_single_expand_one_shuffle(spark):
+    """r2: CUBE computes all 4 grouping sets via one Expand + one
+    aggregation — the input is scanned once, not once per set."""
+    df = entry.q_r2_cube(spark, SF)
+    plan = _plan(df)
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
