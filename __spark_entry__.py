@@ -927,6 +927,149 @@ def q_j2_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Third wave: corpus statistics, sampling, ranking surface, pivot,
+# embedding centroids, dedup clustering
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP = 25
+SAMPLE_SEED = 7
+SAMPLE_RATE_PER_MILLE = {"src0": 200, "src1": 700}  # else 500
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document-frequency / IDF table, top terms. One explode +
+    one agg + a broadcast scalar join — the full-corpus statistics pass
+    under any TF-IDF quality filter."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("term"),
+    )
+    df_counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        df_counts.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "df",
+            F.round(
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ).alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(TFIDF_TOP)
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-source keep-rates applied
+    via a portable content hash — reproducible on any engine, no
+    shuffle beyond the final small agg, no RNG state."""
+    docs = _t(spark, sf_dir, "documents")
+    rate = F.when(F.col("source") == "src0", F.lit(SAMPLE_RATE_PER_MILLE["src0"]))
+    rate = rate.when(F.col("source") == "src1", F.lit(SAMPLE_RATE_PER_MILLE["src1"]))
+    rate = rate.otherwise(F.lit(500))
+    bucket = H.portable_hash(F.col("doc_id").cast("string"), seed=SAMPLE_SEED) % 1000
+    return (
+        docs.select("source", (bucket < rate).cast("int").alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+        )
+    )
+
+
+def q_w5_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface: rank / dense_rank / ntile / percent_rank
+    / cume_dist over a deterministic total order."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+def q_pv1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per day-of-week event counts, one column per event type
+    (explicit value list → stable schema, single shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    dow = (F.dayofweek("ts") - 1).alias("dow")
+    piv = (
+        ev.select(dow, "event_type")
+        .groupBy("dow")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return piv.select(
+        "dow",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids via integer micro-unit sums:
+    components are floor(x*1e6) quantized so the aggregation is exact
+    integer math (order-independent ⇒ engine-reproducible), then
+    averaged. posexplode + one (label, dim) agg — the centroid pass of
+    k-means / IVF training at scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("v").cast("double") * 1000000).cast("long").alias("vmicro"),
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vmicro").alias("sum_micro"))
+        .select(
+            "label",
+            "pos",
+            "n",
+            # floor, not round: round() ties (x.5 micro-units) resolve
+            # half-up in Spark but half-even in DuckDB; floor of the
+            # identical IEEE quotient is bit-deterministic in both.
+            F.floor(
+                F.col("sum_micro").cast("double") / F.col("n").cast("double")
+            )
+            .cast("long")
+            .alias("centroid_micro"),
+        )
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash-LSH
+    pair graph (operators/dedup.py::near_dup_clusters — iterative
+    min-label propagation, the scalable alternative to driver-side
+    union-find). Non-SQL-expressible (iterative); driver records the
+    weaker rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD,
+        shingle_k=MINHASH_K,
+    )
+    return D.near_dup_clusters(pairs, "id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -1004,6 +1147,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_stats": q_agg_stats,
         "text_bigrams": q_text_bigrams,
         "j2_full_outer": q_j2_full_outer,
+        "text_tfidf": q_text_tfidf,
+        "sample_stratified": q_sample_stratified,
+        "w5_rank_suite": q_w5_rank_suite,
+        "pv1_pivot": q_pv1_pivot,
+        "emb_centroids": q_emb_centroids,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1589,4 +1738,60 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT user_id, count(*) AS n_events
                   FROM events GROUP BY user_id) e
             FULL OUTER JOIN customer c ON e.user_id = c.c_custkey""",
+        "text_tfidf": f"""
+            WITH terms AS (
+              SELECT doc_id,
+                     unnest(list_distinct(string_split(lower(text), ' ')))
+                       AS term
+              FROM documents
+            ), dfc AS (
+              SELECT term, count(*) AS df FROM terms GROUP BY term
+            )
+            SELECT term, df,
+                   round(ln(((SELECT count(*) FROM documents) + 1.0)
+                            / (df + 1.0)), 6) AS idf
+            FROM dfc ORDER BY df DESC, term ASC LIMIT {TFIDF_TOP}""",
+        "sample_stratified": f"""
+            SELECT source, count(*) AS n_total,
+                   SUM(CASE WHEN
+                     {H.portable_hash_sql('CAST(doc_id AS VARCHAR)', seed=SAMPLE_SEED)}
+                       % 1000 <
+                     CASE source WHEN 'src0' THEN {SAMPLE_RATE_PER_MILLE['src0']}
+                                 WHEN 'src1' THEN {SAMPLE_RATE_PER_MILLE['src1']}
+                                 ELSE 500 END
+                     THEN 1 ELSE 0 END) AS n_kept
+            FROM documents GROUP BY source""",
+        "w5_rank_suite": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(rank() OVER win AS INT) AS rnk,
+                   CAST(dense_rank() OVER win AS INT) AS drnk,
+                   CAST(ntile(4) OVER win AS INT) AS quartile,
+                   round(percent_rank() OVER win, 6) AS prank,
+                   round(cume_dist() OVER win, 6) AS cdist
+            FROM orders
+            WINDOW win AS (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+        "pv1_pivot": """
+            SELECT CAST(dayofweek(ts) AS INT) AS dow,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+            FROM events GROUP BY 1""",
+        "emb_centroids": """
+            WITH ex AS (
+              SELECT label,
+                     unnest(generate_series(0, len(embedding) - 1)) AS pos,
+                     unnest(list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+                       AS vmicro
+              FROM embeddings
+            )
+            SELECT label, CAST(pos AS INT) AS pos, count(*) AS n,
+                   CAST(floor(CAST(SUM(vmicro) AS DOUBLE) / count(*))
+                        AS BIGINT) AS centroid_micro
+            FROM ex GROUP BY label, pos""",
+        # dedup_clusters: iterative connected components — deliberately
+        # no SQL oracle (driver records the weaker rows-only check).
     }

@@ -354,3 +354,67 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cos_sim") >= F.lit(threshold))
     )
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: iterative
+    min-label propagation until fixpoint.
+
+    Each node starts labeled with its own id; every round each node
+    takes the min of its label and its neighbors' labels (one join +
+    one groupBy-min per round), with ``localCheckpoint`` cutting the
+    lineage so the plan stays flat. Near-dup graphs are
+    shallow-diameter (dup chains, not long paths), so convergence is a
+    handful of rounds; ``max_iter`` bounds pathological chains. The
+    result is deterministic (min is order-independent) regardless of
+    partitioning.
+
+    At 1000-executor scale the same loop holds — each round is one
+    shuffle of the (node, label) table; for graphs with huge skewed
+    components, swap in the alternating large-star/small-star variant
+    (same primitive ops, better worst-case rounds).
+
+    Returns (cluster_id = min member id, size) per component.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor = edges.join(
+            labels, edges.dst == labels.node, "inner"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.select("node", "label")
+            .union(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("size")
+    )
