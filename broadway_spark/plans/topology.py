@@ -151,10 +151,16 @@ class Pipeline:
         self,
         spark: SparkSession,
         processing_time: str = "500 milliseconds",
+        impl: str = "v1",
     ) -> StreamingQuery:
         """Run with the *stateful* batcher: cross-micro-batch buffers +
         per-key timeout timers (``streaming/stateful_batcher.py``) — the
         faithful B2/B3 semantics. Requires integer batch sizes.
+
+        ``impl='v1'`` uses ``applyInPandasWithState``; ``impl='tws'``
+        uses Spark 4's ``transformWithStateInPandas`` (typed composite
+        state + named timers, ``streaming/stateful_batcher_v2.py``) —
+        identical output contract.
 
         The stateful stage does the chunking; foreachBatch only fans
         chunks out to sinks and appends the ack log.
@@ -169,9 +175,33 @@ class Pipeline:
                     f"(batcher {name!r})"
                 )
         from broadway_spark.streaming.router import _write
-        from broadway_spark.streaming.stateful_batcher import (
-            stateful_batch_stream,
-        )
+
+        if impl == "tws":
+            from broadway_spark.streaming.stateful_batcher_v2 import (
+                stateful_batch_stream_v2 as stateful_batch_stream,
+                tws_available,
+            )
+
+            if not tws_available():
+                raise ConfigError(
+                    "impl='tws' needs the protobuf package (PySpark's "
+                    "transformWithState state-server protocol); this "
+                    "environment lacks it — use impl='v1'"
+                )
+            # transformWithState requires the RocksDB state store (typed
+            # column-family state); the default HDFS-backed provider
+            # crashes the TWS driver worker at schema validation.
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+        elif impl == "v1":
+            from broadway_spark.streaming.stateful_batcher import (
+                stateful_batch_stream,
+            )
+        else:
+            raise ConfigError(f"unknown stateful batcher impl {impl!r}")
 
         stream = self.build_stream(spark)
         batched = stateful_batch_stream(

@@ -4,6 +4,7 @@ timers (reference ``batcher_stage.ex`` semantics; SURVEY §2.4 B1-B4).
 
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from broadway_spark.config import BatcherConfig, SinkConfig, TopologyConfig
@@ -111,3 +112,82 @@ def test_flush_mode_empties_buffer(spark, tmp_dirs):
     ack = spark.read.parquet(tmp_dirs["ack"])
     assert ack.count() == 30
     assert {r[0] for r in ack.select("trigger").distinct().collect()} == {"flush"}
+
+
+def _tws_available():
+    from broadway_spark.streaming.stateful_batcher_v2 import tws_available
+
+    return tws_available()
+
+
+@pytest.mark.skipif(
+    not _tws_available(),
+    reason="transformWithState needs protobuf (absent in this container)",
+)
+def test_tws_cross_batch_assembly_and_timeout(spark, tmp_dirs):
+    """Same contract as the v1 test, on the transformWithStateInPandas
+    implementation (typed ListState buffer + named per-key timers):
+    40-rows-per-trigger input with batch_size 50 must produce two
+    size-50 chunks assembled across micro-batches plus a 30-row
+    timer-flushed remainder."""
+    src = SpoolSource(
+        name="spool",
+        path=tmp_dirs["spool"],
+        schema_ddl=EVENTS_DDL,
+        ack_data_column="event_id",
+        allowed_per_trigger=40,
+    )
+    src.push_messages(make_events(130), "000.jsonl")
+    cfg = TopologyConfig(
+        name="stateful_tws",
+        order_by="event_id",
+        batchers={"default": BatcherConfig(batch_size=50, batch_timeout_ms=2000)},
+        sinks={"default": SinkConfig(path=tmp_dirs["sink"])},
+        ack_log=SinkConfig(path=tmp_dirs["ack"]),
+        checkpoint_dir=tmp_dirs["ckpt"],
+    )
+    q = Pipeline(cfg, src).start_stateful(
+        spark, processing_time="300 milliseconds", impl="tws"
+    )
+    try:
+        assert _wait_for_acks(spark, tmp_dirs["ack"], 130), "drain incomplete"
+    finally:
+        q.stop()
+
+    ack = spark.read.parquet(tmp_dirs["ack"])
+    assert ack.count() == 130
+    assert ack.select("ack_data").distinct().count() == 130
+
+    groups = {
+        (r["trigger"], r["batch_size"]): r["n"]
+        for r in ack.groupBy("trigger", "batch_size")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert groups.get(("size", 50)) == 100
+    assert groups.get(("timeout", 30)) == 30
+
+
+def test_tws_gate_raises_clear_error_when_unavailable(spark, tmp_dirs):
+    """When the environment can't run transformWithState, impl='tws'
+    must fail fast with a ConfigError, not crash mid-stream."""
+    from broadway_spark.config import ConfigError
+
+    if _tws_available():
+        pytest.skip("protobuf present; gate inactive")
+    src = SpoolSource(
+        name="spool",
+        path=tmp_dirs["spool"],
+        schema_ddl=EVENTS_DDL,
+        ack_data_column="event_id",
+    )
+    cfg = TopologyConfig(
+        name="tws_gate",
+        order_by="event_id",
+        batchers={"default": BatcherConfig(batch_size=10, batch_timeout_ms=1000)},
+        sinks={"default": SinkConfig(path=tmp_dirs["sink"])},
+        ack_log=SinkConfig(path=tmp_dirs["ack"]),
+        checkpoint_dir=tmp_dirs["ckpt"],
+    )
+    with pytest.raises(ConfigError, match="protobuf"):
+        Pipeline(cfg, src).start_stateful(spark, impl="tws")
