@@ -166,3 +166,86 @@ def test_runtime_rate_limit_update(spark, tmp_dirs):
     # updated cap (50) applies: some batch carries >10 rows, none >50
     assert max(per_batch) > 10
     assert max(per_batch) <= 50
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_dirs):
+    """sessionize() on a watermarked stream (native session_window
+    state) must equal the batch computation on the same rows — the
+    streaming-capable claim of operators/temporal.py, checked.
+
+    Append-mode sessions emit only when the watermark passes their
+    end; a future-dated sentinel delivered in a *later* trigger
+    (admission caps the first trigger at the 90 real events) advances
+    the watermark past every real session, and the trailing no-data
+    micro-batch evicts them to the sink. The sentinel's own session
+    stays in state (nothing outlives it) and is excluded."""
+    from broadway_spark.operators.temporal import sessionize
+
+    src = SpoolSource(
+        name="spool",
+        path=tmp_dirs["spool"],
+        schema_ddl=EVENTS_DDL + ", ts timestamp",
+        ack_data_column="event_id",
+        allowed_per_trigger=90,
+    )
+    events = make_events(90)
+    for i, e in enumerate(events):
+        # 3 users; a >10-minute gap between hour blocks splits each
+        # user's events into 3 sessions (blocks end :38, restart :00)
+        e["user_id"] = i % 3
+        e["ts"] = f"2024-01-01 {i // 30:02d}:{(i % 30) * 2 % 40:02d}:00"
+    sentinel = make_events(2)
+    for j, e in enumerate(sentinel):
+        e["user_id"] = 99
+        e["ts"] = f"2024-01-02 00:0{j}:00"
+        e["event_id"] = 10_000 + j
+    src.push_messages(events, "000.jsonl")
+    src.push_messages(sentinel, "001.jsonl")
+
+    stream = src.read_stream(spark).withWatermark("ts", "1 second")
+    sessions = sessionize(
+        stream,
+        "ts",
+        ["user_id"],
+        gap="10 minutes",
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", tmp_dirs["sink"])
+        .option("checkpointLocation", tmp_dirs["ckpt"])
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(tmp_dirs["sink"]).count() >= 9:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.read.parquet(tmp_dirs["sink"]).collect()
+        if r["user_id"] != 99
+    }
+    batch_df = spark.createDataFrame(
+        [(e["user_id"], e["ts"]) for e in events], "user_id long, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in sessionize(
+            batch_df,
+            "ts",
+            ["user_id"],
+            gap="10 minutes",
+            aggs=[F.count(F.lit(1)).alias("n_events")],
+        ).collect()
+    }
+    assert got == want and len(got) == 9
