@@ -1050,6 +1050,32 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: per-(day, hour,
+    minute) aggregates plus the hour, day, and grand totals in ONE
+    Expand pass over one scan — ROLLUP's hierarchy *is* the time
+    grain hierarchy, so no per-granularity re-aggregation and no
+    self-union."""
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "HH").alias("hour"),
+        F.date_format("ts", "mm").alias("minute"),
+        "value",
+    )
+    return (
+        keyed.rollup("day", "hour", "minute")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("value").alias("sum_value"))
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("hour", F.lit("ALL")).alias("hour"),
+            F.coalesce("minute", F.lit("ALL")).alias("minute"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the MinHash-LSH
     pair graph (operators/dedup.py::near_dup_clusters — iterative
@@ -1153,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pv1_pivot": q_pv1_pivot,
         "emb_centroids": q_emb_centroids,
         "dedup_clusters": q_dedup_clusters,
+        "ts_rollup": q_ts_rollup,
     }
 
 
@@ -1792,6 +1819,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(CAST(SUM(vmicro) AS DOUBLE) / count(*))
                         AS BIGINT) AS centroid_micro
             FROM ex GROUP BY label, pos""",
+        "ts_rollup": f"""
+            SELECT coalesce(day, 'ALL') AS day,
+                   coalesce(hour, 'ALL') AS hour,
+                   coalesce(minute, 'ALL') AS minute,
+                   count(*) AS n, {_dsum_sql('value')} AS sum_value
+            FROM (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                         strftime(ts, '%H') AS hour,
+                         strftime(ts, '%M') AS minute, value
+                  FROM events)
+            GROUP BY ROLLUP(day, hour, minute)""",
         # dedup_clusters: iterative connected components — deliberately
         # no SQL oracle (driver records the weaker rows-only check).
     }
