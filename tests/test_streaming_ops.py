@@ -249,3 +249,84 @@ def test_streaming_sessionize_matches_batch(spark, tmp_dirs):
         ).collect()
     }
     assert got == want and len(got) == 9
+
+
+def test_stream_stream_interval_join(spark, tmp_dirs):
+    """Stream-stream inner join with an interval predicate: each
+    purchase joins the same user's clicks from the preceding 10
+    minutes. Watermarks on both sides bound the join state (Spark
+    drops buffered rows older than watermark + interval — the property
+    that keeps state finite at 100 TB). Results must equal the batch
+    join on the same rows."""
+    import os
+
+    clicks_dir = os.path.join(tmp_dirs["spool"], "clicks")
+    buys_dir = os.path.join(tmp_dirs["spool"], "buys")
+    src_c = SpoolSource(
+        name="clicks", path=clicks_dir,
+        schema_ddl="event_id long, user_id long, ts timestamp",
+        ack_data_column="event_id",
+    )
+    src_b = SpoolSource(
+        name="buys", path=buys_dir,
+        schema_ddl="event_id long, user_id long, ts timestamp",
+        ack_data_column="event_id",
+    )
+    clicks = [
+        {"event_id": i, "user_id": i % 5, "ts": f"2024-01-01 00:{i % 50:02d}:00"}
+        for i in range(100)
+    ]
+    buys = [
+        {"event_id": 1000 + i, "user_id": i % 5, "ts": f"2024-01-01 00:{(i * 7) % 55:02d}:30"}
+        for i in range(20)
+    ]
+    src_c.push_messages(clicks, "000.jsonl")
+    src_b.push_messages(buys, "000.jsonl")
+
+    cs = src_c.read_stream(spark).withWatermark("ts", "1 hour").alias("c")
+    bs = src_b.read_stream(spark).withWatermark("ts", "1 hour").alias("b")
+    joined = bs.join(
+        cs,
+        F.expr(
+            "c.user_id = b.user_id AND "
+            "c.ts BETWEEN b.ts - INTERVAL 10 MINUTES AND b.ts"
+        ),
+    ).select(
+        F.col("b.event_id").alias("buy_id"),
+        F.col("c.event_id").alias("click_id"),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", tmp_dirs["sink"])
+        .option("checkpointLocation", tmp_dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["buy_id"], r["click_id"])
+        for r in spark.read.parquet(tmp_dirs["sink"]).collect()
+    }
+    cb = spark.createDataFrame(
+        [(c["event_id"], c["user_id"], c["ts"]) for c in clicks],
+        "event_id long, user_id long, ts string",
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    bb = spark.createDataFrame(
+        [(b["event_id"], b["user_id"], b["ts"]) for b in buys],
+        "event_id long, user_id long, ts string",
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    want = {
+        (r["buy_id"], r["click_id"])
+        for r in bb.alias("b").join(
+            cb.alias("c"),
+            F.expr(
+                "c.user_id = b.user_id AND "
+                "c.ts BETWEEN b.ts - INTERVAL 10 MINUTES AND b.ts"
+            ),
+        ).select(
+            F.col("b.event_id").alias("buy_id"),
+            F.col("c.event_id").alias("click_id"),
+        ).collect()
+    }
+    assert got == want and len(got) > 20
