@@ -31,6 +31,7 @@ from broadway_spark.operators import dedup as D
 from broadway_spark.operators import failure as FL
 from broadway_spark.operators import partitioning as P
 from broadway_spark.operators import similarity as S
+from broadway_spark.operators import skew as SK
 from broadway_spark.operators import temporal as TM
 
 
@@ -1076,6 +1077,51 @@ def q_ts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: new-arrival docs (sources src10+) kept only
+    if their content fingerprint is absent from the existing corpus
+    (src0..src9) — a fingerprint left-anti join, the daily-ingest
+    dedup pass. At scale both sides hash-shuffle once on the md5
+    fingerprint (or the corpus side becomes a bloom/broadcast)."""
+    docs = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    fp = H.fingerprint("text").alias("fp")
+    corpus = docs.filter(src_num < 10).select(fp)
+    new = docs.filter(src_num >= 10).select("doc_id", "lang", fp)
+    kept = new.join(corpus, "fp", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: the salted two-phase agg
+    (operators/skew.py::salted_aggregate) over the deliberately skewed
+    event_type key — results must be identical to the plain GROUP BY
+    (the oracle runs the plain form), proving salting is semantics-
+    preserving while spreading a hot key over salt_n reducers."""
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("__v", F.col("value").cast("decimal(18,2)"))
+    out = SK.salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "sum_value": (F.sum("__v"), F.sum("sum_value")),
+            "max_id": (F.max("event_id"), F.max("max_id")),
+        },
+        salt_n=16,
+        salt_from=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "max_id",
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the MinHash-LSH
     pair graph (operators/dedup.py::near_dup_clusters — iterative
@@ -1180,6 +1226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_centroids": q_emb_centroids,
         "dedup_clusters": q_dedup_clusters,
         "ts_rollup": q_ts_rollup,
+        "dedup_incremental": q_dedup_incremental,
+        "skew_salted_agg": q_skew_salted_agg,
     }
 
 
@@ -1829,6 +1877,24 @@ def oracle_sql() -> dict[str, str]:
                          strftime(ts, '%M') AS minute, value
                   FROM events)
             GROUP BY ROLLUP(day, hour, minute)""",
+        "dedup_incremental": f"""
+            WITH fp AS (
+              SELECT doc_id, lang,
+                     CAST(substr(source, 4) AS INT) AS src_num,
+                     {H.fingerprint_sql('text')} AS fp
+              FROM documents
+            )
+            SELECT lang, count(*) AS n_new, min(doc_id) AS min_id
+            FROM fp n
+            WHERE n.src_num >= 10
+              AND NOT EXISTS (SELECT 1 FROM fp c
+                              WHERE c.src_num < 10 AND c.fp = n.fp)
+            GROUP BY lang""",
+        "skew_salted_agg": f"""
+            SELECT event_type, count(*) AS n,
+                   {_dsum_sql('value')} AS sum_value,
+                   max(event_id) AS max_id
+            FROM events GROUP BY event_type""",
         # dedup_clusters: iterative connected components — deliberately
         # no SQL oracle (driver records the weaker rows-only check).
     }

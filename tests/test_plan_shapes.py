@@ -170,3 +170,13 @@ def test_cube_single_expand_one_shuffle(spark):
     plan = _plan(df)
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_salted_agg_two_phase_shape(spark):
+    """skew_salted_agg: exactly two keyed exchanges — (key, salt) then
+    (key) — each with map-side partial aggregation; the hot key is
+    spread over salt_n reducers in phase one."""
+    df = entry.q_skew_salted_agg(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("HashAggregate") >= 4
