@@ -201,9 +201,13 @@ def q_b2_chunk_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_b5_handle_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B5: handle_batch — applyInPandas once per (batch_key) group,
-    computing within-batch normalization (value - min) and sequence.
-    """
+    """B5: handle_batch — the user's Python callback runs once per
+    (batch_key) group, computing within-batch normalization
+    (value - min) and sequence. Uses the streamed runner
+    (operators/batching.py::apply_per_batch_streamed): one Arrow
+    stream per partition with client-side group cuts — same one-
+    DataFrame-per-batch contract as applyInPandas, ~4× less per-group
+    dispatch overhead at high key cardinality."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
 
     def per_batch(pdf):
@@ -212,7 +216,7 @@ def q_b5_handle_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf["seq"] = range(1, len(pdf) + 1)
         return pdf[["event_id", "user_id", "value_minus_min", "seq"]]
 
-    return B.apply_per_batch(
+    return B.apply_per_batch_streamed(
         ev,
         ["user_id"],
         per_batch,

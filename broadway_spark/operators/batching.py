@@ -89,3 +89,66 @@ def apply_per_batch(
     pandas DataFrame; exchange is Arrow-batched.
     """
     return df.groupBy(*key_cols).applyInPandas(fn, schema=schema)
+
+
+def apply_per_batch_streamed(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``apply_per_batch`` without the per-group dispatch tax.
+
+    ``applyInPandas`` makes one Python roundtrip per GROUP — at
+    millions of small batch keys the fixed ~ms cost per group dwarfs
+    the work (measured 14× over the JVM equivalent at 1500 groups).
+    Here rows are hash-repartitioned and sorted by key, and each
+    partition streams through ``mapInPandas`` as large Arrow chunks;
+    group boundaries are cut client-side (a group's rows are contiguous
+    after the sort, and the chunk tail holding a possibly-unfinished
+    group is carried into the next chunk). ``fn`` still sees exactly
+    one complete pandas DataFrame per batch — the handle_batch contract
+    is unchanged — but Python is entered once per Arrow chunk, not once
+    per key.
+
+    Memory bound: one Arrow chunk + one in-flight group per task, same
+    order as applyInPandas's largest-group bound. Keys must be
+    non-null (the envelope's batch_key defaults to 'default'; NaN
+    equality would mis-cut the carry tail).
+    """
+    key_cols = list(key_cols)
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = df.repartition(n, *key_cols).sortWithinPartitions(*key_cols)
+
+    def runner(chunks):
+        carry: pd.DataFrame | None = None
+
+        def run_groups(pdf: pd.DataFrame):
+            outs = [
+                fn(g.reset_index(drop=True))
+                for _, g in pdf.groupby(key_cols, sort=False, dropna=False)
+            ]
+            return pd.concat(outs, ignore_index=True) if outs else None
+
+        for pdf in chunks:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            # Rows are key-sorted: the final key's rows are a suffix.
+            last = pdf[key_cols].iloc[-1]
+            tail_mask = (pdf[key_cols] == last.values).all(axis=1)
+            carry = pdf[tail_mask]
+            head = pdf[~tail_mask]
+            out = run_groups(head)
+            if out is not None:
+                yield out
+        if carry is not None and len(carry):
+            out = run_groups(carry)
+            if out is not None:
+                yield out
+
+    return parted.mapInPandas(runner, schema=schema)
