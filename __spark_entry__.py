@@ -440,11 +440,16 @@ def q_text_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"),
     )
+    # |A∪B| = |A|+|B|-|A∩B| for distinct lists: per-doc sizes are
+    # computed once per side instead of building a union array per
+    # pair (the pair count is quadratic in the block; the per-doc
+    # prep is linear — push everything linear out of the pair loop).
+    docs = docs.withColumn("n_toks", F.size("toks"))
     l, r = docs.alias("l"), docs.alias("r")
     inter = F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks"))).cast(
         "double"
     )
-    union = F.size(F.array_union(F.col("l.toks"), F.col("r.toks"))).cast("double")
+    union = (F.col("l.n_toks") + F.col("r.n_toks")).cast("double") - inter
     return (
         l.join(
             r,
