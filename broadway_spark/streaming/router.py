@@ -36,7 +36,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from broadway_spark.config import TopologyConfig
-from broadway_spark.operators.batching import chunk_by_budget, chunk_by_size
+from broadway_spark.operators.batching import (
+    apply_per_batch_streamed,
+    chunk_by_budget,
+    chunk_by_size,
+)
 
 ACK_LOG_SCHEMA = (
     "batch_id long, ack_ref string, ack_data string, outcome string, "
@@ -178,9 +182,16 @@ def build_router(
                         per_batch = _make_batch_hook(
                             name, config.handle_batch, order_col
                         )
-                        chunked = chunked.groupBy(
-                            "batch_key", "chunk_id"
-                        ).applyInPandas(per_batch, schema=chunked.schema)
+                        # streamed runner: one Python entry per Arrow
+                        # chunk instead of per (batch_key, chunk) group
+                        # — at millions of keys per micro-batch the
+                        # per-group dispatch tax dominates otherwise.
+                        chunked = apply_per_batch_streamed(
+                            chunked,
+                            ["batch_key", "chunk_id"],
+                            per_batch,
+                            schema=chunked.schema,
+                        )
 
                     sink = config.sinks[name]
                     _write(
