@@ -531,6 +531,29 @@ def q_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math/conditional surface. Only IEEE-deterministic
+    functions: sqrt is correctly rounded by spec; exp/ln are libm-
+    dependent across engines and deliberately excluded from the
+    oracle-checked surface."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.abs(v - 500).alias("abs_c"),
+        F.ceil(v / 10).cast("long").alias("ceil_d"),
+        F.floor(v / 10).cast("long").alias("floor_d"),
+        F.signum(v - 500).cast("int").alias("sign_c"),
+        F.round(F.sqrt(v), 6).alias("sqrt_v"),
+        (v * v).alias("sq"),
+        F.greatest(v, F.lit(250.0)).alias("hi"),
+        F.least(v, F.lit(750.0)).alias("lo"),
+        F.when(v >= 500, F.lit("hi")).otherwise(F.lit("lo")).alias("band"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("nn_type"),
+        (F.col("user_id") % 10).alias("mod10"),
+    )
+
+
 def q_h7_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped agg with HAVING: busy customers only."""
     orders = _t(spark, sf_dir, "orders")
@@ -1237,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rollup": q_ts_rollup,
         "dedup_incremental": q_dedup_incremental,
         "skew_salted_agg": q_skew_salted_agg,
+        "math_suite": q_math_suite,
     }
 
 
@@ -1904,6 +1928,20 @@ def oracle_sql() -> dict[str, str]:
                    {_dsum_sql('value')} AS sum_value,
                    max(event_id) AS max_id
             FROM events GROUP BY event_type""",
+        "math_suite": """
+            SELECT event_id,
+                   abs(value - 500) AS abs_c,
+                   CAST(ceil(value / 10) AS BIGINT) AS ceil_d,
+                   CAST(floor(value / 10) AS BIGINT) AS floor_d,
+                   CAST(sign(value - 500) AS INT) AS sign_c,
+                   round(sqrt(value), 6) AS sqrt_v,
+                   value * value AS sq,
+                   greatest(value, 250.0) AS hi,
+                   least(value, 750.0) AS lo,
+                   CASE WHEN value >= 500 THEN 'hi' ELSE 'lo' END AS band,
+                   nullif(event_type, 'error') AS nn_type,
+                   user_id % 10 AS mod10
+            FROM events""",
         # dedup_clusters: iterative connected components — deliberately
         # no SQL oracle (driver records the weaker rows-only check).
     }
