@@ -531,6 +531,34 @@ def q_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max aggregates: per user, the event_type of their latest
+    event (max_by over the unique event_id — deterministic), plus the
+    matching extremes."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.expr("max_by(event_type, event_id)").alias("last_type"),
+        F.expr("min_by(event_type, event_id)").alias("first_type"),
+        F.max("event_id").alias("last_id"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: per user, event types as an array in
+    event_id order. collect_list alone is partition-order-dependent;
+    sorting structs by the unique id makes it deterministic (and
+    engine-reproducible)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    return ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(event_id, event_type))),"
+            " x -> x.event_type)"
+        ).alias("types_in_order"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar math/conditional surface. Only IEEE-deterministic
     functions: sqrt is correctly rounded by spec; exp/ln are libm-
@@ -1261,6 +1289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "skew_salted_agg": q_skew_salted_agg,
         "math_suite": q_math_suite,
+        "agg_argmax": q_agg_argmax,
+        "agg_collect_ordered": q_agg_collect_ordered,
     }
 
 
@@ -1942,6 +1972,18 @@ def oracle_sql() -> dict[str, str]:
                    nullif(event_type, 'error') AS nn_type,
                    user_id % 10 AS mod10
             FROM events""",
+        "agg_argmax": """
+            SELECT user_id,
+                   arg_max(event_type, event_id) AS last_type,
+                   arg_min(event_type, event_id) AS first_type,
+                   max(event_id) AS last_id,
+                   count(*) AS n
+            FROM events GROUP BY user_id""",
+        "agg_collect_ordered": """
+            SELECT user_id,
+                   list(event_type ORDER BY event_id) AS types_in_order,
+                   count(*) AS n
+            FROM events WHERE user_id < 100 GROUP BY user_id""",
         # dedup_clusters: iterative connected components — deliberately
         # no SQL oracle (driver records the weaker rows-only check).
     }
