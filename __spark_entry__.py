@@ -531,6 +531,29 @@ def q_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w6_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per order priority, the 30-day trailing
+    order-value sum as of each order's date. RANGE frames are peer-
+    inclusive (all rows with equal order key share a frame), so the
+    result is deterministic without any unique tiebreak — unlike ROWS
+    frames. Decimal-exact sum."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trail30_total"),
+        F.count(F.lit(1)).over(w).alias("trail30_n"),
+    )
+
+
 def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """arg-max aggregates: per user, the event_type of their latest
     event (max_by over the unique event_id — deterministic), plus the
@@ -1291,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_suite": q_math_suite,
         "agg_argmax": q_agg_argmax,
         "agg_collect_ordered": q_agg_collect_ordered,
+        "w6_trailing_range": q_w6_trailing_range,
     }
 
 
@@ -1984,6 +2008,16 @@ def oracle_sql() -> dict[str, str]:
                    list(event_type ORDER BY event_id) AS types_in_order,
                    count(*) AS n
             FROM events WHERE user_id < 100 GROUP BY user_id""",
+        "w6_trailing_range": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER win
+                        AS DOUBLE) AS trail30_total,
+                   count(*) OVER win AS trail30_n
+            FROM orders
+            WINDOW win AS (PARTITION BY o_orderpriority
+                           ORDER BY date_diff('day', DATE '1970-01-01',
+                                              CAST(o_orderdate AS DATE))
+                           RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""",
         # dedup_clusters: iterative connected components — deliberately
         # no SQL oracle (driver records the weaker rows-only check).
     }
