@@ -223,6 +223,20 @@ class TopologyConfig:
             ":route_by requires at least one batcher "
             "(message routed to undefined batcher)",
         )
+        # Without route_by every row keeps the default batcher name; if
+        # no batcher is called 'default' the per-batcher filters match
+        # nothing and ok rows would be silently dropped (never written,
+        # never acked) while offsets still commit. The reference raises
+        # on an unknown batcher (processor_stage.ex:213-220) — so do we,
+        # at validation time.
+        _require(
+            not self.batchers
+            or self.route_by is not None
+            or "default" in self.batchers,
+            "batchers are configured without :route_by — a batcher named "
+            "'default' is required (every message routes to :default, "
+            "broadway.ex batcher-existence check)",
+        )
         # Carry-over (broadway.ex:1154-1182): top-level partition_by
         # cascades to layers that don't define their own.
         if self.partition_by is not None:

@@ -229,7 +229,27 @@ class Pipeline:
                 if cfg.dlq is not None:
                     _write(failed, cfg.dlq.path, cfg.dlq.format)
                 if cfg.ack_log is not None:
-                    acks = batch_df.select(
+                    # A3/A4 on the stateful path, mirroring the
+                    # foreachBatch router (router.py): failed rows with
+                    # on_failure=retry are NOT acked (the source's
+                    # redelivery owns them); early-acked ok rows are
+                    # labelled trigger='early' (their ack conceptually
+                    # happened at the processor stage, message.ex:
+                    # 172-201) and are not terminal-acked again.
+                    has_policy = "ack_policy" in batch_df.columns
+                    ackable = batch_df
+                    trigger_col = F.col("trigger")
+                    if has_policy:
+                        ackable = batch_df.filter(
+                            F.col("status_ok")
+                            | (F.col("ack_policy") != "retry")
+                        )
+                        trigger_col = F.when(
+                            F.col("status_ok")
+                            & (F.col("ack_policy") == "early"),
+                            F.lit("early"),
+                        ).otherwise(F.col("trigger"))
+                    acks = ackable.select(
                         F.lit(batch_id).alias("batch_id"),
                         F.col("ack_ref"),
                         F.col("ack_data"),
@@ -239,7 +259,7 @@ class Pipeline:
                         F.col("status_reason").alias("reason"),
                         F.col("batcher"),
                         F.col("batch_key"),
-                        F.col("trigger"),
+                        trigger_col.alias("trigger"),
                         F.col("batch_size"),
                     )
                     _write(acks, cfg.ack_log.path, cfg.ack_log.format)

@@ -31,6 +31,12 @@ def builder(app_name: str = "broadway-spark", cpus: str | int | None = None):
       ~800k input splits rather than a few giant ones.
     """
     n = cpus if cpus is not None else _DEFAULT_CPUS
+    # transformWithState needs google.protobuf in every Python worker;
+    # if it's only available via a system fallback path this must land
+    # in PYTHONPATH before the JVM starts (workers inherit it).
+    from broadway_spark.streaming.stateful_batcher_v2 import enable_tws_compat
+
+    enable_tws_compat()
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{n}]")

@@ -94,6 +94,25 @@ class _SpoolStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"row": 0}
 
+    def _last_committed(self) -> int:
+        # Restart seed: the reader object is fresh after a crash, but
+        # Spark resumes from the checkpointed offset — admission must
+        # resume from there too, or the reported end regresses below the
+        # committed start and the stream stalls for ceil(committed /
+        # allowed) empty triggers. The journal is our durable record of
+        # the committed position (the checkpoint commit log is the
+        # authoritative one, but is not readable from here).
+        last = 0
+        try:
+            with open(os.path.join(self.path, COMMIT_JOURNAL)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        last = max(last, json.loads(line).get("committed_row", 0))
+        except (FileNotFoundError, ValueError, json.JSONDecodeError):
+            pass
+        return last
+
     def latestOffset(self) -> dict:
         # Admission control: this is the rate_limiter.ex token bucket —
         # one refill per trigger, computed on the driver so the cap is
@@ -102,7 +121,9 @@ class _SpoolStreamReader(DataSourceStreamReader):
         # at most `allowed` rows each call. The rate-control file (F3:
         # Broadway.update_rate_limiting/2, broadway.ex:1447-1523) is
         # re-read every trigger so the limit can change at runtime.
-        prev = getattr(self, "_last_end", 0)
+        prev = getattr(self, "_last_end", None)
+        if prev is None:
+            prev = self._last_committed()
         total = _count_rows(self.path)
         allowed = self._current_allowed()
         nxt = min(total, prev + allowed) if allowed else total
@@ -159,6 +180,9 @@ class _SpoolStreamReader(DataSourceStreamReader):
         # trigger; the checkpoint commit log is the authoritative ack.
         with open(os.path.join(self.path, COMMIT_JOURNAL), "a") as fh:
             fh.write(json.dumps({"committed_row": end["row"]}) + "\n")
+        # Keep admission monotone: never let a later latestOffset hand
+        # out an end below what the engine has already committed.
+        self._last_end = max(getattr(self, "_last_end", 0) or 0, end["row"])
 
     def stop(self) -> None:
         pass

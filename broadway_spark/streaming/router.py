@@ -102,6 +102,12 @@ def build_router(
     def router(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
+        # Post-hook DataFrames are consumed twice (sink/DLQ write + ack
+        # log). Broadway's contract is exactly-once hook execution per
+        # batch (batch_processor_stage.ex:52-127) — persist every
+        # DataFrame that carries user-hook lineage so the hook runs once
+        # per micro-batch, not once per consumer.
+        hook_cache: list[DataFrame] = []
         try:
             ack_parts: list[DataFrame] = []
 
@@ -134,6 +140,8 @@ def build_router(
                 # driver (reference handle_failed runs in the stage
                 # process, acknowledger.ex:96-150; ours runs in the task).
                 failed = failed.mapInPandas(_apply_failed, schema=failed_schema)
+                failed = failed.persist()
+                hook_cache.append(failed)
             if config.dlq is not None:
                 _write(failed, config.dlq.path, config.dlq.format)
             ack_parts.append(_ack_rows(failed, batch_id, "failed"))
@@ -192,6 +200,8 @@ def build_router(
                             per_batch,
                             schema=chunked.schema,
                         )
+                        chunked = chunked.persist()
+                        hook_cache.append(chunked)
 
                     sink = config.sinks[name]
                     _write(
@@ -219,6 +229,8 @@ def build_router(
                     acks = acks.unionByName(p)
                 _write(acks, config.ack_log.path, config.ack_log.format)
         finally:
+            for cached in hook_cache:
+                cached.unpersist()
             batch_df.unpersist()
 
     return router

@@ -97,6 +97,43 @@ def stateful_batch_stream(
     )
     state_schema = "buffered string, chunk_seq long"
 
+    # Temporal payload columns need an explicit wire format: pandas
+    # to_json serializes datetimes as epoch ints and read_json(dtype=
+    # False, convert_dates=False) never converts them back, so a buffer
+    # carrying an event-time column would corrupt on Arrow conversion
+    # when the chunk is emitted. Encode as ISO strings, decode by the
+    # authoritative wire schema.
+    ts_cols = [
+        f.name
+        for f in flat.schema
+        if f.dataType.simpleString().startswith("timestamp")
+    ]
+    date_cols = [
+        f.name for f in flat.schema if f.dataType.simpleString() == "date"
+    ]
+
+    def _wire_encode(buf: pd.DataFrame) -> str:
+        if ts_cols or date_cols:
+            buf = buf.copy()
+            for c in ts_cols:
+                buf[c] = buf[c].map(
+                    lambda v: None if pd.isna(v) else pd.Timestamp(v).isoformat()
+                )
+            for c in date_cols:
+                buf[c] = buf[c].map(lambda v: None if pd.isna(v) else str(v))
+        return buf.to_json(orient="split")
+
+    def _wire_decode(buffered_json: str | None):
+        buf = _buffer_from_json(buffered_json)
+        if buf is not None:
+            for c in ts_cols:
+                buf[c] = pd.to_datetime(buf[c])
+            for c in date_cols:
+                buf[c] = buf[c].map(
+                    lambda v: None if v in (None, "") else pd.Timestamp(v).date()
+                )
+        return buf
+
     def assemble(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -106,7 +143,7 @@ def stateful_batch_stream(
         # --- load buffer from state
         if state.exists:
             buffered_json, chunk_seq = state.get
-            buffer = _buffer_from_json(buffered_json)
+            buffer = _wire_decode(buffered_json)
         else:
             buffer, chunk_seq = None, 0
 
@@ -159,9 +196,7 @@ def stateful_batch_stream(
 
         # --- persist remainder + arm the per-key timer
         if len(buffer):
-            state.update(
-                (buffer.to_json(orient="split"), chunk_seq)
-            )
+            state.update((_wire_encode(buffer), chunk_seq))
             state.setTimeoutDuration(batch_timeout_ms)
         else:
             state.remove()

@@ -114,6 +114,57 @@ def test_flush_mode_empties_buffer(spark, tmp_dirs):
     assert {r[0] for r in ack.select("trigger").distinct().collect()} == {"flush"}
 
 
+def test_timestamp_payload_survives_state_roundtrip(spark, tmp_dirs):
+    """A buffered event-time column must survive the v1 state store's
+    JSON round-trip: pandas to_json writes datetimes as epoch ints, so
+    without an explicit wire codec the timer-flushed chunk corrupts on
+    Arrow conversion. 30 rows < batch_size buffer across a trigger and
+    flush by timer; the sink timestamps must equal the input."""
+    ddl = "event_id long, ts timestamp, event_day date, value double"
+    src = SpoolSource(
+        name="spool",
+        path=tmp_dirs["spool"],
+        schema_ddl=ddl,
+        ack_data_column="event_id",
+    )
+    rows = [
+        {
+            "event_id": i,
+            "ts": f"2026-01-02T03:04:{i:02d}",
+            "event_day": "2026-01-02",
+            "value": i / 10.0,
+        }
+        for i in range(30)
+    ]
+    src.push_messages(rows, "000.jsonl")
+    cfg = TopologyConfig(
+        name="ts_state",
+        order_by="event_id",
+        batchers={"default": BatcherConfig(batch_size=50, batch_timeout_ms=1500)},
+        sinks={"default": SinkConfig(path=tmp_dirs["sink"])},
+        ack_log=SinkConfig(path=tmp_dirs["ack"]),
+        checkpoint_dir=tmp_dirs["ckpt"],
+    )
+    q = Pipeline(cfg, src).start_stateful(spark, processing_time="300 milliseconds")
+    try:
+        assert _wait_for_acks(spark, tmp_dirs["ack"], 30, timeout_s=90)
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(tmp_dirs["sink"])
+    assert out.count() == 30
+    got = {
+        (r["event_id"], str(r["ts"]), str(r["event_day"]))
+        for r in out.select("event_id", "ts", "event_day").collect()
+    }
+    want = {
+        (i, f"2026-01-02 03:04:{i:02d}", "2026-01-02") for i in range(30)
+    }
+    assert got == want
+    ack = spark.read.parquet(tmp_dirs["ack"])
+    assert {r[0] for r in ack.select("trigger").distinct().collect()} == {"timeout"}
+
+
 def _tws_available():
     from broadway_spark.streaming.stateful_batcher_v2 import tws_available
 
