@@ -432,37 +432,23 @@ JACCARD_PAIR_THRESHOLD = 0.5
 
 
 def q_text_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set Jaccard near-dup pairs, blocked by (lang, source) —
-    the n-gram-Jaccard dedup family with a direct set formulation."""
+    """Token-set Jaccard near-dup pairs within (lang, source) — the
+    n-gram-Jaccard dedup family, EXACT semantics at scale via prefix
+    filtering (operators.dedup.jaccard_pairs_prefix_filter): candidate
+    pairs come from an equi-join on rare prefix tokens (AllPairs bound,
+    no false negatives), never a quadratic blocked self-join."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         "source",
         F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"),
     )
-    # |A∪B| = |A|+|B|-|A∩B| for distinct lists: per-doc sizes are
-    # computed once per side instead of building a union array per
-    # pair (the pair count is quadratic in the block; the per-doc
-    # prep is linear — push everything linear out of the pair loop).
-    docs = docs.withColumn("n_toks", F.size("toks"))
-    l, r = docs.alias("l"), docs.alias("r")
-    inter = F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks"))).cast(
-        "double"
-    )
-    union = (F.col("l.n_toks") + F.col("r.n_toks")).cast("double") - inter
-    return (
-        l.join(
-            r,
-            (F.col("l.lang") == F.col("r.lang"))
-            & (F.col("l.source") == F.col("r.source"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("id_a"),
-            F.col("r.doc_id").alias("id_b"),
-            F.round(inter / union, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_PAIR_THRESHOLD)
+    return D.jaccard_pairs_prefix_filter(
+        docs,
+        "doc_id",
+        "toks",
+        JACCARD_PAIR_THRESHOLD,
+        block_cols=["lang", "source"],
     )
 
 

@@ -418,3 +418,104 @@ def near_dup_clusters(
     return labels.groupBy(F.col("label").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("size")
     )
+
+
+def jaccard_pairs_prefix_filter(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold: float,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACT token-set Jaccard pairs ≥ threshold via prefix filtering
+    (the AllPairs/PPJoin candidate bound — Bayardo et al., WWW'07),
+    optionally restricted to pairs sharing ``block_cols``.
+
+    Unlike MinHash-LSH this has NO false negatives, so it can back an
+    exact-semantics query, and unlike a blocked all-pairs self-join it
+    is not quadratic in the block size. The bound: order every doc's
+    tokens by a single global total order (document frequency
+    ascending, then token — rare tokens first); if J(A,B) ≥ t, the
+    prefixes of length |X| - ⌈t·|X|⌉ + 1 must share a token. Candidate
+    generation is then an equi-join on (blocks, prefix-token), with the
+    length filter t·|A| ≤ |B| ≤ |A|/t pruning further; exact Jaccard on
+    the full token sets verifies each candidate.
+
+    Plan shape (scale-first): explode tokens → df-count shuffle →
+    per-doc sort (one partial-agg shuffle) → prefix explode →
+    equi-join on the prefix token (shuffle sized by Σ prefix lengths,
+    with buckets keyed by *rare* tokens — small by construction) →
+    distinct pairs → verify join. Every stage is codegen'd; nothing is
+    quadratic in a block. The reference has no Jaccard operator; this
+    serves the n-gram-Jaccard dedup family (driver north_star).
+
+    ``tokens_col`` must hold distinct tokens (use ``array_distinct``).
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
+    6 places — the same contract as the all-pairs formulation.
+    """
+    blocks = block_cols or []
+    base = docs.select(
+        F.col(id_col).alias("__id"), *blocks, F.col(tokens_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+
+    tk = base.select("__id", *blocks, "__n", F.explode("__toks").alias("__tok"))
+    dfreq = tk.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    # Per-doc canonical order: sort_array over (df, token) structs gives
+    # every document the same global rarity-ascending token order.
+    ordered = (
+        tk.join(dfreq, "__tok")
+        .groupBy("__id", *blocks, "__n")
+        .agg(F.sort_array(F.collect_list(F.struct("__df", "__tok"))).alias("__ord"))
+    )
+    plen = (
+        F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + F.lit(1)
+    ).cast("int")
+    pref = ordered.select(
+        "__id",
+        *blocks,
+        "__n",
+        F.explode(F.slice("__ord", F.lit(1), plen)).alias("__p"),
+    ).select("__id", *blocks, "__n", F.col("__p.__tok").alias("__tok"))
+    # Materialize: the prefix table feeds both sides of the candidate
+    # self-join (Catalyst plans the subtree twice — df-count shuffle,
+    # per-doc sort, prefix explode each re-run otherwise). Σ prefix
+    # lengths ≈ (1-t)·total tokens — small. At cluster scale this
+    # persist is a checkpoint to a staging table.
+    pref = pref.persist()
+    pref.count()
+
+    left, right = pref.alias("l"), pref.alias("r")
+    join_cond = (
+        (F.col("l.__tok") == F.col("r.__tok"))
+        & (F.col("l.__id") < F.col("r.__id"))
+        # length filter: J ≥ t forces t·|A| ≤ |B| and t·|B| ≤ |A|
+        & (F.col("r.__n") >= F.lit(threshold) * F.col("l.__n"))
+        & (F.col("l.__n") >= F.lit(threshold) * F.col("r.__n"))
+    )
+    for c in blocks:
+        join_cond = join_cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    cand = (
+        left.join(right, join_cond)
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+
+    a = base.select(
+        F.col("__id").alias("id_a"),
+        F.col("__toks").alias("__toks_a"),
+        F.col("__n").alias("__n_a"),
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__toks").alias("__toks_b"),
+        F.col("__n").alias("__n_b"),
+    )
+    inter = F.size(F.array_intersect("__toks_a", "__toks_b")).cast("double")
+    union = (F.col("__n_a") + F.col("__n_b")).cast("double") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
