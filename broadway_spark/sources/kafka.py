@@ -11,8 +11,12 @@ shape into the engine's envelope convention:
 - ack = offset commit via checkpoint (Kafka group commits are advisory
   in Spark; the checkpoint is authoritative)
 
-Untestable in this environment (no broker); construction and plan
-shape are covered by tests, the connector contract by Spark itself.
+No broker runs in the test environment, so ``fmt='fake_kafka'`` points
+the SAME envelope projection at the file-backed fake broker
+(``kafka_fake.py``), which emits the exact Kafka record schema —
+envelope mapping, offsets-as-acks, restart resume, and rate-limit
+admission are integration-tested through it
+(``tests/test_kafka_connector.py``).
 """
 
 from __future__ import annotations
@@ -33,23 +37,42 @@ class KafkaSource:
     max_offsets_per_trigger: int | None = None
     subscribe_pattern: bool = False
     extra_options: dict = field(default_factory=dict)
+    # 'kafka' (real broker) or 'fake_kafka' (file-backed test double,
+    # same record schema — see kafka_fake.py). The projection below is
+    # identical either way; that shared path is what the fake verifies.
+    fmt: str = "kafka"
+    path: str | None = None  # fake_kafka broker directory
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
-        reader = (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", self.bootstrap_servers)
-            .option(
-                "subscribePattern" if self.subscribe_pattern else "subscribe",
-                self.topics,
+        if self.fmt == "fake_kafka":
+            from broadway_spark.sources.kafka_fake import register_fake_kafka
+
+            register_fake_kafka(spark)
+            reader = (
+                spark.readStream.format("fake_kafka")
+                .option("path", self.path)
+                .option("topics", self.topics)
             )
-            .option("startingOffsets", self.starting_offsets)
-        )
-        if self.max_offsets_per_trigger is not None:
-            reader = reader.option(
-                "maxOffsetsPerTrigger", self.max_offsets_per_trigger
+            if self.max_offsets_per_trigger is not None:
+                reader = reader.option(
+                    "max_offsets_per_trigger", self.max_offsets_per_trigger
+                )
+        else:
+            reader = (
+                spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", self.bootstrap_servers)
+                .option(
+                    "subscribePattern" if self.subscribe_pattern else "subscribe",
+                    self.topics,
+                )
+                .option("startingOffsets", self.starting_offsets)
             )
-        for k, v in self.extra_options.items():
-            reader = reader.option(k, v)
+            if self.max_offsets_per_trigger is not None:
+                reader = reader.option(
+                    "maxOffsetsPerTrigger", self.max_offsets_per_trigger
+                )
+            for k, v in self.extra_options.items():
+                reader = reader.option(k, v)
         df = reader.load()
         # Envelope-friendly projection: payload stays binary for the
         # transformer; a unique ack identity is derived from
