@@ -174,6 +174,10 @@ class TopologyConfig:
     batch_key_by: Column | None = None
     handle_batch: Callable[[str, Any], Any] | None = None
     handle_failed: Callable[[Any], Any] | None = None
+    # L5: a streaming.spans.SpanRecorder collecting the 13-event
+    # Broadway span catalogue (broadway.ex:651-887). None = no span
+    # accounting (zero overhead).
+    telemetry: Any | None = None
     # Shuffle/state-store partition count for stateful queries. Unlike
     # joins/aggs, stateful operators can't rely on AQE: the state store
     # shards by the shuffle partitioning fixed at first run. Size it to

@@ -126,6 +126,19 @@ class Pipeline:
 
     # -- run ----------------------------------------------------------
 
+    def _emit_topology_init(self) -> None:
+        """topology:init span (broadway.ex:656-662) — dispatched when
+        the pipeline topology is initialized, config in metadata."""
+        rec = self.config.telemetry
+        if rec is not None:
+            import time as _time
+
+            rec.emit(
+                "topology:init",
+                {"system_time": _time.time()},
+                {"config": self.topology()},
+            )
+
     def start(
         self,
         spark: SparkSession,
@@ -135,6 +148,7 @@ class Pipeline:
         cfg = self.config
         if cfg.checkpoint_dir is None:
             raise ConfigError("checkpoint_dir is required to start a pipeline")
+        self._emit_topology_init()
         stream = self.build_stream(spark)
         writer = stream.writeStream.foreachBatch(build_router(cfg)).option(
             "checkpointLocation", cfg.checkpoint_dir
@@ -168,6 +182,7 @@ class Pipeline:
         cfg = self.config
         if cfg.checkpoint_dir is None:
             raise ConfigError("checkpoint_dir is required to start a pipeline")
+        self._emit_topology_init()
         for name, b in cfg.batchers.items():
             if not isinstance(b.batch_size, int):
                 raise ConfigError(

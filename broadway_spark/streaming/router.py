@@ -30,7 +30,9 @@ driver.
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable
+from contextlib import nullcontext
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -101,7 +103,55 @@ def build_router(
 
     def router(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        rec = getattr(config, "telemetry", None)
         batch_df = batch_df.persist()
+        # Span accounting (L5, broadway.ex:651-887): the processor half
+        # executes inside the first materialization of the persisted
+        # batch, so the counting aggregate below IS the processor span
+        # body. Aggregated per-message spans + exception variant follow
+        # (see streaming/spans.py for the vectorization contract).
+        n_ok = n_failed = 0
+        if rec is not None:
+            with rec.span(
+                "processor", topology_name=config.name, batch_id=batch_id
+            ) as meta:
+                counts = {
+                    r["ok"]: r["n"]
+                    for r in batch_df.groupBy(
+                        F.col("status.ok").alias("ok")
+                    )
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                n_ok = counts.get(True, 0)
+                n_failed = counts.get(False, 0)
+                meta["messages"] = n_ok + n_failed
+                meta["failed"] = n_failed
+            with rec.span(
+                "processor:message",
+                topology_name=config.name,
+                batch_id=batch_id,
+                messages=n_ok + n_failed,
+            ):
+                pass
+            if n_failed:
+                reasons = [
+                    r[0]
+                    for r in batch_df.filter(~F.col("status.ok"))
+                    .select("status.reason")
+                    .limit(3)
+                    .collect()
+                ]
+                rec.emit(
+                    "processor:message:exception",
+                    {"duration": 0.0},
+                    {
+                        "topology_name": config.name,
+                        "batch_id": batch_id,
+                        "failed": n_failed,
+                        "sample_reasons": reasons,
+                    },
+                )
         # Post-hook DataFrames are consumed twice (sink/DLQ write + ack
         # log). Broadway's contract is exactly-once hook execution per
         # batch (batch_processor_stage.ex:52-127) — persist every
@@ -128,22 +178,40 @@ def build_router(
                 failed = failed.filter(F.col("ack_policy") != "retry")
 
             # --- failed branch: handle_failed hook → DLQ → ack failed
-            if config.handle_failed is not None:
-                hook_failed = config.handle_failed
-                failed_schema = failed.schema
+            span_failed = (
+                rec.span(
+                    "handle_failed",
+                    topology_name=config.name,
+                    batch_id=batch_id,
+                    messages=n_failed,
+                )
+                if rec is not None and config.handle_failed is not None
+                else nullcontext()
+            )
+            with span_failed:
+                if config.handle_failed is not None:
+                    hook_failed = config.handle_failed
+                    failed_schema = failed.schema
 
-                def _apply_failed(batches, _hook=hook_failed):
-                    for pdf in batches:
-                        yield _hook(pdf) if len(pdf) else pdf
+                    def _apply_failed(batches, _hook=hook_failed):
+                        for pdf in batches:
+                            yield _hook(pdf) if len(pdf) else pdf
 
-                # Arrow-batched, distributed — the hook never sees the
-                # driver (reference handle_failed runs in the stage
-                # process, acknowledger.ex:96-150; ours runs in the task).
-                failed = failed.mapInPandas(_apply_failed, schema=failed_schema)
-                failed = failed.persist()
-                hook_cache.append(failed)
-            if config.dlq is not None:
-                _write(failed, config.dlq.path, config.dlq.format)
+                    # Arrow-batched, distributed — the hook never sees
+                    # the driver (reference handle_failed runs in the
+                    # stage process, acknowledger.ex:96-150; ours runs
+                    # in the task).
+                    failed = failed.mapInPandas(
+                        _apply_failed, schema=failed_schema
+                    )
+                    failed = failed.persist()
+                    hook_cache.append(failed)
+                    if rec is not None:
+                        # materialize inside the span so its duration
+                        # covers the hook's actual execution
+                        failed.count()
+                if config.dlq is not None:
+                    _write(failed, config.dlq.path, config.dlq.format)
             ack_parts.append(_ack_rows(failed, batch_id, "failed"))
 
             if not config.batchers:
@@ -158,8 +226,28 @@ def build_router(
                 ack_parts.append(_ack_rows(late_ok, batch_id, "ok"))
             else:
                 order_col = config.order_by
+                per_batcher: dict[str, int] = {}
+                if rec is not None:
+                    per_batcher = {
+                        r["batcher"]: r["n"]
+                        for r in ok.groupBy("batcher")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect()
+                    }
                 for name, bcfg in config.batchers.items():
                     sub = ok.filter(F.col("batcher") == name)
+                    if rec is not None:
+                        rec.emit(
+                            "batcher:start",
+                            {"system_time": time.time()},
+                            {
+                                "topology_name": config.name,
+                                "batcher_key": name,
+                                "batch_id": batch_id,
+                                "messages": per_batcher.get(name, 0),
+                            },
+                        )
+                    _t0 = time.monotonic()
                     if isinstance(bcfg.batch_size, tuple):
                         weight_col, budget = bcfg.batch_size
                         chunked = chunk_by_budget(
@@ -202,13 +290,38 @@ def build_router(
                         )
                         chunked = chunked.persist()
                         hook_cache.append(chunked)
+                    if rec is not None:
+                        # batcher stage = grouping/annotation (ends
+                        # here); batch_processor = the sink write,
+                        # where handle_batch actually executes.
+                        rec.emit(
+                            "batcher:stop",
+                            {"duration": time.monotonic() - _t0},
+                            {
+                                "topology_name": config.name,
+                                "batcher_key": name,
+                                "batch_id": batch_id,
+                            },
+                        )
 
                     sink = config.sinks[name]
-                    _write(
-                        chunked.drop("chunk_id", "batch_size_", "trigger_"),
-                        sink.path,
-                        sink.format,
+                    span_bp = (
+                        rec.span(
+                            "batch_processor",
+                            topology_name=config.name,
+                            batcher_key=name,
+                            batch_id=batch_id,
+                            messages=per_batcher.get(name, 0),
+                        )
+                        if rec is not None
+                        else nullcontext()
                     )
+                    with span_bp:
+                        _write(
+                            chunked.drop("chunk_id", "batch_size_", "trigger_"),
+                            sink.path,
+                            sink.format,
+                        )
                     late_chunked = (
                         chunked.filter(F.col("ack_policy") != "early")
                         if has_policy
