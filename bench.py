@@ -3,17 +3,31 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": <total-sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+     "queries": {name: sec, ...}, "plans": {name: fp8, ...}, "sf": <sf>}
 
 Each query is forced end-to-end with a noop sink (full computation, no
 driver-side collect), mirroring how the plan would execute against a
 real sink at scale.
+
+Hardening against this host's up-to-4× wall-clock variance:
+
+- INTERLEAVED median-of-3: three full passes over the suite, one
+  timing per query per pass, median reported. A transient load spike
+  inflates one pass of many queries instead of all samples of one
+  query (the round-1 h3_top_orders false alarm: a min-of-2 back-to-back
+  pair landed entirely inside a spike).
+- Plan fingerprints: an 8-hex hash of the normalized initial physical
+  plan per query, so a plan regression (lost broadcast, extra shuffle)
+  is visible in BENCH_r{N}.json diffs even when timing noise hides it.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
+import statistics
 import sys
 import time
 
@@ -22,31 +36,54 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod  # noqa: E402
 from broadway_spark import get_spark  # noqa: E402
 
+_NOISE = re.compile(
+    r"#\d+L?"  # expression ids
+    r"|plan_id=\d+"
+    r"|\[id=#?\d+\]"
+    r"|file:[^\s,\]]+"  # input paths
+    r"|Statistics\([^)]*\)"
+)
+
+
+def plan_fingerprint(df) -> str:
+    """8-hex digest of the initial physical plan, normalized so
+    expression ids / paths / stats don't churn the hash."""
+    try:
+        s = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return "noplan"
+    s = _NOISE.sub("", s)
+    s = re.sub(r"\s+", " ", s)
+    return hashlib.sha256(s.encode()).hexdigest()[:8]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     spark = get_spark("broadway-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
     # Warm the JVM + parquet footer caches once with the cheapest query
     # so per-query numbers measure the plan, not JIT warmup.
     qs["s1_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Two passes per query, report the min: this host shows up to 4×
-    # wall-clock variance (VM) and first execution pays one-time codegen
-    # compile — min-of-2 approximates steady-state per-plan cost.
-    total0 = time.time()
-    for name, fn in qs.items():
-        best = None
-        for _ in range(2):
+    plans = {name: plan_fingerprint(fn(spark, sf_dir)) for name, fn in qs.items()}
+
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    for _ in range(passes):
+        for name, fn in qs.items():
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            samples[name].append(time.time() - t0)
+            # Queries are independent: drop any DataFrames an operator
+            # persisted (LSH shingle/prefix tables) so pass N+1 doesn't
+            # run under pass N's accumulated storage memory.
+            spark.catalog.clearCache()
+    timings = {
+        name: round(statistics.median(vals), 3) for name, vals in samples.items()
+    }
     total = round(sum(timings.values()), 3)
 
     print(
@@ -56,6 +93,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "plans": plans,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -7,17 +7,29 @@ The 100 TB pattern: media bytes live in a ``content BINARY`` column
 can filter/partition WITHOUT touching bytes — Catalyst prunes the
 binary column away unless a featurizer actually needs it.
 
-Decode is backend-dependent (PIL/ffmpeg are not in this container), so
-the codec layer is pluggable: the default ``deterministic_stub``
-backend produces reproducible pseudo-features from the raw bytes (real
-plumbing — schema, batching, partitioning — with a fake decoder);
-``strict`` raises NotImplementedError to mark where a real decoder
-plugs in.
+Decode backends, pluggable per call:
+
+- ``builtin`` — a REAL decoder with zero dependencies: pure-Python
+  PPM/PGM image parsing (netpbm binary formats) and stdlib ``wave``
+  WAV audio parsing, producing real features (dimensions, per-channel
+  means, duration, RMS). Unrecognized bytes → null feature.
+- ``deterministic_stub`` — reproducible pseudo-features from the raw
+  bytes; stands in for heavyweight codecs (JPEG/PNG/MP4 need
+  PIL/ffmpeg, not present in this container).
+- ``strict`` — raises NotImplementedError at the exact seam where a
+  heavyweight codec would plug in.
+
+The Spark plumbing (schema, Arrow batch shape, partition parallelism)
+is identical across backends — that is what scales; the codec is a
+per-batch pure function.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from typing import Iterator
 
 import pandas as pd
@@ -53,6 +65,95 @@ def _stub_feature(data: bytes) -> list[float]:
     ]
 
 
+def _parse_netpbm(data: bytes):
+    """Decode binary PGM (P5) / PPM (P6): returns (w, h, channels,
+    maxval, pixels bytes) or None. Pure Python — netpbm is a public,
+    trivially parseable format, which makes the decode path REAL
+    without any imaging library."""
+    if not (data.startswith(b"P5") or data.startswith(b"P6")):
+        return None
+    channels = 3 if data[:2] == b"P6" else 1
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens, '#' comments allowed; pixel data follows the single
+    # whitespace after maxval.
+    tokens, i, n = [], 2, len(data)
+    while len(tokens) < 3 and i < n:
+        c = data[i : i + 1]
+        if c == b"#":
+            while i < n and data[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not data[j : j + 1].isspace():
+                j += 1
+            tokens.append(data[i:j])
+            i = j
+    if len(tokens) < 3:
+        return None
+    i += 1  # the single whitespace delimiter before pixel data
+    try:
+        w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    except ValueError:
+        return None
+    pixels = data[i : i + w * h * channels]
+    if len(pixels) < w * h * channels or maxval > 255:
+        return None
+    return w, h, channels, maxval, pixels
+
+
+def _builtin_feature(data: bytes) -> list[float] | None:
+    """Real decode → FEATURE_DIM floats.
+
+    images (PGM/PPM): [1, width, height, channels, mean_c0, mean_c1,
+    mean_c2, maxval]; audio (WAV, 16-bit PCM): [2, n_channels,
+    sample_rate, n_frames, duration_s, rms, 0, 0]. None for formats
+    this dependency-free backend can't parse.
+    """
+    img = _parse_netpbm(data)
+    if img is not None:
+        w, h, channels, maxval, pixels = img
+        means = [0.0, 0.0, 0.0]
+        npix = w * h
+        if npix:
+            sums = [0, 0, 0]
+            for idx, b in enumerate(pixels):
+                sums[idx % channels] += b
+            means = [
+                (sums[c] / npix if c < channels else 0.0) for c in range(3)
+            ]
+        return [1.0, float(w), float(h), float(channels)] + [
+            round(m, 4) for m in means
+        ] + [float(maxval)]
+    if data.startswith(b"RIFF") and data[8:12] == b"WAVE":
+        try:
+            with wave.open(io.BytesIO(data), "rb") as wf:
+                nch = wf.getnchannels()
+                rate = wf.getframerate()
+                nframes = wf.getnframes()
+                width = wf.getsampwidth()
+                frames = wf.readframes(nframes)
+            if width == 2 and frames:
+                samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+                rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
+            else:
+                rms = 0.0
+            return [
+                2.0,
+                float(nch),
+                float(rate),
+                float(nframes),
+                round(nframes / rate, 6) if rate else 0.0,
+                round(rms, 4),
+                0.0,
+                0.0,
+            ]
+        except (wave.Error, struct.error, EOFError):
+            return None
+    return None
+
+
 def featurize(
     df: DataFrame,
     content_col: str,
@@ -66,7 +167,7 @@ def featurize(
     Arrow batch shape, partition parallelism) is identical either way.
     Output schema: input columns + feature array<float>.
     """
-    if backend not in ("deterministic_stub", "strict"):
+    if backend not in ("deterministic_stub", "strict", "builtin"):
         raise ValueError(f"unknown media backend {backend!r}")
     out_ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema
@@ -76,13 +177,17 @@ def featurize(
         for pdf in batches:
             if backend == "strict":
                 raise NotImplementedError(
-                    "real media decode requires an image/audio backend "
-                    "(PIL/librosa/ffmpeg) — not available in this "
-                    "environment; use backend='deterministic_stub'"
+                    "heavyweight media decode (JPEG/PNG/MP4) requires "
+                    "PIL/librosa/ffmpeg — not available in this "
+                    "environment; use backend='builtin' (PPM/PGM/WAV) "
+                    "or 'deterministic_stub'"
                 )
+            decode = (
+                _builtin_feature if backend == "builtin" else _stub_feature
+            )
             pdf = pdf.copy()
             pdf["feature"] = [
-                _stub_feature(bytes(b)) if b is not None else None
+                decode(bytes(b)) if b is not None else None
                 for b in pdf[content_col]
             ]
             yield pdf

@@ -166,3 +166,56 @@ def test_no_duplicate_acks_after_restart(spark, tmp_dirs):
     ack = spark.read.parquet(tmp_dirs["ack"])
     assert ack.count() == 150
     assert ack.select("ack_data").distinct().count() == 150
+
+
+def test_rate_limit_interval_gap_contract(spark, tmp_dirs):
+    """F2 wall-clock contract (broadway_test.exs:2595-2645): with
+    allowed=k per interval T, every micro-batch admits ≤ k rows AND
+    consecutive non-empty batches start ≥ ~T apart across ≥3 intervals
+    — i.e. the admission rate is ≤ k/T over time, not just per batch."""
+    from datetime import datetime
+
+    k, interval_ms = 20, 500
+    src = _source(tmp_dirs, n=120, allowed=k)
+    pipe = Pipeline(
+        _basic_config(tmp_dirs, rate_limit=RateLimit(k, interval_ms)), src
+    )
+    q = pipe.start(
+        spark, trigger="processingTime", processing_time=f"{interval_ms} milliseconds"
+    )
+    progresses = []
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(tmp_dirs["ack"]).count() >= 120:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        progresses = list(q.recentProgress)
+    finally:
+        q.stop()
+
+    assert spark.read.parquet(tmp_dirs["ack"]).count() == 120
+
+    rows_and_ts = []
+    for p in progresses:
+        d = p if isinstance(p, dict) else p.asDict() if hasattr(p, "asDict") else None
+        if d is None:
+            import json as _json
+
+            d = _json.loads(p.json)
+        if d["numInputRows"] > 0:
+            ts = datetime.fromisoformat(d["timestamp"].replace("Z", "+00:00"))
+            rows_and_ts.append((ts, d["numInputRows"]))
+    rows_and_ts.sort()
+    assert len(rows_and_ts) >= 4, "need ≥3 inter-batch gaps to assert the contract"
+    assert all(n <= k for _, n in rows_and_ts), "admission exceeded k in a trigger"
+    gaps = [
+        (b - a).total_seconds()
+        for (a, _), (b, _) in zip(rows_and_ts, rows_and_ts[1:])
+    ]
+    # ProcessingTime aligns to interval boundaries; allow scheduler
+    # jitter but require the cadence to be the interval, not free-run.
+    assert sum(1 for g in gaps if g >= 0.35) >= 3, f"gaps too tight: {gaps}"
