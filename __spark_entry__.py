@@ -428,6 +428,54 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORPUS_MIN_QUALITY = 0.6
+CORPUS_MIN_TOKENS = 20
+CORPUS_MAX_TOKENS = 5000
+
+
+def q_pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning — the LLM-pipeline composite:
+    language-ID + quality floor + token budget → exact-dedup keeper →
+    per-language corpus stats.
+
+    Scale shape: one projection (codegen'd scalar library), one filter,
+    then two partial-agg shuffles. The dedup groupBy keys on the md5
+    fingerprint, so the shuffle carries 32-char digests — never the
+    document text; avg quality uses integer micro-unit sums (exact,
+    associative) so the result is bit-identical across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        T.language_id("text").alias("lang_pred"),
+        T.token_count("text").alias("n_tokens"),
+        F.round(T.quality_score("text") * F.lit(1e6))
+        .cast("bigint")
+        .alias("quality_micro"),
+        H.fingerprint("text").alias("fp"),
+        T.quality_score("text").alias("quality"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= F.lit(CORPUS_MIN_QUALITY))
+        & F.col("n_tokens").between(CORPUS_MIN_TOKENS, CORPUS_MAX_TOKENS)
+    )
+    keepers = kept.groupBy("fp").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.min("lang_pred").alias("lang_pred"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("quality_micro").alias("quality_micro"),
+    )
+    return keepers.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("quality_micro").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1e6),
+            6,
+        ).alias("avg_quality"),
+    )
+
+
 JACCARD_PAIR_THRESHOLD = 0.5
 
 
@@ -1256,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set1_except": q_set1_except,
         "dedup_exact": q_dedup_exact,
         "text_jaccard_pairs": q_text_jaccard_pairs,
+        "pipeline_corpus_clean": q_pipeline_corpus_clean,
         "h5_nation_revenue": q_h5_nation_revenue,
         "str_suite": q_str_suite,
         "date_suite": q_date_suite,
@@ -1616,6 +1665,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
                         / CAST(len(list_distinct(list_concat(l.toks, r.toks)))
                                AS DOUBLE), 6) >= {JACCARD_PAIR_THRESHOLD}""",
+        "pipeline_corpus_clean": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                     {T.language_id_sql('text')} AS lang_pred,
+                     {T.token_count_sql('text')} AS n_tokens,
+                     CAST(round({T.quality_score_sql('text')} * 1e6) AS BIGINT)
+                       AS quality_micro,
+                     {H.fingerprint_sql('text')} AS fp,
+                     {T.quality_score_sql('text')} AS quality
+              FROM documents),
+            kept AS (
+              SELECT * FROM scored
+              WHERE quality >= {CORPUS_MIN_QUALITY}
+                AND n_tokens BETWEEN {CORPUS_MIN_TOKENS} AND {CORPUS_MAX_TOKENS}),
+            keepers AS (
+              SELECT min(doc_id) AS keeper_id,
+                     min(lang_pred) AS lang_pred,
+                     min(n_tokens) AS n_tokens,
+                     min(quality_micro) AS quality_micro
+              FROM kept GROUP BY fp)
+            SELECT lang_pred,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(CAST(sum(quality_micro) AS DOUBLE) / count(*) / 1e6, 6)
+                     AS avg_quality
+            FROM keepers GROUP BY lang_pred""",
         "h5_nation_revenue": """
             SELECT n_name AS nation,
                    round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -89,13 +89,18 @@ def test_partition_by_carry_over():
         name="p",
         partition_by="user_id",
         batchers={
-            "a": BatcherConfig(),
+            # a 'default' batcher is required without route_by (rows
+            # route to :default; unknown batcher = silent drop)
+            "default": BatcherConfig(),
             "b": BatcherConfig(partition_by="other"),
         },
-        sinks={"a": SinkConfig(path="/t/a"), "b": SinkConfig(path="/t/b")},
+        sinks={
+            "default": SinkConfig(path="/t/a"),
+            "b": SinkConfig(path="/t/b"),
+        },
     ).validate()
     assert cfg.processors.partition_by == "user_id"
-    assert cfg.batchers["a"].partition_by == "user_id"
+    assert cfg.batchers["default"].partition_by == "user_id"
     assert cfg.batchers["b"].partition_by == "other"
 
 
