@@ -1243,8 +1243,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the MinHash-LSH
     pair graph (operators/dedup.py::near_dup_clusters — iterative
     min-label propagation, the scalable alternative to driver-side
-    union-find). Non-SQL-expressible (iterative); driver records the
-    weaker rows-only check."""
+    union-find). Oracle: the same components via a DuckDB recursive-CTE
+    transitive closure over the identical pair set (min-label
+    propagation converges to min reachable id per component, so the
+    two formulations agree exactly)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(
         docs,
@@ -1771,6 +1773,29 @@ def oracle_sql() -> dict[str, str]:
                          value FROM events)
             GROUP BY ROLLUP(event_type, value_band)""",
         "dedup_minhash": _minhash_oracle(),
+        # Connected components = min reachable id per node: a recursive
+        # transitive closure over the SAME pair set as dedup_minhash.
+        # (Spark's iterative min-label propagation converges to exactly
+        # this fixpoint, so the results match bit-for-bit.)
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(node, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT reach.node, e.dst FROM reach JOIN edges e
+                ON reach.r = e.src
+            ),
+            labels AS (
+              SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+            )
+            SELECT cluster_id, count(*) AS size
+            FROM labels GROUP BY cluster_id""",
         "dedup_simhash": _simhash_oracle(),
         "dedup_embedding": _embedding_neardup_oracle(),
         "sim_ann_bruteforce": _ann_oracle(),
