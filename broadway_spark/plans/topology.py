@@ -229,18 +229,41 @@ class Pipeline:
         )
 
         def sink_writer(batch_df: DataFrame, batch_id: int) -> None:
+            from contextlib import nullcontext
+
+            rec = cfg.telemetry
             batch_df = batch_df.persist()
             try:
                 ok = batch_df.filter(F.col("status_ok"))
                 failed = batch_df.filter(~F.col("status_ok"))
+                if rec is not None:
+                    # processor-stage span on the stateful path: the
+                    # upstream stages execute inside this first
+                    # materialization of the persisted batch.
+                    with rec.span(
+                        "processor", topology_name=cfg.name, batch_id=batch_id
+                    ) as meta:
+                        meta["messages"] = batch_df.count()
+                        meta["failed"] = failed.count()
                 for name, sink in cfg.sinks.items():
-                    _write(
-                        ok.filter(F.col("batcher") == name).drop(
-                            "chunk_seq", "trigger", "batch_size"
-                        ),
-                        sink.path,
-                        sink.format,
+                    span_bp = (
+                        rec.span(
+                            "batch_processor",
+                            topology_name=cfg.name,
+                            batcher_key=name,
+                            batch_id=batch_id,
+                        )
+                        if rec is not None
+                        else nullcontext()
                     )
+                    with span_bp:
+                        _write(
+                            ok.filter(F.col("batcher") == name).drop(
+                                "chunk_seq", "trigger", "batch_size"
+                            ),
+                            sink.path,
+                            sink.format,
+                        )
                 if cfg.dlq is not None:
                     _write(failed, cfg.dlq.path, cfg.dlq.format)
                 if cfg.ack_log is not None:

@@ -180,3 +180,32 @@ def test_salted_agg_two_phase_shape(spark):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("HashAggregate") >= 4
+
+
+def test_jaccard_prefix_filter_no_quadratic_join(spark):
+    """text_jaccard_pairs (prefix filtering): the candidate join must
+    be an equi-join keyed on the prefix token — a cartesian or
+    broadcast-nested-loop join here is the quadratic-block shape the
+    operator exists to avoid."""
+    df = entry.q_text_jaccard_pairs(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the verify stage reads full token arrays only for surviving
+    # candidate pairs — via joins, never a self cross-product
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + \
+        plan.count("BroadcastHashJoin") >= 3
+
+
+def test_corpus_clean_shuffles_fingerprint_not_text(spark):
+    """pipeline_corpus_clean: the dedup aggregate must key on the md5
+    fingerprint; the document text may never survive into an exchange
+    (at 100 TB the shuffle would carry the whole corpus)."""
+    df = entry.q_pipeline_corpus_clean(spark, SF)
+    plan = _plan(df)
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), f"text in shuffle key: {m.group(0)}"
+    # both aggregates keep map-side partial phases
+    assert plan.count("partial_") >= 1 or "HashAggregate" in plan

@@ -133,3 +133,49 @@ def test_handle_failed_exception_span(spark, tmp_dirs):
     exc = rec.events("handle_failed:exception")
     assert exc, "handle_failed:exception span must be emitted"
     assert "hook blew up" in exc[0].metadata["reason"]
+
+
+def test_stateful_path_emits_processor_and_batch_processor_spans(spark, tmp_dirs):
+    """start_stateful: the stateful batcher does the chunking, so the
+    span surface there is processor (+counts) and batch_processor per
+    sink write — asserted over a drained run."""
+    rec = SpanRecorder()
+    src = SpoolSource(
+        name="spool",
+        path=tmp_dirs["spool"],
+        schema_ddl=EVENTS_DDL,
+        ack_data_column="event_id",
+    )
+    src.push_messages(make_events(40), "000.jsonl")
+    cfg = TopologyConfig(
+        name="spans-stateful",
+        order_by="event_id",
+        batchers={"default": BatcherConfig(batch_size=20, batch_timeout_ms=800)},
+        sinks={"default": SinkConfig(path=tmp_dirs["sink"])},
+        ack_log=SinkConfig(path=tmp_dirs["ack"]),
+        checkpoint_dir=tmp_dirs["ckpt"],
+        telemetry=rec,
+    )
+    import time as _time
+
+    q = Pipeline(cfg, src).start_stateful(spark, processing_time="300 milliseconds")
+    try:
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            try:
+                if spark.read.parquet(tmp_dirs["ack"]).count() >= 40:
+                    break
+            except Exception:
+                pass
+            _time.sleep(1)
+    finally:
+        q.stop()
+
+    kinds = rec.kinds()
+    assert "topology:init" in kinds
+    assert "processor:start" in kinds and "processor:stop" in kinds
+    assert "batch_processor:start" in kinds and "batch_processor:stop" in kinds
+    total = sum(
+        s.metadata.get("messages", 0) for s in rec.events("processor:stop")
+    )
+    assert total >= 40
