@@ -428,6 +428,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (SIGMOD'03 MOSS): the partial-
+    copy detector of the text-fingerprinting family — distinct
+    window-min k-gram hashes per doc, exploded to (doc_id, fp) rows.
+    Per-row linear HOF expression, no shuffle before the explode."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(T.winnow_fingerprints("text")).alias("fp"),
+    )
+
+
 CORPUS_MIN_QUALITY = 0.6
 CORPUS_MIN_TOKENS = 20
 CORPUS_MAX_TOKENS = 5000
@@ -1307,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_jaccard_pairs": q_text_jaccard_pairs,
         "pipeline_corpus_clean": q_pipeline_corpus_clean,
+        "text_winnow": q_text_winnow,
         "h5_nation_revenue": q_h5_nation_revenue,
         "str_suite": q_str_suite,
         "date_suite": q_date_suite,
@@ -1810,6 +1823,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1""",
         "text_fingerprint": f"""
             SELECT doc_id, {H.fingerprint_sql('text')} AS fp
+            FROM documents""",
+        "text_winnow": f"""
+            SELECT doc_id, unnest({T.winnow_fingerprints_sql('text')}) AS fp
             FROM documents""",
         "aj1_asof_clicks": """
             WITH u AS (

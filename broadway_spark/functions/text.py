@@ -204,3 +204,67 @@ def quality_score_sql(expr: str) -> str:
     alpha_c = f"(CASE WHEN {n_chars} > 0 THEN {n_alpha} / {n_chars} ELSE 0.0 END)"
     stop_c = f"least(4.0 * {n_stop} / greatest({n_tok}, 1.0), 1.0)"
     return f"round(({length_c} + {alpha_c} + {stop_c}) / 3.0, 6)"
+
+
+def winnow_fingerprints(col_name: str, k: int = 3, w: int = 4, seed: int = 7) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word k-gram, slide a
+    window of ``w`` consecutive k-gram hashes, keep each window's
+    minimum; the distinct selected hashes are the document's
+    fingerprint set. Guarantees: any shared run of ≥ w+k-1 tokens
+    between two documents shares ≥ 1 fingerprint, so fingerprint
+    overlap is a sound partial-copy detector (unlike a single whole-doc
+    hash).
+
+    One nested-HOF expression per row — per-row linear work, no
+    shuffle; the portable md5 hash family keeps it engine-reproducible.
+    Returns array<bigint> (sorted, distinct).
+    """
+    tok = f"split(lower({col_name}), ' ')"
+    gram = f"concat_ws(' ', slice(t, i, {k}))"
+    from broadway_spark.functions.hashing import portable_hash_sql as _  # noqa: F401
+
+    gram_hash = (
+        f"CAST(conv(substring(md5(concat('{seed}', ':', {gram})), 1, 8), 16, 10) "
+        f"AS BIGINT)"
+    )
+    grams = (
+        f"transform(sequence(1, greatest(size(t) - {k - 1}, 1)), i -> {gram_hash})"
+    )
+    wins = (
+        f"transform(sequence(1, greatest(size(g) - {w - 1}, 1)), "
+        f"j -> array_min(slice(g, j, {w})))"
+    )
+    # LET trick: bind the token array and the gram-hash array once each
+    # so the md5 pass runs once per gram, not once per window element.
+    return F.expr(
+        f"array_sort(array_distinct(element_at(transform(array("
+        f"element_at(transform(array({tok}), t -> {grams}), 1)"
+        f"), g -> {wins}), 1)))"
+    )
+
+
+def winnow_fingerprints_sql(expr: str, k: int = 3, w: int = 4, seed: int = 7) -> str:
+    """DuckDB SQL computing the same fingerprint set as
+    ``winnow_fingerprints`` (1-based list_slice end-inclusive)."""
+    tok = f"string_split(lower({expr}), ' ')"
+    # array_to_string, NOT concat_ws: DuckDB's concat_ws stringifies a
+    # list argument ('[a, b]') instead of joining its elements.
+    gram = f"array_to_string(list_slice(t, i, i + {k - 1}), ' ')"
+    gram_hash = (
+        f"CAST(concat('0x', substr(md5(concat('{seed}', ':', {gram})), 1, 8)) "
+        f"AS BIGINT)"
+    )
+    grams = (
+        f"list_transform(generate_series(1, greatest(len(t) - {k - 1}, 1)), "
+        f"i -> {gram_hash})"
+    )
+    wins = (
+        f"list_transform(generate_series(1, greatest(len(g) - {w - 1}, 1)), "
+        f"j -> list_aggregate(list_slice(g, j, j + {w - 1}), 'min'))"
+    )
+    return (
+        f"list_sort(list_distinct(list_transform(list_value("
+        f"list_transform(list_value({tok}), t -> {grams})[1]"
+        f"), g -> {wins})[1]))"
+    )

@@ -195,6 +195,58 @@ def featurize(
     return df.mapInPandas(run, schema=out_ddl)
 
 
+def _resize_netpbm(data: bytes, out_w: int, out_h: int) -> bytes | None:
+    """REAL nearest-neighbor resize for PGM/PPM: decode, sample the
+    source grid, re-encode. Returns None for non-netpbm bytes (a
+    heavyweight codec would plug in at the same seam)."""
+    img = _parse_netpbm(data)
+    if img is None or out_w <= 0 or out_h <= 0:
+        return None
+    w, h, channels, maxval, pixels = img
+    if w == 0 or h == 0:
+        return None
+    rows = bytearray()
+    for y in range(out_h):
+        sy = min(h - 1, (y * h) // out_h)
+        for x in range(out_w):
+            sx = min(w - 1, (x * w) // out_w)
+            off = (sy * w + sx) * channels
+            rows += pixels[off : off + channels]
+    magic = b"P6" if channels == 3 else b"P5"
+    header = magic + f"\n{out_w} {out_h}\n{maxval}\n".encode()
+    return header + bytes(rows)
+
+
+def resize(
+    df: DataFrame,
+    content_col: str,
+    width: int,
+    height: int,
+    out_col: str = "content_resized",
+) -> DataFrame:
+    """Distributed image resize over mapInPandas (Arrow batches): the
+    builtin nearest-neighbor path for netpbm; unparseable media → null.
+    Output = input columns + ``out_col`` BINARY — downstream
+    ``featurize``/``attach_media`` compose on the resized bytes.
+    """
+    out_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    ) + f", {out_col} binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                _resize_netpbm(bytes(b), width, height)
+                if b is not None
+                else None
+                for b in pdf[content_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_ddl)
+
+
 def frame_sample_plan(
     df: DataFrame, content_col: str, every_n: int = 10
 ) -> DataFrame:

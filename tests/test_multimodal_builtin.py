@@ -101,3 +101,40 @@ def test_featurize_builtin_through_spark(spark):
     # metadata computed JVM-side regardless of backend
     meta = {r["media_id"]: r["byte_len"] for r in out.collect()}
     assert meta["img2"] == len(_pgm(3, 1, [[0, 128, 255]]))
+
+
+def test_resize_nearest_neighbor_exact():
+    from broadway_spark.operators.multimodal import _resize_netpbm, _parse_netpbm
+
+    # 2x2 → 4x4: each source pixel becomes a 2x2 block
+    src = _ppm(2, 2, [[(10, 0, 0), (0, 20, 0)], [(0, 0, 30), (40, 40, 40)]])
+    out = _resize_netpbm(src, 4, 4)
+    w, h, ch, maxval, px = _parse_netpbm(out)
+    assert (w, h, ch) == (4, 4, 3)
+    def pix(x, y):
+        off = (y * 4 + x) * 3
+        return tuple(px[off : off + 3])
+    assert pix(0, 0) == pix(1, 1) == (10, 0, 0)
+    assert pix(2, 0) == pix(3, 1) == (0, 20, 0)
+    assert pix(0, 2) == pix(1, 3) == (0, 0, 30)
+    assert pix(2, 2) == pix(3, 3) == (40, 40, 40)
+    # downscale back 4x4 → 2x2 reproduces the original pixels
+    back = _resize_netpbm(out, 2, 2)
+    assert _parse_netpbm(back)[4] == _parse_netpbm(src)[4]
+    assert _resize_netpbm(b"garbage", 2, 2) is None
+
+
+def test_resize_composes_with_featurize_in_spark(spark):
+    from broadway_spark.operators.multimodal import resize
+
+    rows = [
+        ("img1", _ppm(4, 4, [[(100, 0, 0)] * 4] * 4)),
+        ("junk", b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    resized = resize(df, "content", 2, 2)
+    out = featurize(resized, "content_resized", backend="builtin")
+    got = {r["media_id"]: r["feature"] for r in out.collect()}
+    # resized 2x2 solid red: means (100, 0, 0)
+    assert got["img1"] == [1.0, 2.0, 2.0, 3.0, 100.0, 0.0, 0.0, 255.0]
+    assert got["junk"] is None
