@@ -680,12 +680,21 @@ def q_j1_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN: SRP-bucketed candidates, then exact rerank —
-    the scale path next to the brute-force baseline."""
+    """Approximate NN: SRP-bucketed candidates with Hamming-1
+    multi-probe, then exact rerank — the scale path next to the
+    brute-force baseline (recall@10 ≈ 0.48 vs 0.20 single-probe on
+    this corpus; tests/test_ann_recall.py pins the floor)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < ANN_NQUERY)
     return S.ann_lsh_topk(
-        emb, queries_df, "vec_id", "embedding", k=ANN_K, num_planes=4, dim=64
+        emb,
+        queries_df,
+        "vec_id",
+        "embedding",
+        k=ANN_K,
+        num_planes=4,
+        dim=64,
+        probes=5,
     )
 
 
@@ -1112,6 +1121,38 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling: per-row keep probability
+    proportional to the row's weight (quantity), decided by a portable
+    content hash — the deterministic, engine-reproducible analogue of
+    ``rand() < w`` for training-mix shaping. No RNG state, no shuffle
+    before the final small aggregate, trivially resumable at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    bucket = H.portable_hash(key, seed=11) % 1000
+    rate = F.least(F.col("l_quantity").cast("bigint") * 20, F.lit(1000))
+    kept = bucket < rate
+    return (
+        li.select(
+            "l_returnflag",
+            kept.cast("int").alias("k"),
+            F.when(kept, F.col("l_quantity").cast("bigint"))
+            .otherwise(F.lit(0))
+            .alias("q"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("k").alias("n_kept"),
+            F.sum("q").cast("bigint").alias("qty_kept"),
+        )
+    )
+
+
 def q_w5_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function surface: rank / dense_rank / ntile / percent_rank
     / cume_dist over a deterministic total order."""
@@ -1354,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_full_outer": q_j2_full_outer,
         "text_tfidf": q_text_tfidf,
         "sample_stratified": q_sample_stratified,
+        "sample_weighted": q_sample_weighted,
         "w5_rank_suite": q_w5_rank_suite,
         "pv1_pivot": q_pv1_pivot,
         "emb_centroids": q_emb_centroids,
@@ -1472,10 +1514,16 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 def _ann_lsh_oracle() -> str:
     cos = V.cosine_similarity_sql("c.embedding", "q.embedding")
     bucket = S.srp_bucket_sql("embedding", num_planes=4, dim=64)
+    # same Hamming-1 multi-probe masks as ann_lsh_topk(probes=5)
+    masks = "[0, 1, 2, 4, 8]"
     return f"""
 WITH bucketed AS (
   SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
-), q AS (SELECT * FROM bucketed WHERE vec_id < {ANN_NQUERY}),
+), q AS (
+  SELECT b.vec_id, b.embedding, xor(b.bucket, t.m) AS bucket
+  FROM (SELECT * FROM bucketed WHERE vec_id < {ANN_NQUERY}) b,
+       unnest({masks}) AS t(m)
+),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round({cos}, 6) AS cos_sim
@@ -2025,6 +2073,20 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE 500 END
                      THEN 1 ELSE 0 END) AS n_kept
             FROM documents GROUP BY source""",
+        "sample_weighted": f"""
+            SELECT l_returnflag, count(*) AS n_total,
+                   SUM(CASE WHEN
+                     {H.portable_hash_sql("concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))", seed=11)}
+                       % 1000 <
+                     least(CAST(l_quantity AS BIGINT) * 20, 1000)
+                     THEN 1 ELSE 0 END) AS n_kept,
+                   CAST(SUM(CASE WHEN
+                     {H.portable_hash_sql("concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))", seed=11)}
+                       % 1000 <
+                     least(CAST(l_quantity AS BIGINT) * 20, 1000)
+                     THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+                     AS qty_kept
+            FROM lineitem GROUP BY l_returnflag""",
         "w5_rank_suite": """
             SELECT o_orderkey, o_orderpriority,
                    CAST(rank() OVER win AS INT) AS rnk,
