@@ -474,8 +474,14 @@ def jaccard_pairs_prefix_filter(
         "__id",
         *blocks,
         "__n",
-        F.explode(F.slice("__ord", F.lit(1), plen)).alias("__p"),
-    ).select("__id", *blocks, "__n", F.col("__p.__tok").alias("__tok"))
+        F.posexplode(F.slice("__ord", F.lit(1), plen)).alias("__pos0", "__p"),
+    ).select(
+        "__id",
+        *blocks,
+        "__n",
+        (F.col("__pos0") + 1).alias("__pos"),  # 1-based canonical rank
+        F.col("__p.__tok").alias("__tok"),
+    )
     # Materialize: the prefix table feeds both sides of the candidate
     # self-join (Catalyst plans the subtree twice — df-count shuffle,
     # per-doc sort, prefix explode each re-run otherwise). Σ prefix
@@ -485,12 +491,31 @@ def jaccard_pairs_prefix_filter(
     pref.count()
 
     left, right = pref.alias("l"), pref.alias("r")
+    # PPJoin positional filter: J ≥ t needs overlap α = ⌈t/(1+t)·
+    # (|A|+|B|)⌉, and a match at canonical ranks (p_l, p_r) bounds the
+    # overlap by 1 + min(|A|-p_l, |B|-p_r). A qualifying pair always
+    # passes on its FIRST common prefix token (loosest bound), so
+    # filtering per matched row before the distinct is sound. The tiny
+    # epsilon keeps float ceil from over-pruning at exact-integer α.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("l.__n") + F.col("r.__n"))
+        - F.lit(1e-9)
+    )
+    overlap_ub = (
+        F.least(
+            F.col("l.__n") - F.col("l.__pos"),
+            F.col("r.__n") - F.col("r.__pos"),
+        )
+        + F.lit(1)
+    )
     join_cond = (
         (F.col("l.__tok") == F.col("r.__tok"))
         & (F.col("l.__id") < F.col("r.__id"))
         # length filter: J ≥ t forces t·|A| ≤ |B| and t·|B| ≤ |A|
         & (F.col("r.__n") >= F.lit(threshold) * F.col("l.__n"))
         & (F.col("l.__n") >= F.lit(threshold) * F.col("r.__n"))
+        & (overlap_ub >= alpha)
     )
     for c in blocks:
         join_cond = join_cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))

@@ -14,7 +14,7 @@ from broadway_spark.sources import SpoolSource
 from .conftest import EVENTS_DDL, make_events
 
 
-def _wait_for_acks(spark, path, want, timeout_s=120):
+def _wait_for_acks(spark, path, want, timeout_s=240):
     deadline = time.time() + timeout_s
     while time.time() < deadline:
         try:
