@@ -37,13 +37,20 @@ from broadway_spark.operators import temporal as TM
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # The events table stores ts as parquet TIMESTAMP(NANOS), which
-        # Spark only reads via the nanosAsLong escape hatch; normalize
-        # back to a proper timestamp (microsecond precision) here.
+        # The events table's ts physical type has varied across datagen
+        # versions: parquet TIMESTAMP(NANOS) (readable only via the
+        # nanosAsLong escape hatch) and TIMESTAMP(isAdjustedToUTC=false)
+        # (loads as TIMESTAMP_NTZ, which unix_micros & co. reject).
+        # Normalize both to a proper TIMESTAMP here; the session tz is
+        # pinned to UTC so the NTZ cast is the identity interpretation
+        # and matches DuckDB's naive-epoch math.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -1314,6 +1321,254 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational suite, third wave: multi-dim join trees, disjunctive scan
+# predicates, conditional-aggregate shares, anti-join cohorts, hopping
+# windows
+# ---------------------------------------------------------------------------
+
+H18_QTY_THRESHOLD = 250
+H22_CUTOFF = "2000-01-01"
+
+
+def _dp() -> F.Column:
+    """Decimal-exact discounted price: extendedprice * (1 - discount)."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+
+
+_DP_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+def q_h8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share (TPC-H Q8 shape): NATION_3 suppliers' share of ASIA
+    customers' yearly revenue. Two independent dimension subtrees
+    (customer-nation⋈region filter; supplier⋈nation name) are broadcast
+    onto the lineitem⋈orders⋈customer fact spine — the two fact joins
+    shuffle on their natural keys, the four dimension joins move no
+    fact data. Share is computed from the ROUNDED totals so both
+    engines divide identical doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = _t(spark, sf_dir, "supplier")
+    cust_nat = nat.join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    supp_nat = supp.join(
+        F.broadcast(
+            nat.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    dp = _dp()
+    zero = F.lit(0).cast("decimal(18,2)")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", dp).otherwise(zero)
+                ).cast("double"),
+                2,
+            ).alias("nation_rev"),
+            F.round(F.sum(dp).cast("double"), 2).alias("total_rev"),
+        )
+    )
+    return agg.withColumn(
+        "mkt_share", F.round(F.col("nation_rev") / F.col("total_rev"), 6)
+    )
+
+
+def q_h12_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-lag audit (TPC-H Q12 shape): per order priority, how
+    many lineitems shipped more than 60 days after the order date. One
+    fact-fact shuffle join on the order key, counters as conditional
+    aggregates in the same pass — no second scan for the ratio."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    late = (
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        > 60
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .withColumn(
+            "late_ratio",
+            F.round(F.col("n_late").cast("double") / F.col("n_total"), 6),
+        )
+    )
+
+
+def q_h14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share (TPC-H Q14 shape) per ship-year: percentage
+    of discounted revenue coming from PROMO-type parts. lineitem⋈part
+    shuffles on the part key (both sides pruned to the 4 needed
+    columns); the share again divides pre-rounded doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    dp = _dp()
+    zero = F.lit(0).cast("decimal(18,2)")
+    agg = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", dp).otherwise(zero)).cast(
+                    "double"
+                ),
+                2,
+            ).alias("promo_rev"),
+            F.round(F.sum(dp).cast("double"), 2).alias("total_rev"),
+        )
+    )
+    return agg.withColumn(
+        "promo_pct",
+        F.round(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6),
+    )
+
+
+def q_h18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): orders whose summed
+    lineitem quantity reaches the threshold, with their customer. The
+    quantity pre-aggregation shuffles lineitem ONCE on l_orderkey and
+    shrinks it to one row per qualifying order before any join —
+    the orders join then moves only the survivors."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") >= H18_QTY_THRESHOLD)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+def q_h19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive scan predicate (TPC-H Q19 shape): revenue from three
+    OR'd brand/size/quantity clauses. One lineitem⋈part equi-join on
+    the part key with the disjunction applied post-join — Catalyst
+    cannot push an OR across both sides, but each branch's part-side
+    conjuncts stay evaluable in the joined row without a second scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#4")
+            & (F.col("p_size") <= 10)
+            & qty.between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & (F.col("p_size") <= 20)
+            & qty.between(10, 30)
+        )
+        | ((F.col("p_type") == "PROMO") & (qty >= 25))
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dp()).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_h22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant high-balance customers (TPC-H Q22 shape): per nation,
+    customers above the global positive-average balance with no order
+    since the cutoff. The average-balance comparison is the decimal
+    cross-multiply (bal * n_pos > sum_pos) so no float division ever
+    happens; the "no recent order" test is a left-anti join against
+    the pre-filtered, pre-distinct order keys — at scale that side
+    collapses to distinct custkeys before shuffling."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("__n_pos"),
+        F.sum(bal).alias("__sum_pos"),
+    )
+    recent = (
+        orders.filter(
+            F.col("o_orderdate").cast("date") >= F.lit(H22_CUTOFF).cast("date")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(bal * F.col("__n_pos") > F.col("__sum_pos"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum(bal).cast("double"), 2).alias("total_bal"),
+        )
+    )
+
+
+def q_w7_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time window: 1-hour windows advancing
+    every 30 minutes — each event lands in exactly 2 windows. Spark's
+    native F.window(slideDuration) expands rows window-count-fold
+    BEFORE the shuffle (an Expand node, map-side), so the aggregation
+    is still one shuffle; the same call is streaming-capable with a
+    watermark."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("value").alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -1407,6 +1662,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_argmax": q_agg_argmax,
         "agg_collect_ordered": q_agg_collect_ordered,
         "w6_trailing_range": q_w6_trailing_range,
+        "h8_market_share": q_h8_market_share,
+        "h12_late_ship": q_h12_late_ship,
+        "h14_promo": q_h14_promo,
+        "h18_big_orders": q_h18_big_orders,
+        "h19_disjunctive": q_h19_disjunctive,
+        "h22_idle_rich": q_h22_idle_rich,
+        "w7_hopping": q_w7_hopping,
     }
 
 
@@ -2182,6 +2444,102 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY date_diff('day', DATE '1970-01-01',
                                               CAST(o_orderdate AS DATE))
                            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""",
+        "h8_market_share": f"""
+            SELECT o_year, nation_rev, total_rev,
+                   round(nation_rev / total_rev, 6) AS mkt_share
+            FROM (
+              SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                     round(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                       THEN {_DP_SQL} ELSE CAST(0 AS DECIMAL(18,2)) END)
+                       AS DOUBLE), 2) AS nation_rev,
+                     round(CAST(SUM({_DP_SQL}) AS DOUBLE), 2) AS total_rev
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region   ON cn.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              WHERE r_name = 'ASIA'
+              GROUP BY 1
+            )""",
+        "h12_late_ship": """
+            SELECT o_orderpriority, n_late, n_total,
+                   round(CAST(n_late AS DOUBLE) / n_total, 6) AS late_ratio
+            FROM (
+              SELECT o_orderpriority,
+                     SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                             CAST(l_shipdate AS DATE)) > 60
+                         THEN 1 ELSE 0 END) AS n_late,
+                     count(*) AS n_total
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority
+            )""",
+        "h14_promo": f"""
+            SELECT ship_year, promo_rev, total_rev,
+                   round(100.0 * promo_rev / total_rev, 6) AS promo_pct
+            FROM (
+              SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+                     round(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN {_DP_SQL} ELSE CAST(0 AS DECIMAL(18,2)) END)
+                       AS DOUBLE), 2) AS promo_rev,
+                     round(CAST(SUM({_DP_SQL}) AS DOUBLE), 2) AS total_rev
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY 1
+            )""",
+        "h18_big_orders": f"""
+            SELECT c_custkey, c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   o_totalprice, total_qty
+            FROM (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     >= {H18_QTY_THRESHOLD}
+            ) big
+            JOIN orders   ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey""",
+        "h19_disjunctive": f"""
+            SELECT count(*) AS n,
+                   round(CAST(SUM({_DP_SQL}) AS DOUBLE), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#4' AND p_size <= 10
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#19' AND p_size <= 20
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_type = 'PROMO' AND l_quantity >= 25)""",
+        "h22_idle_rich": f"""
+            WITH pos AS (
+              SELECT count(*) AS n_pos,
+                     SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_pos
+              FROM customer WHERE c_acctbal > 0
+            )
+            SELECT cn.n_name AS nation, count(*) AS n_custs,
+                   round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS total_bal
+            FROM customer c, pos
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pos.n_pos > pos.sum_pos
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c.c_custkey
+                                AND CAST(o_orderdate AS DATE)
+                                    >= DATE '{H22_CUTOFF}')
+            GROUP BY 1""",
+        "w7_hopping": f"""
+            SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type,
+                   count(*) AS n, {_dsum_sql('value')} AS sum_value
+            FROM (
+              SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws,
+                     event_type, value
+              FROM events
+              UNION ALL
+              SELECT time_bucket(INTERVAL '30 minutes', ts)
+                       - INTERVAL '30 minutes' AS ws,
+                     event_type, value
+              FROM events
+            ) GROUP BY 1, 2""",
         # dedup_clusters: iterative connected components — deliberately
         # no SQL oracle (driver records the weaker rows-only check).
     }

@@ -174,6 +174,13 @@ class TopologyConfig:
     batch_key_by: Column | None = None
     handle_batch: Callable[[str, Any], Any] | None = None
     handle_failed: Callable[[Any], Any] | None = None
+    # A1 connector bulk-ack (acknowledger.ex:63-85): called once per
+    # micro-batch with the ack-row DataFrame (ACK_LOG_SCHEMA) and the
+    # batch_id, AFTER sinks and the ack log. Connectors with
+    # per-message acks (SQS delete) plug in here —
+    # e.g. SQSSource.make_ack_executor(). None = checkpoint-only acks
+    # (Kafka/spool offset commit).
+    ack_executor: Callable[[DataFrame, int], None] | None = None
     # L5: a streaming.spans.SpanRecorder collecting the 13-event
     # Broadway span catalogue (broadway.ex:651-887). None = no span
     # accounting (zero overhead).

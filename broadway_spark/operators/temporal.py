@@ -24,6 +24,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ts_micros(col: Column | str) -> Column:
+    """Epoch microseconds of a timestamp column, tolerant of both
+    TIMESTAMP and TIMESTAMP_NTZ inputs. ``unix_micros`` only accepts
+    TIMESTAMP; parquet written with ``isAdjustedToUTC=false`` loads as
+    TIMESTAMP_NTZ, and the session timezone is pinned to UTC
+    (broadway_spark/session.py), so the cast is the identity
+    interpretation (naive == UTC) and matches DuckDB's epoch math."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -120,7 +131,7 @@ def follow_within(
     non-ts non-id columns are dropped; id + ts always carried).
     """
     cols = cols or []
-    sec = F.unix_micros(F.col(ts_col))
+    sec = ts_micros(ts_col)
     win_us = F.expr(f"unix_micros(timestamp '1970-01-01 00:00:00Z' + interval {window})")
     bucket = F.floor(sec / win_us)
     base = df.select(
@@ -148,7 +159,7 @@ def follow_within(
     ts_a, ts_b = F.col(ts_col), F.col(ts_col + suffix)
     return joined.filter(
         (ts_b >= ts_a)
-        & (F.unix_micros(ts_b) - F.unix_micros(ts_a) <= win_us)
+        & (ts_micros(ts_b) - ts_micros(ts_a) <= win_us)
         & (F.col(id_col) != F.col(id_col + suffix))
     )
 

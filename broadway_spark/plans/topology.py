@@ -174,7 +174,10 @@ class Pipeline:
         ``impl='v1'`` uses ``applyInPandasWithState``; ``impl='tws'``
         uses Spark 4's ``transformWithStateInPandas`` (typed composite
         state + named timers, ``streaming/stateful_batcher_v2.py``) —
-        identical output contract.
+        identical output contract. ``impl='auto'`` picks ``tws`` when
+        the environment can run it (PySpark's transformWithState state
+        protocol needs the protobuf package) and otherwise falls back
+        to ``v1`` with a loud warning — same semantics either way.
 
         The stateful stage does the chunking; foreachBatch only fans
         chunks out to sinks and appends the ack log.
@@ -191,6 +194,25 @@ class Pipeline:
                 )
         from broadway_spark.streaming.router import _write
 
+        if impl == "auto":
+            from broadway_spark.streaming.stateful_batcher_v2 import (
+                tws_available,
+            )
+
+            if tws_available():
+                impl = "tws"
+            else:
+                import warnings
+
+                warnings.warn(
+                    "stateful batcher impl='auto': transformWithState "
+                    "unavailable (no protobuf in this environment); "
+                    "falling back to the applyInPandasWithState v1 "
+                    "implementation (identical output contract)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                impl = "v1"
         if impl == "tws":
             from broadway_spark.streaming.stateful_batcher_v2 import (
                 stateful_batch_stream_v2 as stateful_batch_stream,
@@ -266,7 +288,7 @@ class Pipeline:
                         )
                 if cfg.dlq is not None:
                     _write(failed, cfg.dlq.path, cfg.dlq.format)
-                if cfg.ack_log is not None:
+                if cfg.ack_log is not None or cfg.ack_executor is not None:
                     # A3/A4 on the stateful path, mirroring the
                     # foreachBatch router (router.py): failed rows with
                     # on_failure=retry are NOT acked (the source's
@@ -287,20 +309,54 @@ class Pipeline:
                             & (F.col("ack_policy") == "early"),
                             F.lit("early"),
                         ).otherwise(F.col("trigger"))
-                    acks = ackable.select(
-                        F.lit(batch_id).alias("batch_id"),
-                        F.col("ack_ref"),
-                        F.col("ack_data"),
-                        F.when(F.col("status_ok"), "ok")
-                        .otherwise("failed")
-                        .alias("outcome"),
-                        F.col("status_reason").alias("reason"),
-                        F.col("batcher"),
-                        F.col("batch_key"),
-                        trigger_col.alias("trigger"),
-                        F.col("batch_size"),
+
+                    def _ack_select(df, outcome_col):
+                        return df.select(
+                            F.lit(batch_id).alias("batch_id"),
+                            F.col("ack_ref"),
+                            F.col("ack_data"),
+                            outcome_col.alias("outcome"),
+                            F.col("status_reason").alias("reason"),
+                            F.col("batcher"),
+                            F.col("batch_key"),
+                            trigger_col.alias("trigger"),
+                            F.col("batch_size"),
+                        )
+
+                    acks = _ack_select(
+                        ackable,
+                        F.when(F.col("status_ok"), "ok").otherwise("failed"),
                     )
-                    _write(acks, cfg.ack_log.path, cfg.ack_log.format)
+                    exec_acks = acks
+                    if cfg.ack_executor is not None and has_policy:
+                        # executor-only retry signals (never logged):
+                        # per-message-ack brokers fast-track redelivery
+                        exec_acks = acks.unionByName(
+                            _ack_select(
+                                batch_df.filter(
+                                    ~F.col("status_ok")
+                                    & (F.col("ack_policy") == "retry")
+                                ),
+                                F.lit("retry"),
+                            )
+                        )
+                    if cfg.ack_executor is not None:
+                        exec_acks = exec_acks.persist()
+                    try:
+                        if cfg.ack_log is not None:
+                            logged = (
+                                exec_acks.filter(F.col("outcome") != "retry")
+                                if cfg.ack_executor is not None
+                                else acks
+                            )
+                            _write(logged, cfg.ack_log.path, cfg.ack_log.format)
+                        if cfg.ack_executor is not None:
+                            # A1 connector bulk ack (acknowledger.ex:
+                            # 63-85) — e.g. SQS per-message deletes.
+                            cfg.ack_executor(exec_acks, batch_id)
+                    finally:
+                        if cfg.ack_executor is not None:
+                            exec_acks.unpersist()
             finally:
                 batch_df.unpersist()
 

@@ -10,5 +10,12 @@
 
 from broadway_spark.sources.file_stream import FileStreamSource
 from broadway_spark.sources.spool import SpoolSource, register_spool_source
+from broadway_spark.sources.sqs import SQSSource, register_sqs_source
 
-__all__ = ["FileStreamSource", "SpoolSource", "register_spool_source"]
+__all__ = [
+    "FileStreamSource",
+    "SpoolSource",
+    "SQSSource",
+    "register_spool_source",
+    "register_sqs_source",
+]

@@ -165,6 +165,7 @@ def build_router(
             ok = batch_df.filter(F.col("status.ok"))
 
             has_policy = "ack_policy" in batch_df.columns
+            retry_acks = None
             if has_policy:
                 # A3: early-acked rows get their ack at the processor
                 # stage (message.ex:172-201); terminal ack is a no-op.
@@ -172,10 +173,6 @@ def build_router(
                 ack_parts.append(
                     _ack_rows(early, batch_id, "ok", trigger_col=F.lit("early"))
                 )
-                # A4: failed rows with on_failure=retry are NOT acked —
-                # the source's redelivery owns them (A6: no built-in
-                # retries, broadway.ex:332-338).
-                failed = failed.filter(F.col("ack_policy") != "retry")
 
             # --- failed branch: handle_failed hook → DLQ → ack failed
             span_failed = (
@@ -212,7 +209,24 @@ def build_router(
                         failed.count()
                 if config.dlq is not None:
                     _write(failed, config.dlq.path, config.dlq.format)
-            ack_parts.append(_ack_rows(failed, batch_id, "failed"))
+            # A4: failed rows with on_failure=retry flow through
+            # handle_failed and the DLQ like any failure (the reference
+            # runs handle_failed for every failed message,
+            # acknowledger.ex:96-150) but are NOT acked — the source's
+            # redelivery owns them (A6: no built-in retries,
+            # broadway.ex:332-338). They are surfaced to the connector's
+            # ack executor as outcome='retry' (never written to the ack
+            # log) so per-message-ack brokers can fast-track redelivery
+            # (SQS ChangeMessageVisibility(0)).
+            ackable_failed = failed
+            if has_policy:
+                retry_acks = _ack_rows(
+                    failed.filter(F.col("ack_policy") == "retry"),
+                    batch_id,
+                    "retry",
+                )
+                ackable_failed = failed.filter(F.col("ack_policy") != "retry")
+            ack_parts.append(_ack_rows(ackable_failed, batch_id, "failed"))
 
             if not config.batchers:
                 # Consumer mode (topology.ex:277-281): processors are
@@ -336,11 +350,29 @@ def build_router(
                         )
                     )
 
-            if config.ack_log is not None:
+            if config.ack_log is not None or config.ack_executor is not None:
                 acks = ack_parts[0]
                 for p in ack_parts[1:]:
                     acks = acks.unionByName(p)
-                _write(acks, config.ack_log.path, config.ack_log.format)
+                if config.ack_executor is not None:
+                    if retry_acks is not None:
+                        acks = acks.unionByName(retry_acks)
+                    # two consumers (log + executor): one compute
+                    acks = acks.persist()
+                    hook_cache.append(acks)
+                if config.ack_log is not None:
+                    # retry rows are executor-only signals, not acks
+                    logged = (
+                        acks.filter(F.col("outcome") != "retry")
+                        if config.ack_executor is not None
+                        else acks
+                    )
+                    _write(logged, config.ack_log.path, config.ack_log.format)
+                if config.ack_executor is not None:
+                    # A1 bulk ack: the connector's one-call-per-source
+                    # hook (acknowledger.ex:63-85) — e.g. SQS deletes,
+                    # fanned out executor-side by the connector.
+                    config.ack_executor(acks, batch_id)
         finally:
             for cached in hook_cache:
                 cached.unpersist()

@@ -86,10 +86,14 @@ def test_configure_ack_retry_skips_ack(spark, tmp_dirs):
     errors = [e for e in raw if e["event_type"] == "error"]
     want_failed = len([e for e in errors if e["user_id"] % 2 == 1])
     assert failed_acks.count() == want_failed
-    # retry rows are excluded from the DLQ too: redelivery owns them;
-    # only discard-path failures are dead-lettered
+    # every failure — retry or discard — flows through handle_failed
+    # and the DLQ (the reference runs handle_failed for all failed
+    # messages, acknowledger.ex:96-150); retry only withholds the ACK
     dlq = spark.read.parquet(tmp_dirs["dlq"])
-    assert dlq.count() == want_failed
+    assert dlq.count() == len(errors)
+    retry_ids = {e["event_id"] for e in errors if e["user_id"] % 2 == 0}
+    acked_ids = {int(r[0]) for r in failed_acks.select("ack_data").collect()}
+    assert retry_ids.isdisjoint(acked_ids)
 
 
 def test_telemetry_listener_and_observe(spark, tmp_dirs):

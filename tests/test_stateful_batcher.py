@@ -219,6 +219,48 @@ def test_tws_cross_batch_assembly_and_timeout(spark, tmp_dirs):
     assert groups.get(("timeout", 30)) == 30
 
 
+def test_auto_impl_falls_back_loudly(spark, tmp_dirs):
+    """impl='auto' must pick transformWithState when the environment
+    supports it and otherwise fall back to the v1 path with a visible
+    RuntimeWarning — never a crash, never a silent downgrade."""
+    import warnings
+
+    src = SpoolSource(
+        name="spool",
+        path=tmp_dirs["spool"],
+        schema_ddl=EVENTS_DDL,
+        ack_data_column="event_id",
+    )
+    src.push_messages(make_events(20), "000.jsonl")
+    cfg = TopologyConfig(
+        name="auto_impl",
+        order_by="event_id",
+        batchers={"default": BatcherConfig(batch_size=10, batch_timeout_ms=1000)},
+        sinks={"default": SinkConfig(path=tmp_dirs["sink"])},
+        ack_log=SinkConfig(path=tmp_dirs["ack"]),
+        checkpoint_dir=tmp_dirs["ckpt"],
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        q = Pipeline(cfg, src).start_stateful(
+            spark, processing_time="300 milliseconds", impl="auto"
+        )
+    try:
+        if not _tws_available():
+            assert any(
+                issubclass(w.category, RuntimeWarning)
+                and "falling back" in str(w.message)
+                for w in caught
+            ), "fallback must warn"
+        else:
+            assert not caught
+        assert _wait_for_acks(spark, tmp_dirs["ack"], 20, timeout_s=90)
+    finally:
+        q.stop()
+    ack = spark.read.parquet(tmp_dirs["ack"])
+    assert ack.count() == 20
+
+
 def test_tws_gate_raises_clear_error_when_unavailable(spark, tmp_dirs):
     """When the environment can't run transformWithState, impl='tws'
     must fail fast with a ConfigError, not crash mid-stream."""
