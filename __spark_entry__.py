@@ -2540,6 +2540,4 @@ def oracle_sql() -> dict[str, str]:
                      event_type, value
               FROM events
             ) GROUP BY 1, 2""",
-        # dedup_clusters: iterative connected components — deliberately
-        # no SQL oracle (driver records the weaker rows-only check).
     }

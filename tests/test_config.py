@@ -109,3 +109,19 @@ def test_default_processor_concurrency_is_2x_cores():
 
     cfg = TopologyConfig(name="p").validate()
     assert cfg.processors.concurrency == (os.cpu_count() or 4) * 2
+
+
+def test_driver_contract_queries_and_oracles_stay_in_sync():
+    """Drift guard for the driver contract: every queries() entry has
+    an oracle_sql() twin and vice versa (the correctness gate compares
+    them pairwise — an orphan on either side silently weakens the
+    gate), and every oracle is a non-empty SQL string."""
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(qs) == set(oracles)
+    assert all(callable(fn) for fn in qs.values())
+    assert all(
+        isinstance(sql, str) and sql.strip().upper().startswith(("SELECT", "WITH"))
+        for sql in oracles.values()
+    )

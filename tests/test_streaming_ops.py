@@ -122,6 +122,93 @@ def test_windowed_agg_with_watermark(spark, tmp_dirs):
     assert got == want
 
 
+def test_hopping_window_stream_matches_batch_and_drops_late(spark, tmp_dirs):
+    """Hopping (1h window / 30m slide) event-time aggregation on a
+    watermarked stream: (a) emitted windows equal the batch computation
+    on the punctual data, and (b) an event arriving AFTER the watermark
+    passed its windows is dropped — both halves of the late-data
+    contract (w7_hopping's streaming form)."""
+    src = SpoolSource(
+        name="spool",
+        path=tmp_dirs["spool"],
+        schema_ddl=EVENTS_DDL + ", ts timestamp",
+        ack_data_column="event_id",
+    )
+    events = make_events(120)
+    for i, e in enumerate(events):
+        e["ts"] = f"2024-01-01 {i // 30:02d}:{(i * 2) % 60:02d}:00"
+    src.push_messages(events, "000.jsonl")
+
+    stream = src.read_stream(spark)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("win_start"),
+            "n",
+        )
+    )
+
+    def drain():
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", tmp_dirs["sink"])
+            .option("checkpointLocation", tmp_dirs["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # Advance the watermark well past the data (and persist it for the
+    # next run — the bump computed at a batch's END is only effective
+    # from the following batch).
+    s1 = make_events(1, start=30_000)[0]
+    s1["ts"] = "2024-01-02 00:00:00"
+    src.push_messages([s1], "001_sentinel.jsonl")
+    drain()
+    # A late event a day behind the watermark: every window it belongs
+    # to is closed, so it must be DROPPED — not resurrect any window.
+    late = make_events(1, start=20_000)[0]
+    late["ts"] = "2023-12-31 18:00:00"
+    src.push_messages([late], "002_late.jsonl")
+    drain()
+    # Final sentinel so every remaining data window emits.
+    s2 = make_events(1, start=30_001)[0]
+    s2["ts"] = "2024-01-03 00:00:00"
+    src.push_messages([s2], "003_sentinel.jsonl")
+    drain()
+
+    all_rows = spark.read.parquet(tmp_dirs["sink"]).collect()
+    # the late event's two windows ([17:30,18:30) and [18:00,19:00))
+    # must never emit; the [23:30,00:30) window is legitimate — hop
+    # windows extend backward from the punctual midnight events
+    assert not any(
+        r["win_start"] in ("2023-12-31 17:30", "2023-12-31 18:00")
+        for r in all_rows
+    ), "late event leaked"
+    # data occupies 2024-01-01 00:00-04:00; sentinel windows start later
+    got = {
+        (r["win_start"]): r["n"]
+        for r in all_rows
+        if r["win_start"] < "2024-01-01 05:00"
+    }
+    batch = spark.createDataFrame(events)
+    want = {
+        r["win_start"]: r["n"]
+        for r in batch.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("win_start"), "n"
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_runtime_rate_limit_update(spark, tmp_dirs):
     """F3: update_rate_limiting takes effect on subsequent triggers
     (broadway.ex:1447-1523)."""
