@@ -1569,6 +1569,82 @@ def q_w7_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-pipeline operators, third wave: sequence packing and
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+SEQ_TOKEN_BUDGET = 256
+DECON_SHINGLE_K = 3
+DECON_MIN_SHARED = 3
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: greedily pack documents (in doc_id
+    order, per language) into sequences of ~SEQ_TOKEN_BUDGET tokens —
+    the contiguous-greedy packing a streaming tokenizer does when
+    building fixed-length training examples. Reuses the budget splitter
+    (operators/batching.py::chunk_by_budget, the reference's
+    {init_acc, fun} custom batcher, options.ex:233-264): one window
+    pass per key, no Python. Returns per-sequence stats."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.token_count("text").alias("n_tokens")
+    )
+    packed = B.chunk_by_budget(
+        docs, ["lang"], "doc_id", "n_tokens", SEQ_TOKEN_BUDGET
+    )
+    return packed.groupBy("lang", F.col("chunk_id").alias("seq_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct word 3-grams appear in the benchmark set (source 'src0'
+    stands in for the eval suite) — the n-gram-overlap contamination
+    check run before training. Scale shape: the benchmark shingle set
+    is small by construction → broadcast equi-join against the exploded
+    corpus shingles, ONE shuffle (the per-doc count); the corpus is
+    never self-joined."""
+    docs = _t(spark, sf_dir, "documents")
+    bench_sh = (
+        T.shingle_rows(
+            docs.filter(F.col("source") == "src0"),
+            "doc_id",
+            "text",
+            k=DECON_SHINGLE_K,
+        )
+        .select(F.col("__sh").alias("sh"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("source") != "src0")
+    # Shingle the corpus ONCE (row form — all codegen, no interpreted
+    # lambda, no array round trip) and fold both counters in a single
+    # aggregation: a broadcast LEFT join marks benchmark hits, then one
+    # groupBy counts total (rows are distinct per doc) and hits
+    # together.
+    ex = T.shingle_rows(corpus, "doc_id", "text", k=DECON_SHINGLE_K).select(
+        "__id", F.col("__sh").alias("sh")
+    )
+    hit = F.broadcast(bench_sh.withColumn("__hit", F.lit(1)))
+    per_doc = (
+        ex.join(hit, "sh", "left")
+        .groupBy(F.col("__id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("int").alias("n_shared"),
+        )
+    )
+    return per_doc.withColumn(
+        "containment",
+        F.round(F.col("n_shared").cast("double") / F.col("n_shingles"), 6),
+    ).withColumn(
+        "contaminated", (F.col("n_shared") >= DECON_MIN_SHARED).cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -1669,6 +1745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h19_disjunctive": q_h19_disjunctive,
         "h22_idle_rich": q_h22_idle_rich,
         "w7_hopping": q_w7_hopping,
+        "pack_sequences": q_pack_sequences,
+        "text_decontaminate": q_text_decontaminate,
     }
 
 
@@ -2540,4 +2618,46 @@ def oracle_sql() -> dict[str, str]:
                      event_type, value
               FROM events
             ) GROUP BY 1, 2""",
+        "pack_sequences": f"""
+            SELECT lang,
+                   CAST(floor((cum - n_tokens) / {SEQ_TOKEN_BUDGET})
+                        AS BIGINT) AS seq_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   min(doc_id) AS first_doc
+            FROM (
+              SELECT doc_id, lang,
+                     {T.token_count_sql('text')} AS n_tokens,
+                     SUM({T.token_count_sql('text')}) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum
+              FROM documents
+            ) GROUP BY 1, 2""",
+        "text_decontaminate": f"""
+            WITH corp AS (
+              SELECT doc_id, {T.word_shingles_sql('text', DECON_SHINGLE_K)}
+                       AS shs
+              FROM documents WHERE source <> 'src0'
+            ),
+            bench AS (
+              SELECT DISTINCT
+                     unnest({T.word_shingles_sql('text', DECON_SHINGLE_K)})
+                       AS sh
+              FROM documents WHERE source = 'src0'
+            ),
+            ex AS (SELECT doc_id, unnest(shs) AS sh FROM corp),
+            shared AS (
+              SELECT doc_id, count(*) AS n_shared
+              FROM ex JOIN bench USING (sh) GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   CAST(len(c.shs) AS INT) AS n_shingles,
+                   CAST(coalesce(s.n_shared, 0) AS INT) AS n_shared,
+                   round(CAST(coalesce(s.n_shared, 0) AS DOUBLE)
+                         / len(c.shs), 6) AS containment,
+                   CAST(CASE WHEN coalesce(s.n_shared, 0)
+                             >= {DECON_MIN_SHARED}
+                        THEN 1 ELSE 0 END AS INT) AS contaminated
+            FROM corp c LEFT JOIN shared s USING (doc_id)""",
     }

