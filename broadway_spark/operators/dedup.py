@@ -361,26 +361,94 @@ def near_dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    algorithm: str = "star",
 ) -> DataFrame:
-    """Connected components over a near-dup pair graph: iterative
-    min-label propagation until fixpoint.
+    """Connected components over a near-dup pair graph.
 
-    Each node starts labeled with its own id; every round each node
-    takes the min of its label and its neighbors' labels (one join +
-    one groupBy-min per round), with ``localCheckpoint`` cutting the
-    lineage so the plan stays flat. Near-dup graphs are
-    shallow-diameter (dup chains, not long paths), so convergence is a
-    handful of rounds; ``max_iter`` bounds pathological chains. The
-    result is deterministic (min is order-independent) regardless of
-    partitioning.
+    ``algorithm='star'`` (default): alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm). Each round rewires every node toward
+    the minimum of its neighborhood with TWO groupBy-min + join passes
+    — no per-node adjacency materialization (no collect_set, so a hub
+    node never concentrates state in one task), and the edge set
+    provably converges to min-rooted stars in O(log² n) rounds even
+    for path graphs and giant skewed components. This is the 100 TB
+    formulation.
 
-    At 1000-executor scale the same loop holds — each round is one
-    shuffle of the (node, label) table; for graphs with huge skewed
-    components, swap in the alternating large-star/small-star variant
-    (same primitive ops, better worst-case rounds).
+    ``algorithm='label'``: the classic min-label propagation (one join
+    + groupBy-min per round). Rounds scale with component DIAMETER, so
+    a dup chain longer than ``max_iter`` returns unconverged labels —
+    kept for comparison; prefer 'star'.
 
-    Returns (cluster_id = min member id, size) per component.
+    Both are deterministic (min is order-independent) regardless of
+    partitioning; ``localCheckpoint`` cuts lineage each round so plans
+    stay flat. Returns (cluster_id = min member id, size).
     """
+    if algorithm == "label":
+        return _clusters_label_prop(pairs, id_a, id_b, max_iter)
+    if algorithm != "star":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # Large-star: for every node u, connect each strictly-larger
+        # neighbor v to m(u) = min(Γ(u) ∪ {u}). m(u) via groupBy-min +
+        # join back — never a gathered neighbor list.
+        adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = (
+            adj.groupBy("u")
+            .agg(F.min("v").alias("__mv"))
+            .select("u", F.least("__mv", F.col("u")).alias("m"))
+        )
+        large = (
+            adj.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # Small-star: orient edges big→small; connect every smaller
+        # neighbor (and u itself) to the minimum one.
+        adj2 = large.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        m2 = adj2.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            adj2.join(m2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .union(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # Fixpoint test: (count, order-independent checksum) in ONE
+        # aggregate job — cheaper than an anti-join change probe.
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        sig = (row["n"], row["s"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # Fixpoint: min-rooted star forest — b is the component minimum,
+    # each non-root member appears exactly once as a.
+    return e.groupBy(F.col("b").alias("cluster_id")).agg(
+        (F.count(F.lit(1)) + 1).alias("size")
+    )
+
+
+def _clusters_label_prop(
+    pairs: DataFrame, id_a: str, id_b: str, max_iter: int
+) -> DataFrame:
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.union(
