@@ -1568,6 +1568,80 @@ def q_w7_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_h13_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): histogram
+    of customers by how many orders they placed, zeros included. The
+    left join keeps order-less customers; both aggregations keep
+    map-side partials, and the second groupBy's key space (distinct
+    order counts) is tiny so the final shuffle is negligible."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("n_custs")
+    )
+
+
+def q_h15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): supplier(s) with the maximum
+    revenue over a ship-date quarter. The per-supplier aggregate
+    shrinks lineitem to one row per supplier BEFORE the max is taken;
+    the global max is a 1-row broadcast cross join (never a sort of
+    the aggregate), and ties all surface."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(_dp()).cast("double"), 2).alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_h17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): average yearly
+    revenue lost if orders below 20% of a part's average quantity were
+    not taken. The per-part average is ONE window pass over the
+    lineitem shuffle on l_partkey (no self-join, no correlated
+    subquery), and the 20%-of-average comparison is the decimal
+    cross-multiply qty*5*n < sum — no float division before the
+    filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    w = Window.partitionBy("l_partkey")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    stats = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+        .withColumn("__sum_qty", F.sum(qty).over(w))
+    )
+    return (
+        stats.filter(qty * 5 * F.col("__n") < F.col("__sum_qty"))
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                    / F.lit(7)
+                ).cast("double"),
+                2,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-pipeline operators, third wave: sequence packing and
 # benchmark decontamination
@@ -1747,6 +1821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_hopping": q_w7_hopping,
         "pack_sequences": q_pack_sequences,
         "text_decontaminate": q_text_decontaminate,
+        "h13_order_dist": q_h13_order_dist,
+        "h15_top_supplier": q_h15_top_supplier,
+        "h17_small_qty": q_h17_small_qty,
     }
 
 
@@ -2660,4 +2737,36 @@ def oracle_sql() -> dict[str, str]:
                              >= {DECON_MIN_SHARED}
                         THEN 1 ELSE 0 END AS INT) AS contaminated
             FROM corp c LEFT JOIN shared s USING (doc_id)""",
+        "h13_order_dist": """
+            SELECT c_count, count(*) AS n_custs FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey
+            ) GROUP BY c_count""",
+        "h15_top_supplier": f"""
+            WITH rev AS (
+              SELECT l_suppkey,
+                     round(CAST(SUM({_DP_SQL}) AS DOUBLE), 2)
+                       AS total_revenue
+              FROM lineitem
+              WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+                AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+        "h17_small_qty": """
+            SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                              / 7 AS DOUBLE), 2) AS avg_yearly,
+                   count(*) AS n_lines
+            FROM (
+              SELECT l_extendedprice,
+                     CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+                     count(*) OVER (PARTITION BY l_partkey) AS n,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                       OVER (PARTITION BY l_partkey) AS sum_qty
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#4'
+            ) WHERE qty * 5 * n < sum_qty""",
     }

@@ -2,6 +2,10 @@
 Streaming query (the analogue of the reference's topology builder,
 ``lib/broadway/topology.ex``)."""
 
-from broadway_spark.plans.topology import Pipeline
+from broadway_spark.plans.topology import (
+    Pipeline,
+    all_running,
+    producer_names,
+)
 
-__all__ = ["Pipeline"]
+__all__ = ["Pipeline", "all_running", "producer_names"]

@@ -26,6 +26,21 @@ from broadway_spark.config import ConfigError, TopologyConfig
 from broadway_spark.streaming.router import build_router
 
 
+def all_running(spark: SparkSession) -> list[str]:
+    """Names of every active pipeline query in this session — the
+    analogue of ``Broadway.all_running/0`` (broadway.ex:1257-1276,
+    backed by the config-storage registry; ours is the session's
+    StreamingQueryManager)."""
+    return sorted(q.name for q in spark.streams.active if q.name)
+
+
+def producer_names(pipeline: "Pipeline") -> list[str]:
+    """The pipeline's producer (source) names — the analogue of
+    ``Broadway.producer_names/1`` (broadway.ex:1184-1205). One source
+    per pipeline in this engine; returned as a list for API parity."""
+    return [pipeline.source.name]
+
+
 class Pipeline:
     """A validated topology bound to a source.
 

@@ -122,14 +122,24 @@ def test_telemetry_listener_and_observe(spark, tmp_dirs):
 
 
 def test_topology_introspection(spark, tmp_dirs):
-    """L4: Broadway.topology/1 equivalent."""
-    src = _source(tmp_dirs, n=1)
+    """L4: Broadway.topology/1, producer_names/1 and all_running/0
+    equivalents (broadway.ex:1184-1276)."""
+    from broadway_spark.plans import all_running, producer_names
+
+    src = _source(tmp_dirs, n=5)
     pipe = Pipeline(_cfg(tmp_dirs), src)
     topo = pipe.topology()
     assert topo["name"] == "ackpol"
     assert topo["producers"][0]["kind"] == "SpoolSource"
     assert topo["batchers"][0]["name"] == "default"
     assert topo["batchers"][0]["batch_size"] == 50
+    assert producer_names(pipe) == ["spool"]
+    q = pipe.start(spark, trigger="processingTime", processing_time="1 second")
+    try:
+        assert "ackpol" in all_running(spark)
+    finally:
+        q.stop()
+    assert "ackpol" not in all_running(spark)
 
 
 def test_multimodal_stub_and_strict(spark):
