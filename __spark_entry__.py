@@ -1642,6 +1642,50 @@ def q_h17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_r3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((event_type), (dow), ()) with
+    grouping_id — the hand-picked subset of CUBE's lattice, still ONE
+    Expand + one shuffle (no per-set re-scan). grouping_id
+    disambiguates real NULL keys from rolled-up ones."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__ev_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(CAST(dow AS STRING), 'ALL') AS dow,
+               CAST(grouping_id() AS INT) AS gid,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM (SELECT event_type, dayofweek(ts) - 1 AS dow, value
+              FROM __ev_gs)
+        GROUP BY event_type, dow
+          GROUPING SETS ((event_type), (dow), ())
+        """
+    )
+
+
+def q_w8_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-window functions over explicit frames: first/last/nth
+    order value per customer in o_orderkey order — last_value over the
+    default frame is the RUNNING last (frame ends at current row), the
+    classic window-frame trap, asserted deterministic via the unique
+    order key."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("running_last_price"),
+        F.last("o_totalprice").over(wfull).alias("final_price"),
+        F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-pipeline operators, third wave: sequence packing and
 # benchmark decontamination
@@ -1824,6 +1868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h13_order_dist": q_h13_order_dist,
         "h15_top_supplier": q_h15_top_supplier,
         "h17_small_qty": q_h17_small_qty,
+        "r3_grouping_sets": q_r3_grouping_sets,
+        "w8_value_frames": q_w8_value_frames,
     }
 
 
@@ -2769,4 +2815,29 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem JOIN part ON l_partkey = p_partkey
               WHERE p_brand = 'Brand#4'
             ) WHERE qty * 5 * n < sum_qty""",
+        "r3_grouping_sets": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(CAST(dow AS VARCHAR), 'ALL') AS dow,
+                   CAST(GROUPING_ID(event_type, dow) AS INT) AS gid,
+                   count(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_value
+            FROM (SELECT event_type,
+                         CAST(dayofweek(ts) AS INT) AS dow, value
+                  FROM events)
+            GROUP BY GROUPING SETS ((event_type), (dow), ())""",
+        "w8_value_frames": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   first_value(o_totalprice) OVER run AS first_price,
+                   last_value(o_totalprice) OVER run
+                     AS running_last_price,
+                   last_value(o_totalprice) OVER wfull AS final_price,
+                   nth_value(o_totalprice, 2) OVER wfull AS second_price
+            FROM orders
+            WINDOW run AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW),
+                   wfull AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)""",
     }

@@ -236,3 +236,26 @@ def test_pack_sequences_single_window_pass(spark):
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1)
     assert plan.count("Window") == 1
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Hive-style partitioned layout (the 100 TB table design): a
+    filter on the partition column must prune at PLANNING time —
+    PartitionFilters on the scan, non-matching partition directories
+    never read. At cluster scale this is the difference between
+    scanning one partition and scanning the lake."""
+    src = entry._t(spark, SF, "events")
+    path = str(tmp_path / "events_by_type")
+    src.write.partitionBy("event_type").mode("overwrite").parquet(path)
+
+    df = (
+        spark.read.parquet(path)
+        .filter("event_type = 'purchase'")
+        .select("event_id", "value")
+    )
+    plan = _plan(df)
+    pf = plan.split("PartitionFilters:")[1][:200]
+    assert "event_type" in pf and "purchase" in pf
+    # the data filter list must NOT carry the partition predicate —
+    # pruning happened in the metadata phase, not per-row
+    assert df.count() == src.filter("event_type = 'purchase'").count()
