@@ -46,6 +46,69 @@ def dedup_stream(
     return df.dropDuplicates(key_cols)
 
 
+def streaming_near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    event_time_col: str,
+    watermark_delay: str = "1 hour",
+    window_duration: str = "1 hour",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup filter: keep a document iff NONE
+    of its LSH band keys was seen within the watermark.
+
+    Two chained stateful operators, both watermark-bounded:
+
+    1. per-row MinHash signature (pure expression, no shuffle) →
+       explode the ``bands`` band keys →
+       ``dropDuplicatesWithinWatermark`` on the band key — band state
+       expires past the watermark, so state is O(bands · docs-per-
+       watermark-window), never the corpus;
+    2. windowed count per document: a doc whose surviving-band count
+       equals ``bands`` collided with nothing → emitted (append mode,
+       when the watermark closes its window).
+
+    Near-dup semantics are LSH-approximate, as in the batch operator:
+    any shared band drops the newcomer. Known limitation (documented,
+    inherent to arbitrary-winner dedup): two near-dup documents
+    arriving in the SAME micro-batch may split band ownership so that
+    neither reaches ``bands`` fresh bands — both drop, no keeper.
+    Cross-batch arrivals behave exactly (first doc wins).
+
+    Returns (id, window_start) of kept documents.
+    """
+    sig = minhash_signature(text_col, num_hashes, shingle_k)
+    rows_per_band = num_hashes // bands
+    with_sig = df.withColumn("__sig", sig)
+    band_exprs = []
+    for b in range(bands):
+        elems = [
+            F.col("__sig").getItem(b * rows_per_band + j).cast("string")
+            for j in range(rows_per_band)
+        ]
+        band_exprs.append(F.concat_ws("-", F.lit(str(b)), *elems))
+    banded = with_sig.select(
+        F.col(id_col),
+        F.col(event_time_col),
+        F.explode(F.array(*band_exprs)).alias("__band"),
+    )
+    fresh = banded.withWatermark(
+        event_time_col, watermark_delay
+    ).dropDuplicatesWithinWatermark(["__band"])
+    return (
+        fresh.groupBy(
+            F.window(event_time_col, window_duration).alias("__w"),
+            F.col(id_col),
+        )
+        .agg(F.count(F.lit(1)).alias("__n_fresh"))
+        .filter(F.col("__n_fresh") == bands)
+        .select(id_col, F.col("__w.start").alias("win_start"))
+    )
+
+
 def exact_dedup_stats(
     df: DataFrame, key_cols: list[str], id_col: str
 ) -> DataFrame:

@@ -209,6 +209,74 @@ def test_hopping_window_stream_matches_batch_and_drops_late(spark, tmp_dirs):
     assert got == want
 
 
+def test_streaming_near_dedup_lsh(spark, tmp_dirs):
+    """Streaming MinHash-LSH near-dedup: a later doc whose text
+    near-duplicates an earlier one (here: identical — every band
+    collides) is dropped; a distinct doc passes with all bands fresh.
+    Cross-batch arrivals make the winner deterministic."""
+    from broadway_spark.operators.dedup import streaming_near_dedup
+
+    ddl = "doc_id long, text string, ts timestamp"
+    src = SpoolSource(
+        name="spool",
+        path=tmp_dirs["spool"],
+        schema_ddl=ddl,
+        ack_data_column="doc_id",
+    )
+    t_a = "the quick brown fox jumps over the lazy dog tonight"
+    t_b = "completely different words about spark streaming engines here"
+    src.push_messages(
+        [{"doc_id": 1, "text": t_a, "ts": "2024-01-01 00:10:00"}],
+        "000.jsonl",
+    )
+
+    stream = src.read_stream(spark)
+    kept = streaming_near_dedup(
+        stream,
+        "doc_id",
+        "text",
+        "ts",
+        watermark_delay="30 minutes",
+        window_duration="1 hour",
+    )
+
+    def drain():
+        q = (
+            kept.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", tmp_dirs["sink"])
+            .option("checkpointLocation", tmp_dirs["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # batch 2: a near-dup of doc 1 (drop) and a fresh doc (keep)
+    src.push_messages(
+        [
+            {"doc_id": 2, "text": t_a, "ts": "2024-01-01 00:20:00"},
+            {"doc_id": 3, "text": t_b, "ts": "2024-01-01 00:25:00"},
+        ],
+        "001.jsonl",
+    )
+    drain()
+    # sentinels hop the watermark so the data window closes and emits
+    for n, ts in ((100, "2024-01-02 00:00:00"), (101, "2024-01-03 00:00:00")):
+        src.push_messages(
+            [{"doc_id": n, "text": f"sentinel {n}", "ts": ts}],
+            f"{n:03d}_sentinel.jsonl",
+        )
+        drain()
+
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(tmp_dirs["sink"]).collect()
+        if r["doc_id"] < 100
+    }
+    assert got == {1, 3}, f"expected keeper+fresh, got {got}"
+
+
 def test_runtime_rate_limit_update(spark, tmp_dirs):
     """F3: update_rate_limiting takes effect on subsequent triggers
     (broadway.ex:1447-1523)."""
