@@ -1686,6 +1686,68 @@ def q_w8_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel: users who viewed, then clicked after the
+    view, then purchased after the click. One pass: conditional-min
+    timestamps per user (single shuffle on user_id), then the ordering
+    constraints as plain filters on the 1-row-per-user aggregate —
+    no per-step self-joins (the naive funnel is k-1 joins over the
+    full event table)."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+
+    def step_min(step: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == step, us))
+
+    per_user = ev.groupBy("user_id").agg(
+        step_min("view").alias("t_view"),
+        step_min("click").alias("t_click"),
+        step_min("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias(
+            "n_viewed"
+        ),
+        F.sum(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            ).otherwise(0)
+        ).alias("n_clicked_after"),
+        F.sum(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        ).alias("n_purchased_after"),
+    )
+
+
+def q_f2_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted distinct per (cohort_week, weeks_since). Two aggregations,
+    both shuffling only (user, week)-grain rows — the event table is
+    scanned once, collapsed to user-weeks map-side."""
+    ev = _t(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        / 7
+    ).cast("int")
+    uw = ev.select("user_id", week.alias("week")).distinct()
+    first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias(
+            "weeks_since"
+        ))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-pipeline operators, third wave: sequence packing and
 # benchmark decontamination
@@ -1870,6 +1932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h17_small_qty": q_h17_small_qty,
         "r3_grouping_sets": q_r3_grouping_sets,
         "w8_value_frames": q_w8_value_frames,
+        "f1_funnel": q_f1_funnel,
+        "f2_retention": q_f2_retention,
     }
 
 
@@ -2840,4 +2904,40 @@ def oracle_sql() -> dict[str, str]:
                    wfull AS (PARTITION BY o_custkey ORDER BY o_orderkey
                             ROWS BETWEEN UNBOUNDED PRECEDING
                             AND UNBOUNDED FOLLOWING)""",
+        "f1_funnel": """
+            SELECT count(*) AS n_users,
+                   SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                     AS n_viewed,
+                   SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                       THEN 1 ELSE 0 END) AS n_clicked_after,
+                   SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                            AND t_purchase > t_click
+                       THEN 1 ELSE 0 END) AS n_purchased_after
+            FROM (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view'
+                         THEN epoch_us(ts) END) AS t_view,
+                     min(CASE WHEN event_type = 'click'
+                         THEN epoch_us(ts) END) AS t_click,
+                     min(CASE WHEN event_type = 'purchase'
+                         THEN epoch_us(ts) END) AS t_purchase
+              FROM events GROUP BY user_id
+            )""",
+        "f2_retention": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(date_diff('day', DATE '2024-01-01',
+                                          CAST(ts AS DATE)) / 7.0)
+                          AS INT) AS week
+              FROM events
+            ),
+            first AS (
+              SELECT user_id, min(week) AS cohort_week
+              FROM uw GROUP BY user_id
+            )
+            SELECT cohort_week,
+                   CAST(uw.week - first.cohort_week AS INT) AS weeks_since,
+                   count(DISTINCT uw.user_id) AS n_users
+            FROM uw JOIN first USING (user_id)
+            GROUP BY 1, 2""",
     }
