@@ -495,7 +495,12 @@ def near_dup_clusters(
             .filter(F.col("a") != F.col("b"))
             .union(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
             .distinct()
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: the fixpoint aggregate below is the
+            # round's ONE driver-blocking action — it materializes the
+            # checkpoint as a side effect. (eager=True plus a separate
+            # agg doubled the per-round barrier count; driver-side
+            # barriers are what an iterative op pays for at any scale.)
+            .localCheckpoint(eager=False)
         )
         # Fixpoint test: (count, order-independent checksum) in ONE
         # aggregate job — cheaper than an anti-join change probe.
