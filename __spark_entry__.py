@@ -1686,6 +1686,28 @@ def q_w8_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_arr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar array-function surface over tokenized documents: size,
+    slice+join, min/last element, membership, 1-based position
+    (normalized to 0-when-missing across engines), distinct count,
+    sorted head — all codegen collection expressions, no explode."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.array_join(F.slice(toks, 1, 3), "-").alias("first3"),
+        F.array_min(toks).alias("tok_min"),
+        F.element_at(toks, -1).alias("tok_last"),
+        F.array_contains(toks, "the").cast("int").alias("has_the"),
+        F.array_position(toks, "the").alias("pos_the"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.array_join(F.slice(F.sort_array(toks), 1, 3), "-").alias(
+            "sorted_head3"
+        ),
+    )
+
+
 def q_f1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step funnel: users who viewed, then clicked after the
     view, then purchased after the click. One pass: conditional-min
@@ -1934,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w8_value_frames": q_w8_value_frames,
         "f1_funnel": q_f1_funnel,
         "f2_retention": q_f2_retention,
+        "arr_suite": q_arr_suite,
     }
 
 
@@ -2940,4 +2963,19 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT uw.user_id) AS n_users
             FROM uw JOIN first USING (user_id)
             GROUP BY 1, 2""",
+        "arr_suite": """
+            SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_toks,
+                   array_to_string(toks[1:3], '-') AS first3,
+                   list_aggregate(toks, 'min') AS tok_min,
+                   toks[-1] AS tok_last,
+                   CAST(CASE WHEN list_contains(toks, 'the')
+                        THEN 1 ELSE 0 END AS INT) AS has_the,
+                   CAST(coalesce(list_position(toks, 'the'), 0)
+                        AS BIGINT) AS pos_the,
+                   CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
+                   array_to_string(list_sort(toks)[1:3], '-')
+                     AS sorted_head3
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                  FROM documents)""",
     }

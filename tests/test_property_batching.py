@@ -1,0 +1,53 @@
+"""Property-based check (hypothesis) for the budget splitter: on
+arbitrary inputs, chunk assignment must equal the reference greedy
+fold (a row joins the chunk of its EXCLUSIVE running-sum quotient —
+the declarative analogue of the reference's {init_acc, fun} splitter,
+options.ex:233-264). Both b2_chunk_budget and pack_sequences build on
+this contract."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from broadway_spark.operators.batching import chunk_by_budget
+
+# integer weights: the running sum is exact in both the Spark window
+# and the Python fold, so the property tests SEMANTICS, not float LSBs
+_ROW = st.tuples(
+    st.integers(min_value=0, max_value=2),  # key
+    st.integers(min_value=0, max_value=999),  # order (unique-ified below)
+    st.integers(min_value=1, max_value=50),  # weight
+)
+
+
+def _reference_fold(rows, budget):
+    """Per key, in order: chunk = floor(prefix_sum_before_row / budget)."""
+    out = {}
+    by_key = {}
+    for k, o, w in rows:
+        by_key.setdefault(k, []).append((o, w))
+    for k, items in by_key.items():
+        acc = 0.0
+        for o, w in sorted(items):
+            out[(k, o)] = int(acc // budget)
+            acc += w
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(_ROW, min_size=1, max_size=20, unique_by=lambda r: (r[0], r[1])),
+    budget=st.sampled_from([1.0, 7.5, 40.0]),
+)
+def test_chunk_by_budget_matches_greedy_fold(spark, rows, budget):
+    df = spark.createDataFrame(
+        [(k, o, float(w)) for k, o, w in rows], "k long, o long, w double"
+    )
+    got = {
+        (r["k"], r["o"]): r["chunk_id"]
+        for r in chunk_by_budget(df, ["k"], "o", "w", budget).collect()
+    }
+    assert got == _reference_fold(rows, budget)
