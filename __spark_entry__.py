@@ -1708,6 +1708,21 @@ def q_arr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON surface over the events props payload: path
+    extraction (typed + string), existence, and a derived bucket —
+    JVM-side get_json_object, no UDFs, pushdown-friendly."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.cast("int").alias("k_val"),
+        k.isNotNull().cast("int").alias("has_k"),
+        (k.cast("int") % 10).alias("k_mod10"),
+        F.length("props").cast("int").alias("raw_len"),
+    )
+
+
 def q_f1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step funnel: users who viewed, then clicked after the
     view, then purchased after the click. One pass: conditional-min
@@ -1957,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_funnel": q_f1_funnel,
         "f2_retention": q_f2_retention,
         "arr_suite": q_arr_suite,
+        "json_suite": q_json_suite,
     }
 
 
@@ -2978,4 +2994,12 @@ def oracle_sql() -> dict[str, str]:
                      AS sorted_head3
             FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
                   FROM documents)""",
+        "json_suite": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS INT) AS k_val,
+                   CAST(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                        THEN 1 ELSE 0 END AS INT) AS has_k,
+                   CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod10,
+                   CAST(length(props) AS INT) AS raw_len
+            FROM events""",
     }
