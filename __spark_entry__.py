@@ -1708,6 +1708,22 @@ def q_arr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer k-means over the embeddings table
+    (operators/similarity.py::kmeans_clusters): Lloyd's iterations in
+    exact micro-unit arithmetic — lowest-id init, floor-mean updates,
+    (dist, cluster) tie-break — so the clustering is bit-reproducible
+    in any engine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.kmeans_clusters(
+        emb, "vec_id", "embedding", k=KMEANS_K, iterations=KMEANS_ITERS
+    )
+
+
 def q_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar JSON surface over the events props payload: path
     extraction (typed + string), existence, and a derived bucket —
@@ -1973,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_retention": q_f2_retention,
         "arr_suite": q_arr_suite,
         "json_suite": q_json_suite,
+        "emb_kmeans": q_emb_kmeans,
     }
 
 
@@ -3002,4 +3019,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod10,
                    CAST(length(props) AS INT) AS raw_len
             FROM events""",
+        "emb_kmeans": """
+            WITH vrows AS (
+              SELECT vec_id AS vid,
+                     unnest(generate_series(1, len(embedding))) AS pos,
+                     unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1000000) AS BIGINT))) AS vm
+              FROM embeddings
+            ),
+            finit AS (
+              SELECT vec_id,
+                     CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS cl
+              FROM (SELECT DISTINCT vec_id FROM embeddings
+                    ORDER BY vec_id LIMIT 4)
+            ),
+            c0 AS (
+              SELECT f.cl, v.pos, v.vm AS cm
+              FROM vrows v JOIN finit f ON v.vid = f.vec_id
+            ),
+            d1 AS (
+              SELECT v.vid, c.cl,
+                     SUM((v.vm - c.cm) * (v.vm - c.cm)) AS dist
+              FROM vrows v JOIN c0 c ON v.pos = c.pos
+              GROUP BY v.vid, c.cl
+            ),
+            a1 AS (
+              SELECT vid, cl FROM (
+                SELECT vid, cl, row_number() OVER (
+                  PARTITION BY vid ORDER BY dist, cl) AS rn
+                FROM d1) WHERE rn = 1
+            ),
+            c1 AS (
+              SELECT a.cl, v.pos,
+                     CAST(floor(CAST(SUM(v.vm) AS DOUBLE) / count(*))
+                          AS BIGINT) AS cm
+              FROM vrows v JOIN a1 a ON v.vid = a.vid
+              GROUP BY a.cl, v.pos
+            ),
+            d2 AS (
+              SELECT v.vid, c.cl,
+                     SUM((v.vm - c.cm) * (v.vm - c.cm)) AS dist
+              FROM vrows v JOIN c1 c ON v.pos = c.pos
+              GROUP BY v.vid, c.cl
+            ),
+            a2 AS (
+              SELECT vid, cl FROM (
+                SELECT vid, cl, row_number() OVER (
+                  PARTITION BY vid ORDER BY dist, cl) AS rn
+                FROM d2) WHERE rn = 1
+            ),
+            c2 AS (
+              SELECT a.cl, v.pos,
+                     CAST(floor(CAST(SUM(v.vm) AS DOUBLE) / count(*))
+                          AS BIGINT) AS cm
+              FROM vrows v JOIN a2 a ON v.vid = a.vid
+              GROUP BY a.cl, v.pos
+            ),
+            d3 AS (
+              SELECT v.vid, c.cl,
+                     SUM((v.vm - c.cm) * (v.vm - c.cm)) AS dist
+              FROM vrows v JOIN c2 c ON v.pos = c.pos
+              GROUP BY v.vid, c.cl
+            ),
+            a3 AS (
+              SELECT vid, cl, dist FROM (
+                SELECT vid, cl, dist, row_number() OVER (
+                  PARTITION BY vid ORDER BY dist, cl) AS rn
+                FROM d3) WHERE rn = 1
+            )
+            SELECT CAST(cl AS INT) AS cluster_id,
+                   count(*) AS n_members,
+                   min(vid) AS min_member,
+                   CAST(SUM(dist) AS BIGINT) AS total_dist
+            FROM a3 GROUP BY cl""",
     }

@@ -250,3 +250,99 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iterations: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column, in exact
+    integer micro-units — the embedding-clustering pass of a training
+    corpus pipeline (curation buckets, IVF coarse quantizers).
+
+    Determinism contract (what makes a DuckDB oracle possible):
+    - vectors quantize to integer micro-units (floor(x·1e6)) up front;
+      every distance is then an exact BIGINT — no float summation order
+      anywhere;
+    - init: the k vectors with the lowest ids, cluster index = their
+      id rank (the standard fixed-seed convention);
+    - centroid update: element-wise floor(sum/count) — integer mean;
+    - assignment ties break on the lower cluster index (min on the
+      (dist, cluster) struct).
+
+    Scale shape: everything runs in ROW form (id, pos, value) — pure
+    codegen, no higher-order-function lambdas, no Python. Per
+    iteration: one broadcast join against the k·dim centroid rows
+    ((k·dim) ≤ a few thousand — always broadcastable), one
+    (id, cluster) partial-agg shuffle for distances, one (cluster,
+    pos) shuffle for the update. At 1B vectors each iteration is two
+    shuffles of n·k and n·dim rows — the canonical distributed Lloyd's.
+
+    Returns per-cluster: cluster_id, n_members, min member id, and the
+    exact total within-cluster squared distance (micro-units²).
+    """
+    vrows = df.select(
+        F.col(id_col).alias("__vid"),
+        F.posexplode(
+            F.expr(
+                f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), "
+                f"x -> CAST(floor(x * 1000000) AS BIGINT))"
+            )
+        ).alias("__pos", "__vm"),
+    )
+    first_ids = [
+        r["__vid"]
+        for r in df.select(F.col(id_col).alias("__vid"))
+        .orderBy("__vid")
+        .limit(k)
+        .collect()
+    ]
+    cl_expr = F.when(F.col("__vid") == first_ids[0], 0)
+    for i, vid in enumerate(first_ids[1:], start=1):
+        cl_expr = cl_expr.when(F.col("__vid") == vid, i)
+    crows = (
+        vrows.filter(F.col("__vid").isin(first_ids))
+        .select(
+            cl_expr.alias("__cl"),
+            "__pos",
+            F.col("__vm").alias("__cm"),
+        )
+    )
+
+    def _assign(centroid_rows: DataFrame) -> DataFrame:
+        diff = F.col("__vm") - F.col("__cm")
+        return (
+            vrows.join(F.broadcast(centroid_rows), "__pos")
+            .groupBy("__vid", "__cl")
+            .agg(F.sum(diff * diff).alias("__dist"))
+            .groupBy("__vid")
+            .agg(F.min(F.struct("__dist", "__cl")).alias("__best"))
+            .select(
+                "__vid",
+                F.col("__best.__cl").alias("__cl"),
+                F.col("__best.__dist").alias("__dist"),
+            )
+        )
+
+    assign = None
+    for _ in range(iterations):
+        assign = _assign(crows)
+        crows = (
+            vrows.join(assign.select("__vid", "__cl"), "__vid")
+            .groupBy("__cl", "__pos")
+            .agg(
+                F.floor(
+                    F.sum("__vm") / F.count(F.lit(1))
+                ).cast("bigint").alias("__cm")
+            )
+        )
+    # final assignment against the last updated centroids
+    assign = _assign(crows)
+    return assign.groupBy(F.col("__cl").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("__vid").alias("min_member"),
+        F.sum("__dist").alias("total_dist"),
+    )
