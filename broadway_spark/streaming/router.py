@@ -192,7 +192,24 @@ def build_router(
 
                     def _apply_failed(batches, _hook=hook_failed):
                         for pdf in batches:
-                            yield _hook(pdf) if len(pdf) else pdf
+                            if not len(pdf):
+                                yield pdf
+                                continue
+                            out = _hook(pdf)
+                            # All-messages contract: the reference
+                            # raises if handle_failed returns a
+                            # different message set than it received
+                            # (acknowledger.ex:126-141 count check) —
+                            # a hook that drops rows would silently
+                            # lose DLQ entries and their failed-acks.
+                            if out is None or len(out) != len(pdf):
+                                got = 0 if out is None else len(out)
+                                raise RuntimeError(
+                                    "handle_failed must return exactly "
+                                    "the messages it received: got "
+                                    f"{got}, want {len(pdf)}"
+                                )
+                            yield out
 
                     # Arrow-batched, distributed — the hook never sees
                     # the driver (reference handle_failed runs in the
@@ -208,7 +225,23 @@ def build_router(
                         # covers the hook's actual execution
                         failed.count()
                 if config.dlq is not None:
-                    _write(failed, config.dlq.path, config.dlq.format)
+                    # Tag each DLQ row with its disposition so consumers
+                    # can tell transient retry failures (the source will
+                    # redeliver; the row may later succeed) from
+                    # terminal ones. Without the tag, DLQ counts
+                    # overstate permanent failures.
+                    disposition = (
+                        F.when(
+                            F.col("ack_policy") == "retry", F.lit("retry")
+                        ).otherwise(F.lit("terminal"))
+                        if has_policy
+                        else F.lit("terminal")
+                    )
+                    _write(
+                        failed.withColumn("dlq_disposition", disposition),
+                        config.dlq.path,
+                        config.dlq.format,
+                    )
             # A4: failed rows with on_failure=retry flow through
             # handle_failed and the DLQ like any failure (the reference
             # runs handle_failed for every failed message,

@@ -1,0 +1,104 @@
+"""Round-4 contract fixes.
+
+1. ``handle_failed`` all-messages contract: the reference raises if the
+   hook does not return every message it received
+   (``lib/broadway/acknowledger.ex:126-141`` count check); a hook that
+   drops rows would silently lose DLQ entries and their failed-acks.
+2. DLQ disposition tagging: failed rows with ``ack_policy='retry'`` are
+   redelivered by the source and may later succeed, so their DLQ rows
+   are tagged ``retry`` (vs ``terminal``) — DLQ counts no longer
+   overstate permanent failures.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from broadway_spark import message as M
+from broadway_spark.config import TopologyConfig
+from broadway_spark.operators.failure import with_status
+from broadway_spark.testing import run_test_batch
+
+from .conftest import EVENTS_DDL, make_events
+
+
+def _failing_config(handle_failed, name):
+    def handle_message(df):
+        return with_status(
+            df, F.col("event_type") == "error", reason="poison:error"
+        )
+
+    return TopologyConfig(
+        name=name,
+        order_by="event_id",
+        handle_message=handle_message,
+        handle_failed=handle_failed,
+        # dlq omitted: run_test_batch provides a temp DLQ sink
+    )
+
+
+def test_handle_failed_wrong_count_fails_loudly(spark):
+    """A handle_failed hook that drops messages must fail the batch,
+    not silently shrink the DLQ (acknowledger.ex:126-141)."""
+
+    def drops_rows(pdf):
+        return pdf.iloc[:1]  # returns 1 of N failed messages
+
+    cfg = _failing_config(drops_rows, "hf-wrong-count")
+    with pytest.raises(Exception, match="handle_failed must return exactly"):
+        run_test_batch(spark, cfg, EVENTS_DDL, make_events(30), timeout_s=120)
+
+
+def test_handle_failed_none_return_fails_loudly(spark):
+    def returns_none(pdf):
+        return None
+
+    cfg = _failing_config(returns_none, "hf-none")
+    with pytest.raises(Exception, match="handle_failed must return exactly"):
+        run_test_batch(spark, cfg, EVENTS_DDL, make_events(30), timeout_s=120)
+
+
+def test_handle_failed_correct_count_passes(spark):
+    """The contract permits mutation, just not cardinality change."""
+
+    def annotates(pdf):
+        pdf = pdf.copy()
+        pdf["props"] = "seen-by-hook"
+        return pdf
+
+    cfg = _failing_config(annotates, "hf-ok")
+    res = run_test_batch(spark, cfg, EVENTS_DDL, make_events(30), timeout_s=120)
+    # 30 events, event_type cycle of 5 → 6 'error' rows failed
+    assert len(res.failed) == 6
+    assert res.dlq is not None and res.dlq.count() == 6
+    assert {r[0] for r in res.dlq.select("props").collect()} == {"seen-by-hook"}
+
+
+def test_dlq_disposition_tags_retry_vs_terminal(spark):
+    """DLQ rows carry dlq_disposition so consumers can separate
+    redeliverable failures from permanent ones (ADVICE r3)."""
+
+    def handle_message(df):
+        fail = F.col("event_type") == "error"
+        df = with_status(df, fail, reason="poison:error")
+        # half the failures opt into source redelivery
+        return M.configure_ack(
+            df, M.ACK_RETRY_ON_FAILURE, when=fail & (F.col("event_id") % 2 == 0)
+        )
+
+    cfg = TopologyConfig(
+        name="dlq-tags",
+        order_by="event_id",
+        handle_message=handle_message,
+    )
+    res = run_test_batch(spark, cfg, EVENTS_DDL, make_events(30), timeout_s=120)
+    assert res.dlq is not None
+    rows = {
+        int(r["event_id"]): r["dlq_disposition"] for r in res.dlq.collect()
+    }
+    assert len(rows) == 6
+    for eid, tag in rows.items():
+        assert tag == ("retry" if eid % 2 == 0 else "terminal")
+    # retry rows are never acked; terminal failures are acked as failed
+    assert {int(r["ack_data"]) for r in res.failed} == {
+        e for e, t in rows.items() if t == "terminal"
+    }

@@ -1,6 +1,9 @@
 """Skew-mitigation and bucketing tests — scale strategies verified on
 small data (correct results + the intended plan shape)."""
 
+import os
+import shutil
+
 from pyspark.sql import functions as F
 
 from broadway_spark.operators.skew import salted_aggregate, with_salt
@@ -41,17 +44,31 @@ def test_salt_is_deterministic_and_spread(spark):
 
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Pre-bucketed tables joined on the bucket key: neither side
-    re-shuffles (co-located join — the 100 TB repeated-join strategy)."""
+    re-shuffles (co-located join — the 100 TB repeated-join strategy).
+
+    The bucketed tables live under this test's ``tmp_path`` (explicit
+    LOCATION), so a stale ``spark-warehouse/`` directory left by an
+    earlier interrupted run can never collide with ``saveAsTable``
+    (a fresh session's metastore doesn't know the old table, making
+    DROP a no-op while the directory still blocks the write).
+    """
     left = spark.range(0, 5000).select(
         F.col("id").alias("k"), (F.col("id") * 3).alias("a")
     )
     right = spark.range(0, 5000).select(
         F.col("id").alias("k"), (F.col("id") * 7).alias("b")
     )
-    spark.sql("DROP TABLE IF EXISTS bk_left")
-    spark.sql("DROP TABLE IF EXISTS bk_right")
-    left.write.bucketBy(8, "k").sortBy("k").saveAsTable("bk_left")
-    right.write.bucketBy(8, "k").sortBy("k").saveAsTable("bk_right")
+    for name in ("bk_left", "bk_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # Defensive: clear any stale default-warehouse leftover too.
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    left.write.bucketBy(8, "k").sortBy("k").option(
+        "path", str(tmp_path / "bk_left")
+    ).saveAsTable("bk_left")
+    right.write.bucketBy(8, "k").sortBy("k").option(
+        "path", str(tmp_path / "bk_right")
+    ).saveAsTable("bk_right")
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
