@@ -11,7 +11,9 @@ checkpoint), so the engine carries it as its own connector:
 - **receive**: the driver claims up to ``max_per_trigger`` visible
   messages per trigger in ``latestOffset`` (admission is global and
   exact, like the spool's — the demand knob of ``producer_stage.ex``).
-  Claimed messages ride to executors inside the input partitions.
+  The driver claims **handles only** (id, receipt, delivery_count);
+  message payloads are fetched in ``read()`` on the executors, so the
+  driver never becomes a payload funnel at scale.
 - **ack = delete**: ``make_ack_executor()`` returns the router's A1
   bulk-ack hook (``acknowledger.ex:63-85`` — one ack call per source
   handle): it filters this source's ack rows and issues batched deletes
@@ -27,8 +29,18 @@ checkpoint), so the engine carries it as its own connector:
 
 At scale the single-driver ``receive`` is the admission point, matching
 the reference's single-node rate-limit stance (``broadway.ex:55-59``);
-the receive itself is cheap (message *claims*, not payload processing),
-and payloads fan out to executors immediately.
+the receive itself is cheap (message *claims* only — tuples of
+(id, receipt, delivery_count)), and payload reads fan out per input
+partition on the executors.
+
+Restart safety: the reader's trigger seq is persisted broker-side
+(``reader_seq``) and fast-forwarded past the checkpointed offset on
+restart. Without that, a fresh reader's first claim would land in a
+seq range below the checkpoint: the planned batch reads nothing,
+``commit`` discards the stash, and that whole receive round is burned —
+the messages only reappear after the full visibility timeout, with an
+inflated delivery_count (which against real SQS counts toward a
+redrive/DLQ policy).
 """
 
 from __future__ import annotations
@@ -55,8 +67,11 @@ SQS_META_DDL = (
 
 
 class _SQSPartition(InputPartition):
-    def __init__(self, rows: list[tuple]):
-        self.rows = rows
+    """Carries message *claims* — (id, receipt, delivery_count) — never
+    payloads; ``read()`` fetches bodies broker-side on the executor."""
+
+    def __init__(self, claims: list[tuple]):
+        self.claims = claims
 
 
 class _SQSStreamReader(DataSourceStreamReader):
@@ -82,56 +97,73 @@ class _SQSStreamReader(DataSourceStreamReader):
                 )
             else:
                 self.coercers.append(None)
-        # seq -> list of row tuples claimed for that trigger
+        # seq -> list of (id, receipt, delivery_count) claims
         self._stash: dict[int, list[tuple]] = {}
         self._seq = 0
 
     def initialOffset(self) -> dict:
         return {"seq": 0}
 
-    def _to_row(self, msg: dict) -> tuple:
-        body = msg["body"]
-        out = []
-        for name, co in zip(self.fields, self.coercers):
-            if name == "sqs_message_id":
-                out.append(msg["id"])
-            elif name == "sqs_receipt":
-                out.append(msg["receipt"])
-            elif name == "sqs_delivery_count":
-                out.append(msg["delivery_count"])
-            else:
-                v = body.get(name)
-                out.append(co(v) if co and v is not None else v)
-        return tuple(out)
-
     def latestOffset(self) -> dict:
         from broadway_spark.sources.sqs_fake import FakeSQSQueue
 
-        msgs = FakeSQSQueue(self.path).receive(
-            self.max_per_trigger, self.visibility_timeout_s
+        q = FakeSQSQueue(self.path)
+        # Restart fast-forward: a fresh reader starts at _seq=0 while
+        # the checkpoint may hold seq=N. Claiming below N would put the
+        # claims in a range the planned batch (N -> latest) never reads,
+        # silently burning a receive round. reader_seq persists the high
+        # water mark broker-side.
+        self._seq = max(self._seq, q.load_reader_seq())
+        claims = q.receive(
+            self.max_per_trigger, self.visibility_timeout_s, with_bodies=False
         )
-        if msgs:
+        if claims:
             self._seq += 1
-            self._stash[self._seq] = [self._to_row(m) for m in msgs]
+            q.store_reader_seq(self._seq)
+            self._stash[self._seq] = [
+                (m["id"], m["receipt"], m["delivery_count"]) for m in claims
+            ]
         return {"seq": self._seq}
 
     def partitions(self, start: dict, end: dict):
-        rows: list[tuple] = []
+        claims: list[tuple] = []
         for seq in range(start["seq"] + 1, end["seq"] + 1):
             # A replayed range on a fresh reader has no stash: return
             # nothing — the undeleted messages redeliver via the
             # broker's visibility timeout (at-least-once).
-            rows.extend(self._stash.get(seq, []))
-        if not rows:
+            claims.extend(self._stash.get(seq, []))
+        if not claims:
             return [_SQSPartition([])]
-        n = max(1, min(self.num_partitions, len(rows)))
-        step = (len(rows) + n - 1) // n
+        n = max(1, min(self.num_partitions, len(claims)))
+        step = (len(claims) + n - 1) // n
         return [
-            _SQSPartition(rows[i : i + step]) for i in range(0, len(rows), step)
+            _SQSPartition(claims[i : i + step])
+            for i in range(0, len(claims), step)
         ]
 
     def read(self, partition: _SQSPartition):
-        yield from partition.rows
+        # Executor-side payload fetch: the driver shipped only claims.
+        if not partition.claims:
+            return
+        from broadway_spark.sources.sqs_fake import FakeSQSQueue
+
+        bodies = FakeSQSQueue(self.path).fetch_bodies(
+            [c[0] for c in partition.claims]
+        )
+        for mid, receipt, delivery_count in partition.claims:
+            body = bodies.get(mid, {})
+            out = []
+            for name, co in zip(self.fields, self.coercers):
+                if name == "sqs_message_id":
+                    out.append(mid)
+                elif name == "sqs_receipt":
+                    out.append(receipt)
+                elif name == "sqs_delivery_count":
+                    out.append(delivery_count)
+                else:
+                    v = body.get(name)
+                    out.append(co(v) if co and v is not None else v)
+            yield tuple(out)
 
     def commit(self, end: dict) -> None:
         # Source progress only — the per-message delete (the real ack)

@@ -97,10 +97,20 @@ class FakeSQSQueue:
 
     # -- consumer side --------------------------------------------------
 
-    def receive(self, max_n: int, visibility_timeout_s: float) -> list[dict]:
+    def receive(
+        self,
+        max_n: int,
+        visibility_timeout_s: float,
+        with_bodies: bool = True,
+    ) -> list[dict]:
         """Atomically claim up to ``max_n`` visible messages: each gets
         ``delivery_count += 1``, a fresh receipt, and becomes invisible
-        for ``visibility_timeout_s``."""
+        for ``visibility_timeout_s``.
+
+        ``with_bodies=False`` returns claims only (id, receipt,
+        delivery_count) — the scale-safe driver path: payloads are
+        fetched later on executors via ``fetch_bodies``.
+        """
         now = time.time()
         self._acquire()
         try:
@@ -114,17 +124,45 @@ class FakeSQSQueue:
                 m["delivery_count"] += 1
                 m["visible_at"] = now + visibility_timeout_s
                 m["receipt"] = f"r-{m['id']}-{m['delivery_count']}"
-                out.append(
-                    {
-                        "id": m["id"],
-                        "receipt": m["receipt"],
-                        "delivery_count": m["delivery_count"],
-                        "body": dict(m["body"]),
-                    }
-                )
+                claim = {
+                    "id": m["id"],
+                    "receipt": m["receipt"],
+                    "delivery_count": m["delivery_count"],
+                }
+                if with_bodies:
+                    claim["body"] = dict(m["body"])
+                out.append(claim)
             if out:
                 self._save(st)
             return out
+        finally:
+            self._release()
+
+    def fetch_bodies(self, ids: list[int]) -> dict[int, dict]:
+        """Fetch message payloads by id (executor-side companion to a
+        ``with_bodies=False`` claim). Lockless: the state file is
+        replaced atomically, and a claimed message's body is immutable
+        (entries are flagged deleted, never removed), so a plain read
+        is consistent."""
+        want = set(ids)
+        st = self._load()
+        return {m["id"]: dict(m["body"]) for m in st["messages"] if m["id"] in want}
+
+    # -- reader progress ------------------------------------------------
+
+    def load_reader_seq(self) -> int:
+        """Last trigger seq any reader of this queue has emitted
+        (persisted broker-side so a restarted reader resumes past the
+        checkpointed offset instead of re-claiming into a seq range the
+        planned batch will never read)."""
+        return int(self._load().get("reader_seq", 0))
+
+    def store_reader_seq(self, seq: int) -> None:
+        self._acquire()
+        try:
+            st = self._load()
+            st["reader_seq"] = max(int(st.get("reader_seq", 0)), int(seq))
+            self._save(st)
         finally:
             self._release()
 

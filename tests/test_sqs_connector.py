@@ -71,6 +71,76 @@ def test_fake_queue_visibility_semantics(tmp_path):
     assert q.counts() == {"visible": 0, "inflight": 0, "deleted": 3}
 
 
+def test_driver_claims_hold_no_bodies(spark, tmp_path):
+    """Scale contract: ``latestOffset`` stashes (id, receipt,
+    delivery_count) claims ONLY — payloads are fetched in ``read()``
+    on the executor, so the driver never funnels message bodies."""
+    from pyspark.sql.types import StructType
+
+    from broadway_spark.sources.sqs import _SQSStreamReader
+
+    q = FakeSQSQueue(str(tmp_path / "q"))
+    q.send_batch(_events(10))
+    schema = StructType.fromDDL(
+        BODY_DDL + ", sqs_message_id long, sqs_receipt string,"
+        " sqs_delivery_count int"
+    )
+    rdr = _SQSStreamReader(
+        schema, {"path": str(tmp_path / "q"), "max_per_trigger": "10"}
+    )
+    end = rdr.latestOffset()
+    assert end == {"seq": 1}
+    for claims in rdr._stash.values():
+        for c in claims:
+            assert len(c) == 3  # (id, receipt, delivery_count) — no body
+            assert all(not isinstance(v, dict) for v in c)
+    # read() reconstitutes full rows broker-side
+    rows = [
+        r
+        for p in rdr.partitions({"seq": 0}, end)
+        for r in rdr.read(p)
+    ]
+    assert len(rows) == 10
+    by_id = {r[3]: r for r in rows}  # sqs_message_id position
+    assert by_id[5][0] == 5 and by_id[5][2] == 1.25  # body fields present
+    assert by_id[5][4] == "r-5-1" and by_id[5][5] == 1
+
+
+def test_restart_fast_forwards_reader_seq(spark, tmp_path):
+    """ADVICE r3: a restarted reader must not claim into a seq range
+    below the checkpoint — that burns a whole receive round (messages
+    invisible until timeout, phantom delivery_count bump). reader_seq
+    is persisted broker-side and fast-forwarded before claiming."""
+    from pyspark.sql.types import StructType
+
+    from broadway_spark.sources.sqs import _SQSStreamReader
+
+    qpath = str(tmp_path / "q")
+    schema = StructType.fromDDL(
+        BODY_DDL + ", sqs_message_id long, sqs_receipt string,"
+        " sqs_delivery_count int"
+    )
+    opts = {"path": qpath, "max_per_trigger": "5", "visibility_timeout_s": "300"}
+
+    q = FakeSQSQueue(qpath)
+    q.send_batch(_events(5))
+    r1 = _SQSStreamReader(schema, dict(opts))
+    assert r1.latestOffset() == {"seq": 1}
+    r1.commit({"seq": 1})
+
+    # restart: fresh reader, checkpoint says seq=1; new messages queued
+    q.send_batch(_events(5, start=5))
+    r2 = _SQSStreamReader(schema, dict(opts))
+    end = r2.latestOffset()
+    # without fast-forward this would be {"seq": 1} → empty planned
+    # batch and a burned round
+    assert end == {"seq": 2}
+    rows = [r for p in r2.partitions({"seq": 1}, end) for r in r2.read(p)]
+    assert {r[3] for r in rows} == {5, 6, 7, 8, 9}
+    # first delivery, not a phantom retry
+    assert {r[5] for r in rows} == {1}
+
+
 def test_sqs_pipeline_drains_and_deletes(spark, tmp_dirs, tmp_path):
     """E2E: 60 queued messages flow through the pipeline; the ack
     executor deletes every terminal message from the broker (delete =
