@@ -261,13 +261,20 @@ def test_auto_impl_falls_back_loudly(spark, tmp_dirs):
     assert ack.count() == 20
 
 
-def test_tws_gate_raises_clear_error_when_unavailable(spark, tmp_dirs):
+def test_tws_gate_raises_clear_error_when_unavailable(
+    spark, tmp_dirs, monkeypatch
+):
     """When the environment can't run transformWithState, impl='tws'
-    must fail fast with a ConfigError, not crash mid-stream."""
-    from broadway_spark.config import ConfigError
+    must fail fast with a ConfigError, not crash mid-stream.
 
-    if _tws_available():
-        pytest.skip("protobuf present; gate inactive")
+    Unavailability is *simulated* (monkeypatched probe) so this test
+    runs everywhere, regardless of whether a protobuf runtime happens
+    to exist — the environment-dependent skip was the suite's only
+    skip (r3 verdict item 6)."""
+    from broadway_spark.config import ConfigError
+    from broadway_spark.streaming import stateful_batcher_v2
+
+    monkeypatch.setattr(stateful_batcher_v2, "tws_available", lambda: False)
     src = SpoolSource(
         name="spool",
         path=tmp_dirs["spool"],
