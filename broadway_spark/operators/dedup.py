@@ -57,26 +57,37 @@ def streaming_near_dedup(
     bands: int = 4,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Streaming MinHash-LSH near-dup filter: keep a document iff NONE
-    of its LSH band keys was seen within the watermark.
+    """Streaming MinHash-LSH near-dup filter: keep a document iff it is
+    the arbitrated winner of EVERY LSH band it hashes into within its
+    time window.
 
-    Two chained stateful operators, both watermark-bounded:
+    Two chained **windowed aggregations**, both watermark-bounded
+    (Spark's supported multiple-stateful-operator shape — agg-on-agg
+    over the same event-time window):
 
     1. per-row MinHash signature (pure expression, no shuffle) →
-       explode the ``bands`` band keys →
-       ``dropDuplicatesWithinWatermark`` on the band key — band state
-       expires past the watermark, so state is O(bands · docs-per-
-       watermark-window), never the corpus;
-    2. windowed count per document: a doc whose surviving-band count
-       equals ``bands`` collided with nothing → emitted (append mode,
-       when the watermark closes its window).
+       explode the ``bands`` band keys → per (window, band) keep
+       ``min(id)`` — the deterministic band winner. State is
+       O(bands · distinct-bands-per-window), expired by the watermark,
+       never the corpus;
+    2. per (window, doc) count the bands it won: a doc that won ALL
+       ``bands`` of its bands collided with no smaller-id doc →
+       emitted (append mode, when the watermark closes the window).
 
-    Near-dup semantics are LSH-approximate, as in the batch operator:
-    any shared band drops the newcomer. Known limitation (documented,
-    inherent to arbitrary-winner dedup): two near-dup documents
-    arriving in the SAME micro-batch may split band ownership so that
-    neither reaches ``bands`` fresh bands — both drop, no keeper.
-    Cross-batch arrivals behave exactly (first doc wins).
+    Winner arbitration is min-id over the whole window — batch-boundary
+    independent, which fixes the r3 limitation where two near-dups in
+    the SAME micro-batch could split band ownership in an
+    arbitrary-keep dedup so that neither survived (silent loss of
+    unique content). Now exactly the min-id doc of an all-band
+    collision group survives, whichever micro-batches the copies
+    arrive in. Chain collisions (A~B, B~C, A≁C) keep the cluster
+    minimum (A) and may keep a transitive non-neighbor (C) if it wins
+    all its own bands — matching the batch operator's any-shared-band
+    semantics per pair.
+
+    Dedup scope is the tumbling ``window_duration`` window (a dup in a
+    later window passes), as before — bounded state is the only way
+    dedup state survives at 100 TB/day.
 
     Returns (id, window_start) of kept documents.
     """
@@ -95,16 +106,18 @@ def streaming_near_dedup(
         F.col(event_time_col),
         F.explode(F.array(*band_exprs)).alias("__band"),
     )
-    fresh = banded.withWatermark(
-        event_time_col, watermark_delay
-    ).dropDuplicatesWithinWatermark(["__band"])
-    return (
-        fresh.groupBy(
+    band_winners = (
+        banded.withWatermark(event_time_col, watermark_delay)
+        .groupBy(
             F.window(event_time_col, window_duration).alias("__w"),
-            F.col(id_col),
+            F.col("__band"),
         )
-        .agg(F.count(F.lit(1)).alias("__n_fresh"))
-        .filter(F.col("__n_fresh") == bands)
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return (
+        band_winners.groupBy("__w", id_col)
+        .agg(F.count(F.lit(1)).alias("__n_won"))
+        .filter(F.col("__n_won") == bands)
         .select(id_col, F.col("__w.start").alias("win_start"))
     )
 

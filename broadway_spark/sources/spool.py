@@ -61,6 +61,46 @@ def _count_rows(path: str) -> int:
     return total
 
 
+class _RowCountCache:
+    """Per-file line counts keyed by (size, mtime_ns).
+
+    ``latestOffset`` runs on the driver every trigger; re-reading every
+    spool file there is O(total backlog) per trigger and becomes the
+    admission bottleneck on a large spool. Spool files are append-only,
+    so (size, mtime_ns) identifies content: unchanged files cost one
+    ``stat``, only new/appended files are re-read.
+    """
+
+    def __init__(self) -> None:
+        self._by_file: dict[str, tuple[int, int, int]] = {}
+        self.files_read = 0  # actual content scans (observability/tests)
+
+    def total(self, path: str) -> int:
+        total = 0
+        live = set()
+        for f in _data_files(path):
+            live.add(f)
+            try:
+                st = os.stat(f)
+            except FileNotFoundError:
+                continue
+            cached = self._by_file.get(f)
+            if cached and cached[0] == st.st_size and cached[1] == st.st_mtime_ns:
+                total += cached[2]
+                continue
+            with open(f, "rb") as fh:
+                n = sum(1 for line in fh if line.strip())
+            self.files_read += 1
+            # Stat before read: if the file grew in between, the count
+            # is newer than the recorded (size, mtime) and the next
+            # trigger re-reads — conservative, never stale-low forever.
+            self._by_file[f] = (st.st_size, st.st_mtime_ns, n)
+            total += n
+        for gone in [f for f in self._by_file if f not in live]:
+            del self._by_file[gone]
+        return total
+
+
 class _SpoolPartition(InputPartition):
     def __init__(self, path: str, start: int, end: int):
         self.path = path
@@ -90,6 +130,7 @@ class _SpoolStreamReader(DataSourceStreamReader):
                 )
             else:
                 self.coercers.append(None)
+        self._counts = _RowCountCache()
 
     def initialOffset(self) -> dict:
         return {"row": 0}
@@ -124,7 +165,7 @@ class _SpoolStreamReader(DataSourceStreamReader):
         prev = getattr(self, "_last_end", None)
         if prev is None:
             prev = self._last_committed()
-        total = _count_rows(self.path)
+        total = self._counts.total(self.path)
         allowed = self._current_allowed()
         nxt = min(total, prev + allowed) if allowed else total
         self._last_end = nxt

@@ -46,6 +46,35 @@ def test_spool_splits_admitted_range_into_partitions(spark, tmp_path):
     assert sorted(seen) == list(range(400))
 
 
+def test_admission_count_is_stat_only_for_unchanged_files(spark, tmp_path):
+    """r3 verdict item 7: latestOffset's backlog count must not re-read
+    every spool file every trigger (O(total backlog) on the driver).
+    With 200 files, trigger 2 costs 200 stats and zero content reads;
+    appending one file re-reads exactly that file."""
+    spool = str(tmp_path / "spool")
+    src = SpoolSource(
+        name="s", path=spool, schema_ddl=EVENTS_DDL, ack_data_column="event_id"
+    )
+    for i in range(200):
+        src.push_messages(make_events(5, start=i * 5), f"{i:04d}.jsonl")
+    schema = spark.createDataFrame([], EVENTS_DDL).schema
+    reader = _SpoolStreamReader(schema, {"path": spool})
+
+    assert reader.latestOffset() == {"row": 1000}
+    assert reader._counts.files_read == 200  # first trigger: full scan
+    assert reader.latestOffset() == {"row": 1000}
+    assert reader._counts.files_read == 200  # second trigger: stats only
+
+    src.push_messages(make_events(5, start=1000), "0200.jsonl")  # new file
+    assert reader.latestOffset() == {"row": 1005}
+    assert reader._counts.files_read == 201  # exactly one new read
+
+    # replacing a file (new mtime/size) re-reads exactly that file
+    src.push_messages(make_events(8, start=250), "0050.jsonl")
+    assert reader.latestOffset() == {"row": 1008}
+    assert reader._counts.files_read == 202
+
+
 def test_per_key_order_preserved_under_parallel_reads(spark, tmp_dirs, tmp_path):
     """4 read partitions + 8 processor partitions: handle_batch must
     still observe each key's events in ascending order, across chunks

@@ -277,6 +277,71 @@ def test_streaming_near_dedup_lsh(spark, tmp_dirs):
     assert got == {1, 3}, f"expected keeper+fresh, got {got}"
 
 
+def test_streaming_near_dedup_same_batch_keeps_one_winner(spark, tmp_dirs):
+    """r3 ADVICE (medium): two near-dups arriving in the SAME
+    micro-batch must not mutually drop — the min-id doc survives with
+    all bands won. Also: three same-batch copies keep exactly the
+    minimum, and an unrelated same-batch doc is untouched."""
+    from broadway_spark.operators.dedup import streaming_near_dedup
+
+    ddl = "doc_id long, text string, ts timestamp"
+    src = SpoolSource(
+        name="spool",
+        path=tmp_dirs["spool"],
+        schema_ddl=ddl,
+        ack_data_column="doc_id",
+    )
+    t_a = "the quick brown fox jumps over the lazy dog tonight"
+    t_b = "completely different words about spark streaming engines here"
+    # one batch: three copies of t_a (ids 7, 4, 9) + one distinct doc
+    src.push_messages(
+        [
+            {"doc_id": 7, "text": t_a, "ts": "2024-01-01 00:10:00"},
+            {"doc_id": 4, "text": t_a, "ts": "2024-01-01 00:12:00"},
+            {"doc_id": 9, "text": t_a, "ts": "2024-01-01 00:14:00"},
+            {"doc_id": 6, "text": t_b, "ts": "2024-01-01 00:20:00"},
+        ],
+        "000.jsonl",
+    )
+
+    kept = streaming_near_dedup(
+        src.read_stream(spark),
+        "doc_id",
+        "text",
+        "ts",
+        watermark_delay="30 minutes",
+        window_duration="1 hour",
+    )
+
+    def drain():
+        q = (
+            kept.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", tmp_dirs["sink"])
+            .option("checkpointLocation", tmp_dirs["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # sentinels hop the watermark so the data window closes and emits
+    for n, ts in ((100, "2024-01-02 00:00:00"), (101, "2024-01-03 00:00:00")):
+        src.push_messages(
+            [{"doc_id": n, "text": f"sentinel {n}", "ts": ts}],
+            f"{n:03d}_sentinel.jsonl",
+        )
+        drain()
+
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(tmp_dirs["sink"]).collect()
+        if r["doc_id"] < 100
+    }
+    # min-id copy (4) survives — not zero survivors, not several
+    assert got == {4, 6}, f"expected one winner + distinct doc, got {got}"
+
+
 def test_runtime_rate_limit_update(spark, tmp_dirs):
     """F3: update_rate_limiting takes effect on subsequent triggers
     (broadway.ex:1447-1523)."""
