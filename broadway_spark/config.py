@@ -70,7 +70,9 @@ class ProcessorConfig:
 
     concurrency: int = field(default_factory=_default_concurrency)
     max_demand: int = 10  # options.ex:175 — maps to Arrow batch size
-    partition_by: str | None = None  # column-name form of options.ex:306-316
+    # options.ex:306-316 — column form (name or Column) or function
+    # form (callable DataFrame -> Column, the arbitrary-function parity)
+    partition_by: str | Column | Callable | None = None
 
     def validate(self) -> None:
         _require(
@@ -80,6 +82,13 @@ class ProcessorConfig:
         _require(
             isinstance(self.max_demand, int) and self.max_demand > 0,
             "invalid value for :max_demand option: expected positive integer",
+        )
+        _require(
+            self.partition_by is None
+            or isinstance(self.partition_by, (str, Column))
+            or callable(self.partition_by),
+            "invalid value for :partition_by option: expected a column "
+            "name, Column, or function (options.ex:306-316)",
         )
 
 
@@ -95,7 +104,7 @@ class BatcherConfig:
     batch_size: int | tuple[str, float] = 100  # options.ex:237
     batch_timeout_ms: int = 1000  # options.ex:276-283
     concurrency: int = 1  # options.ex:221-232
-    partition_by: str | None = None
+    partition_by: str | Column | Callable | None = None
 
     def validate(self, name: str) -> None:
         bs = self.batch_size
@@ -166,7 +175,7 @@ class TopologyConfig:
     dlq: SinkConfig | None = None
     ack_log: SinkConfig | None = None
     rate_limit: RateLimit | None = None
-    partition_by: str | None = None
+    partition_by: str | Column | Callable | None = None
     checkpoint_dir: str | None = None
     transformer: Callable[[DataFrame], DataFrame] | None = None
     handle_message: Callable[[DataFrame], DataFrame] | None = None

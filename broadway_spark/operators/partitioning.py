@@ -30,6 +30,40 @@ def partition_bucket(expr: Column | str, num_partitions: int) -> Column:
     return F.pmod(c, F.lit(num_partitions)).cast("long")
 
 
+def resolve_partition_expr(partition_by, df: DataFrame) -> Column:
+    """Resolve both forms of Broadway's ``partition_by``
+    (``options.ex:306-316``): the column form (a column name or
+    Column), and the function form — the reference accepts an
+    arbitrary Message→integer function; the Spark analogue is a
+    callable ``DataFrame -> Column`` computing the key expression
+    (evaluated row-wise, JVM-side — not a Python per-row UDF)."""
+    if isinstance(partition_by, str):
+        return F.col(partition_by)
+    if isinstance(partition_by, Column):
+        return partition_by
+    if callable(partition_by):
+        out = partition_by(df)
+        if not isinstance(out, Column):
+            raise TypeError(
+                "function-form partition_by must return a Column, got "
+                f"{type(out).__name__}"
+            )
+        return out
+    raise TypeError(
+        "partition_by must be a column name, Column, or callable "
+        f"DataFrame -> Column, got {type(partition_by).__name__}"
+    )
+
+
+def partition_by_label(partition_by) -> str | None:
+    """Introspection-friendly rendering of either partition_by form."""
+    if partition_by is None or isinstance(partition_by, str):
+        return partition_by
+    if isinstance(partition_by, Column):
+        return str(partition_by)
+    return getattr(partition_by, "__name__", repr(partition_by))
+
+
 def route_by(
     df: DataFrame,
     routing: Column | str,

@@ -300,6 +300,13 @@ def kmeans_clusters(
         .limit(k)
         .collect()
     ]
+    if not first_ids:
+        raise ValueError(
+            "k-means on empty input: no vectors to seed centroids from"
+        )
+    # Fewer than k distinct ids seeds len(first_ids) < k clusters —
+    # every vector is its own centroid; the result simply has fewer
+    # clusters rather than empty ones.
     cl_expr = F.when(F.col("__vid") == first_ids[0], 0)
     for i, vid in enumerate(first_ids[1:], start=1):
         cl_expr = cl_expr.when(F.col("__vid") == vid, i)

@@ -23,6 +23,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 from broadway_spark import message as M
 from broadway_spark.config import ConfigError, TopologyConfig
+from broadway_spark.operators.partitioning import (
+    partition_by_label,
+    resolve_partition_expr,
+)
 from broadway_spark.streaming.router import build_router
 
 
@@ -91,9 +95,11 @@ class Pipeline:
         if cfg.processors.partition_by is not None:
             # partition_by contract (options.ex:306-316): co-locate equal
             # keys so per-key order survives parallelism. Hash-shuffle on
-            # the key into `concurrency` partitions.
+            # the key into `concurrency` partitions. Accepts the column
+            # form (name/Column) or function form (DataFrame -> Column).
             df = df.repartition(
-                cfg.processors.concurrency, F.col(cfg.processors.partition_by)
+                cfg.processors.concurrency,
+                resolve_partition_expr(cfg.processors.partition_by, df),
             )
         return df
 
@@ -123,7 +129,9 @@ class Pipeline:
                 {
                     "concurrency": cfg.processors.concurrency,
                     "max_demand": cfg.processors.max_demand,
-                    "partition_by": cfg.processors.partition_by,
+                    "partition_by": partition_by_label(
+                        cfg.processors.partition_by
+                    ),
                 }
             ],
             "batchers": [
@@ -132,7 +140,7 @@ class Pipeline:
                     "batch_size": b.batch_size,
                     "batch_timeout_ms": b.batch_timeout_ms,
                     "concurrency": b.concurrency,
-                    "partition_by": b.partition_by,
+                    "partition_by": partition_by_label(b.partition_by),
                     "sink": cfg.sinks[n].path if n in cfg.sinks else None,
                 }
                 for n, b in cfg.batchers.items()

@@ -33,3 +33,23 @@ def test_lsh_and_ivf_recall_vs_bruteforce(spark):
     # trips them
     assert lsh_recall >= 0.4, f"LSH recall collapsed: {lsh_recall:.2f}"
     assert ivf_recall >= 0.75, f"IVF recall collapsed: {ivf_recall:.2f}"
+
+
+def test_kmeans_empty_input_raises_and_small_k_degrades(spark):
+    """ADVICE r3 (low): empty input must raise a clear ValueError, not
+    IndexError; fewer distinct ids than k yields that many singleton
+    clusters (documented degradation, not silent emptiness)."""
+    import pytest
+
+    from broadway_spark.operators.similarity import kmeans_clusters
+
+    empty = spark.createDataFrame([], "id long, emb array<float>")
+    with pytest.raises(ValueError, match="empty input"):
+        kmeans_clusters(empty, "id", "emb", k=4)
+
+    two = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [5.0, 5.0])], "id long, emb array<float>"
+    )
+    out = kmeans_clusters(two, "id", "emb", k=4, iterations=1).collect()
+    assert len(out) == 2
+    assert sorted(r["n_members"] for r in out) == [1, 1]

@@ -75,6 +75,60 @@ def test_admission_count_is_stat_only_for_unchanged_files(spark, tmp_path):
     assert reader._counts.files_read == 202
 
 
+def test_function_form_partition_by_preserves_key_order(spark, tmp_dirs, tmp_path):
+    """options.ex:306-316 function form: partition_by may be an
+    arbitrary function of the row (here user_id % 3 as a callable
+    DataFrame -> Column), mirroring the reference's custom-function
+    ordering contract (broadway_test.exs:1433-1454) — same function
+    value ⇒ same partition ⇒ per-key order preserved."""
+    order_log = str(tmp_path / "orderlog")
+    os.makedirs(order_log)
+
+    def handle_batch(name, pdf):
+        fn = os.path.join(order_log, f"{uuid.uuid4().hex}.txt")
+        with open(fn, "w") as fh:
+            ids = ",".join(str(v) for v in pdf["event_id"])
+            fh.write(f"{pdf['batch_key'].iloc[0]}|{pdf['chunk_id'].iloc[0]}|{ids}\n")
+        return pdf
+
+    src = SpoolSource(
+        name="spool",
+        path=tmp_dirs["spool"],
+        schema_ddl=EVENTS_DDL,
+        ack_data_column="event_id",
+        num_partitions=4,
+    )
+    src.push_messages(make_events(300), "000.jsonl")
+    cfg = TopologyConfig(
+        name="fn-partition",
+        order_by="event_id",
+        partition_by=lambda df: F.pmod(F.col("user_id"), F.lit(3)),
+        batch_key_by=F.col("user_id"),
+        handle_batch=handle_batch,
+        batchers={"default": BatcherConfig(batch_size=25)},
+        sinks={"default": SinkConfig(path=tmp_dirs["sink"])},
+        ack_log=SinkConfig(path=tmp_dirs["ack"]),
+        checkpoint_dir=tmp_dirs["ckpt"],
+    )
+    Pipeline(cfg, src).run_to_completion(spark, timeout_s=120)
+
+    per_key: dict[str, list[tuple[int, list[int]]]] = {}
+    for fn in glob.glob(os.path.join(order_log, "*.txt")):
+        with open(fn) as fh:
+            key, chunk, ids = fh.read().strip().split("|")
+            per_key.setdefault(key, []).append(
+                (int(chunk), [int(x) for x in ids.split(",")])
+            )
+    assert len(per_key) == 7
+    all_ids = []
+    for key, chunks in per_key.items():
+        chunks.sort()
+        seq = [i for _, ids in chunks for i in ids]
+        assert seq == sorted(seq), f"key {key} processed out of order"
+        all_ids.extend(seq)
+    assert sorted(all_ids) == list(range(300)), "every row exactly once"
+
+
 def test_per_key_order_preserved_under_parallel_reads(spark, tmp_dirs, tmp_path):
     """4 read partitions + 8 processor partitions: handle_batch must
     still observe each key's events in ascending order, across chunks
