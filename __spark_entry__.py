@@ -1882,6 +1882,203 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Round-4 additions: deeper TPC-H shapes + analytics + range search
+# ---------------------------------------------------------------------------
+
+
+def q_h9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-line profit by nation and year (TPC-H Q9 shape, adapted:
+    the schema has no partsupp, so unit cost is modeled as
+    0.6 * p_retailprice). Three fact joins shuffle on their natural
+    keys; part / supplier / nation dimensions broadcast. Revenue and
+    cost are separate decimal-exact sums, subtracted and rounded only
+    at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    cost = (
+        F.lit("0.6").cast("decimal(2,1)")
+        * F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(_dp()).cast("double"), 2).alias("revenue"),
+            F.round(F.sum(cost).cast("double"), 2).alias("cost"),
+            F.round(F.sum(_dp() - cost).cast("double"), 2).alias("profit"),
+        )
+    )
+
+
+def q_h21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape): in
+    multi-supplier 'F' orders, the supplier whose lineitem shipped
+    >60 days after the order date while every other supplier was on
+    time. The classic exists/not-exists pair is ONE window pass over
+    the lineitem⋈orders spine (distinct supplier counts, overall and
+    late-only, per order) — no correlated self-joins, one shuffle on
+    the order key."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    late = (
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        > 60
+    )
+    w = Window.partitionBy("l_orderkey")
+    spine = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("__late_supp", F.when(late, F.col("l_suppkey")))
+        .withColumn("__n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn("__n_late", F.size(F.collect_set("__late_supp").over(w)))
+    )
+    waiting = (
+        spine.filter(
+            F.col("__late_supp").isNotNull()
+            & (F.col("__n_supp") > 1)
+            & (F.col("__n_late") == 1)
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+def q_h16_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier variety per part segment (TPC-H Q16 shape; lineitem
+    stands in for partsupp as the part-supplier relation): distinct
+    suppliers per (brand, type) outside one excluded brand. The
+    distinct-count shuffles once on the grouping key after an early
+    broadcast-pruned semi-reduction of the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+        )
+        .limit(20)
+    )
+
+
+def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 vocabulary terms (≥3 chars) — the wordcount
+    primitive of corpus analysis, with a deterministic (count desc,
+    token asc) ranking. Explode → partial-agg shuffle on (lang, token)
+    → tiny per-lang top-k window."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .filter(F.length("token") >= 3)
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    return (
+        toks.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "token", "n", "rank")
+    )
+
+
+def q_evt_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly profile: mean/std of event value from
+    decimal-exact sums (cast to double before any division so both
+    engines run identical IEEE scalar ops), plus how many of the
+    user's events sit outside 2 standard deviations — the outlier
+    screen of a telemetry pipeline. One shuffle on user_id; the
+    per-row z comparison reuses the same windowed sums, no second
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    q = (
+        F.sum(
+            F.col("value").cast("decimal(18,2)")
+            * F.col("value").cast("decimal(18,2)")
+        )
+        .over(w)
+        .cast("double")
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    mean = s / n
+    var = F.greatest((q - s * s / n) / n, F.lit(0.0))
+    std = F.sqrt(var)
+    outlier = F.abs(F.col("value") - mean) > F.lit(2.0) * std
+    return (
+        ev.select(
+            "user_id",
+            n.alias("__n"),
+            mean.alias("__mean"),
+            std.alias("__std"),
+            outlier.cast("int").alias("__out"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("__n").cast("long").alias("n_events"),
+            F.round(F.max("__mean"), 6).alias("mean_value"),
+            F.round(F.max("__std"), 6).alias("std_value"),
+            F.sum("__out").alias("n_outliers"),
+        )
+    )
+
+
+def q_w9_dist_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-function window suite: cume_dist, percent_rank and
+    ntile(8) per event_type over a total (value, event_id) order —
+    the ranking functions w5 doesn't cover. One shuffle on the
+    partition key; all functions share one window definition."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.ntile(8).over(w).alias("bucket"),
+    )
+
+
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius neighborhood search: every corpus vector within cosine
+    ≥ 0.35 of each query — the threshold complement to top-k ANN
+    (candidate generation wants the full neighborhood, not a fixed
+    k). Broadcast queries, corpus streams once."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQUERY)
+    return S.ann_range_search(emb, queries, "vec_id", "embedding", 0.35)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -1990,6 +2187,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arr_suite": q_arr_suite,
         "json_suite": q_json_suite,
         "emb_kmeans": q_emb_kmeans,
+        "h9_profit": q_h9_profit,
+        "h21_waiting": q_h21_waiting,
+        "h16_variety": q_h16_variety,
+        "text_top_terms": q_text_top_terms,
+        "evt_zscore": q_evt_zscore,
+        "w9_dist_suite": q_w9_dist_suite,
+        "sim_range_search": q_sim_range_search,
     }
 
 
@@ -2073,6 +2277,19 @@ SELECT doc_id,
                    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
          AS BIGINT) AS simhash
 FROM (SELECT doc_id, {th} AS th FROM documents)
+"""
+
+
+def _range_search_oracle() -> str:
+    cos = V.cosine_similarity_sql("c.embedding", "q.embedding")
+    return f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {ANN_NQUERY})
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({cos}, 6) AS cos_sim
+  FROM embeddings c CROSS JOIN q
+  WHERE q.vec_id <> c.vec_id
+) WHERE cos_sim >= 0.35
 """
 
 
@@ -3093,4 +3310,107 @@ def oracle_sql() -> dict[str, str]:
                    min(vid) AS min_member,
                    CAST(SUM(dist) AS BIGINT) AS total_dist
             FROM a3 GROUP BY cl""",
+        "h9_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+                     AS revenue,
+                   round(CAST(SUM(CAST(0.6 AS DECIMAL(2,1))
+                         * CAST(p_retailprice AS DECIMAL(18,2))
+                         * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+                     AS cost,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         - CAST(0.6 AS DECIMAL(2,1))
+                         * CAST(p_retailprice AS DECIMAL(18,2))
+                         * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+                     AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name, year(o_orderdate)""",
+        "h21_waiting": """
+            WITH spine AS (
+              SELECT l_orderkey, l_suppkey,
+                     CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                         CAST(l_shipdate AS DATE)) > 60
+                          THEN l_suppkey END AS late_supp
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+            ), flagged AS (
+              SELECT *,
+                     count(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey)
+                       AS n_supp,
+                     count(DISTINCT late_supp) OVER (PARTITION BY l_orderkey)
+                       AS n_late
+              FROM spine
+            ), waiting AS (
+              SELECT DISTINCT l_orderkey, l_suppkey
+              FROM flagged
+              WHERE late_supp IS NOT NULL AND n_supp > 1 AND n_late = 1
+            )
+            SELECT s_name, numwait FROM (
+              SELECT l_suppkey, count(*) AS numwait
+              FROM waiting GROUP BY l_suppkey
+            ) JOIN supplier ON l_suppkey = s_suppkey
+            ORDER BY numwait DESC, s_name ASC LIMIT 10""",
+        "h16_variety": """
+            SELECT p_brand, p_type,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_brand <> 'Brand#1'
+            GROUP BY p_brand, p_type
+            ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC
+            LIMIT 20""",
+        "text_top_terms": """
+            SELECT lang, token, n, rank FROM (
+              SELECT lang, token, n,
+                     CAST(row_number() OVER (PARTITION BY lang
+                       ORDER BY n DESC, token ASC) AS INT) AS rank
+              FROM (
+                SELECT lang, token, count(*) AS n
+                FROM (
+                  SELECT lang,
+                         unnest(string_split(lower(text), ' ')) AS token
+                  FROM documents
+                )
+                WHERE length(token) >= 3
+                GROUP BY lang, token
+              )
+            ) WHERE rank <= 5""",
+        "evt_zscore": """
+            WITH stats AS (
+              SELECT user_id, value,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                       OVER (PARTITION BY user_id) AS DOUBLE) AS s,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))
+                              * CAST(value AS DECIMAL(18,2)))
+                       OVER (PARTITION BY user_id) AS DOUBLE) AS q,
+                     CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE) AS n
+              FROM events
+            ), z AS (
+              SELECT user_id, n, s / n AS mean_v,
+                     sqrt(greatest((q - s * s / n) / n, 0.0)) AS std_v,
+                     CASE WHEN abs(value - s / n)
+                            > 2.0 * sqrt(greatest((q - s * s / n) / n, 0.0))
+                          THEN 1 ELSE 0 END AS is_out
+              FROM stats
+            )
+            SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+                   round(max(mean_v), 6) AS mean_value,
+                   round(max(std_v), 6) AS std_value,
+                   SUM(is_out) AS n_outliers
+            FROM z GROUP BY user_id""",
+        "w9_dist_suite": """
+            SELECT event_id, event_type,
+                   round(cume_dist() OVER w, 6) AS cd,
+                   round(percent_rank() OVER w, 6) AS pr,
+                   ntile(8) OVER w AS bucket
+            FROM events
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY value ASC, event_id ASC)""",
+        "sim_range_search": _range_search_oracle(),
     }

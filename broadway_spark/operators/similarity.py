@@ -66,6 +66,43 @@ def ann_bruteforce_topk(
     )
 
 
+def ann_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float,
+) -> DataFrame:
+    """All corpus neighbors within a cosine-similarity threshold of
+    each query (range query — the radius-based complement to top-k;
+    dedup candidate generation and diversity filtering both want the
+    full neighborhood, not a fixed k).
+
+    Same scale shape as ``ann_bruteforce_topk``: the query side is
+    broadcast, the corpus streams once, norms are computed per row.
+    The threshold compares against the 6dp-rounded similarity so the
+    boundary is engine-independent. Returns (query_id, neighbor_id,
+    cos_sim) with no ranking — the result set is the semantics.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+        l2_norm(vec_col).alias("__cn"),
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(_cos_from_parts(), 6))
+        .filter(F.col("cos_sim") >= min_cosine)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
 def srp_plane(p: int, dim: int, seed: int = 7) -> list[float]:
     """Plane p's components: deterministic pseudo-random values in
     [-0.5, 0.5) derived from md5(seed:p:j) — computed in Python once
