@@ -40,6 +40,7 @@ from pyspark.sql.types import StructType
 SPOOL_FORMAT = "broadway_spool"
 COMMIT_JOURNAL = "_commits.jsonl"
 RATE_CONTROL_FILE = "_rate_control.json"
+DISCARD_JOURNAL = "_discards.jsonl"
 
 
 def _data_files(path: str) -> list[str]:
@@ -112,6 +113,7 @@ class _SpoolStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.path = options["path"]
         self.allowed = int(options.get("allowed_per_trigger", 0)) or None
+        self.max_backlog = int(options.get("max_backlog", 0)) or None
         self.num_partitions = int(options.get("num_partitions", 4))
         self.fields = [f.name for f in schema.fields]
         self.schema = schema
@@ -166,10 +168,41 @@ class _SpoolStreamReader(DataSourceStreamReader):
         if prev is None:
             prev = self._last_committed()
         total = self._counts.total(self.path)
+        # F4 bounded buffer: the reference's producers default to
+        # buffer_size :infinity, and so do we (max_backlog None). With
+        # a bound, the OLDEST overflow rows are discarded — skipped by
+        # the offset, never admitted, never acked — and the loss is
+        # loudly recorded (format_discarded/2, broadway.ex:1083-1092,
+        # producer_stage.ex:230-239): one journal line per discard
+        # plus a driver log warning.
+        if self.max_backlog is not None and total - prev > self.max_backlog:
+            skip_to = total - self.max_backlog
+            self._record_discard(prev, skip_to)
+            prev = skip_to
         allowed = self._current_allowed()
         nxt = min(total, prev + allowed) if allowed else total
         self._last_end = nxt
         return {"row": nxt}
+
+    def _record_discard(self, from_row: int, to_row: int) -> None:
+        import logging
+
+        n = to_row - from_row
+        with open(os.path.join(self.path, DISCARD_JOURNAL), "a") as fh:
+            fh.write(
+                json.dumps(
+                    {"from_row": from_row, "to_row": to_row, "discarded": n}
+                )
+                + "\n"
+            )
+        logging.getLogger("broadway_spark.spool").warning(
+            "Discarding %d messages from buffer (backlog over "
+            "max_backlog=%d); rows [%d, %d) skipped",
+            n,
+            self.max_backlog,
+            from_row,
+            to_row,
+        )
 
     def _current_allowed(self) -> int | None:
         ctrl = os.path.join(self.path, RATE_CONTROL_FILE)
@@ -255,6 +288,9 @@ class SpoolSource:
     ack_data_column: str
     allowed_per_trigger: int | None = None
     num_partitions: int = 4
+    # F4 bounded buffer; None = the reference default (:infinity).
+    # Overflow discards the oldest rows and journals the loss.
+    max_backlog: int | None = None
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
         register_spool_source(spark)
@@ -266,7 +302,22 @@ class SpoolSource:
         )
         if self.allowed_per_trigger is not None:
             reader = reader.option("allowed_per_trigger", self.allowed_per_trigger)
+        if self.max_backlog is not None:
+            reader = reader.option("max_backlog", self.max_backlog)
         return reader.load()
+
+    def discards(self) -> list[dict]:
+        """The discard journal (format_discarded observability,
+        broadway.ex:1083-1092): one entry per overflow discard."""
+        out = []
+        try:
+            with open(os.path.join(self.path, DISCARD_JOURNAL)) as fh:
+                for line in fh:
+                    if line.strip():
+                        out.append(json.loads(line))
+        except FileNotFoundError:
+            pass
+        return out
 
     def update_rate_limiting(self, allowed_per_trigger: int | None) -> None:
         """F3: Broadway.update_rate_limiting/2 — change the admission

@@ -102,3 +102,42 @@ def test_dlq_disposition_tags_retry_vs_terminal(spark):
     assert {int(r["ack_data"]) for r in res.failed} == {
         e for e, t in rows.items() if t == "terminal"
     }
+
+
+def test_spool_max_backlog_discards_oldest_and_journals(spark, tmp_dirs, caplog):
+    """F4 bounded buffer (the one row with zero engine surface in r3):
+    with max_backlog=30, a 100-row backlog discards the oldest 70 —
+    skipped by the offset, never admitted, never acked — and the loss
+    is journaled and logged (format_discarded/2 analogue,
+    broadway.ex:1083-1092). Unbounded (default) discards nothing."""
+    import logging
+
+    from broadway_spark.sources import SpoolSource
+    from broadway_spark.sources.spool import _SpoolStreamReader
+
+    src = SpoolSource(
+        name="s",
+        path=tmp_dirs["spool"],
+        schema_ddl=EVENTS_DDL,
+        ack_data_column="event_id",
+        max_backlog=30,
+    )
+    src.push_messages(make_events(100), "000.jsonl")
+    schema = spark.createDataFrame([], EVENTS_DDL).schema
+    rdr = _SpoolStreamReader(
+        schema, {"path": tmp_dirs["spool"], "max_backlog": "30"}
+    )
+    with caplog.at_level(logging.WARNING, logger="broadway_spark.spool"):
+        end = rdr.latestOffset()
+    assert end == {"row": 100}
+    rows = [
+        r for p in rdr.partitions({"row": 70}, end) for r in rdr.read(p)
+    ]
+    assert [r[0] for r in rows] == list(range(70, 100))
+    assert src.discards() == [
+        {"from_row": 0, "to_row": 70, "discarded": 70}
+    ]
+    assert any("Discarding 70 messages" in r.message for r in caplog.records)
+    # steady state: no further discard while backlog stays bounded
+    assert rdr.latestOffset() == {"row": 100}
+    assert len(src.discards()) == 1
