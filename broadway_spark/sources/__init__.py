@@ -16,27 +16,33 @@
 - ``PubSubSource``: ack-deadline-family connector (ack = ack_id before
   a renewable deadline lease, nack = modifyAckDeadline(0), redelivery
   via lease expiry), against a file-backed subscription double.
+- ``RabbitSource``: channel-family connector (ack = basic.ack by
+  channel-scoped delivery_tag incl. cumulative multiple=True, nack =
+  requeue or dead-letter, back-pressure = basic.qos prefetch window,
+  crash redelivery = channel close), against a file-backed queue
+  double.
 
-The reference's four official connector families map onto three ack
-styles, all carried here: Kafka → offset commit; SQS → delete-as-ack
-with visibility timeout; Google Pub/Sub → ack-deadline lease with
-renewal. RabbitMQ's channel nack/requeue is the Pub/Sub nack shape
-with a channel-scoped handle — a production Rabbit connector reuses
-the PubSub-shaped surface (pull / bulk-ack executor / nack-requeue)
-with a different client in the broker seam.
+All four of the reference's official connector families are carried
+with their native ack styles: Kafka → offset commit; SQS →
+delete-as-ack with visibility timeout; Google Pub/Sub → ack-deadline
+lease with renewal; RabbitMQ → channel delivery_tag with
+nack/requeue/DLX and prefetch flow control.
 """
 
 from broadway_spark.sources.file_stream import FileStreamSource
 from broadway_spark.sources.pubsub import PubSubSource, register_pubsub_source
+from broadway_spark.sources.rabbit import RabbitSource, register_rabbit_source
 from broadway_spark.sources.spool import SpoolSource, register_spool_source
 from broadway_spark.sources.sqs import SQSSource, register_sqs_source
 
 __all__ = [
     "FileStreamSource",
     "PubSubSource",
+    "RabbitSource",
     "SpoolSource",
     "SQSSource",
     "register_pubsub_source",
+    "register_rabbit_source",
     "register_spool_source",
     "register_sqs_source",
 ]
