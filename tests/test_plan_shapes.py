@@ -259,3 +259,52 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     # the data filter list must NOT carry the partition predicate —
     # pruning happened in the metadata phase, not per-row
     assert df.count() == src.filter("event_type = 'purchase'").count()
+
+
+def test_h9_dimensions_broadcast_facts_shuffle(spark):
+    """h9_profit: part/supplier/nation joins must be broadcast (no
+    fact-table shuffle for dimensions); only the lineitem⋈orders fact
+    join may shuffle. No cartesian products anywhere."""
+    plan = _plan(entry.q_h9_profit(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_h21_single_window_pass_no_self_joins(spark):
+    """h21_waiting: the exists/not-exists pair must be ONE window pass
+    over the joined spine — exactly one lineitem scan, no correlated
+    self-joins of the fact table."""
+    plan = _plan(entry.q_h21_waiting(spark, SF))
+    assert plan.count("lineitem") <= plan.count("Scan parquet")  # sanity
+    # one lineitem scan only
+    import re
+
+    li_scans = len(re.findall(r"Scan parquet[^\n]*lineitem", plan))
+    assert li_scans == 1, f"expected 1 lineitem scan, got {li_scans}"
+    assert "CartesianProduct" not in plan
+
+
+def test_evt_zscore_single_shuffle_window_then_agg(spark):
+    """evt_zscore: the windowed sums and the final groupBy share the
+    user_id hash partitioning — exactly one exchange."""
+    plan = _plan(entry.q_evt_zscore(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_range_search_broadcasts_query_side(spark):
+    """sim_range_search: the query side is broadcast; the corpus is
+    scanned once and never shuffled."""
+    plan = _plan(entry.q_sim_range_search(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_top_terms_partial_agg_before_shuffle(spark):
+    """text_top_terms: the (lang, token) count must keep its map-side
+    partial phase so the shuffle carries partial counts, not raw
+    tokens."""
+    plan = _plan(entry.q_text_top_terms(spark, SF))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # agg + window
