@@ -2079,6 +2079,89 @@ def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_range_search(emb, queries, "vec_id", "embedding", 0.35)
 
 
+def q_h20_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-share suppliers (TPC-H Q20 shape, lineitem as the
+    part-supplier relation): suppliers that shipped more than 40% of a
+    part's total shipped quantity. The per-part total is a second
+    aggregate over the SAME (part, supplier) partial aggregate — a
+    window over the grouped result, not a self-join re-scan of the
+    fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q")
+    )
+    w = Window.partitionBy("l_partkey")
+    shared = per_ps.withColumn("__tot", F.sum("__q").over(w)).filter(
+        F.col("__q").cast("double") > 0.4 * F.col("__tot").cast("double")
+    )
+    return (
+        shared.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "n_dominated_parts")
+        .orderBy(
+            F.col("n_dominated_parts").desc(), F.col("s_name").asc()
+        )
+        .limit(15)
+    )
+
+
+def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares regression (value over event_id) from
+    decimal-exact moment sums — slope, intercept and Pearson r as
+    closed-form doubles over exact sums, so both engines execute the
+    identical IEEE scalar expression (the same policy as evt_zscore).
+    The five moments come out of ONE partial-agg shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("event_id").cast("decimal(18,0)")
+    y = F.col("value").cast("decimal(18,2)")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum(x * y).cast("double").alias("__sxy"),
+        F.sum(x * x).cast("double").alias("__sxx"),
+        F.sum(y * y).cast("double").alias("__syy"),
+    )
+    n, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
+    sxy, sxx, syy = F.col("__sxy"), F.col("__sxx"), F.col("__syy")
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    slope = cov / vx
+    return agg.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(slope, 9).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(cov / F.sqrt(vx * vy), 6).alias("pearson_r"),
+    )
+
+
+def q_w10_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, maximal runs of CONSECUTIVE active
+    days (a gap splits the streak). The classic date-minus-row_number
+    constant-per-island trick: one distinct, one window, one groupBy —
+    no self-joins, no explode over calendars."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("__d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("__d")
+    grp = F.date_sub(F.col("__d"), F.row_number().over(w))
+    islands = (
+        days.withColumn("__g", grp)
+        .groupBy("user_id", "__g")
+        .agg(F.count(F.lit(1)).alias("__len"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("__len").cast("long").alias("longest_streak_days"),
+        F.sum("__len").cast("long").alias("active_days"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -2194,6 +2277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_zscore": q_evt_zscore,
         "w9_dist_suite": q_w9_dist_suite,
         "sim_range_search": q_sim_range_search,
+        "h20_excess": q_h20_excess,
+        "agg_linreg": q_agg_linreg,
+        "w10_islands": q_w10_islands,
     }
 
 
@@ -3413,4 +3499,63 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY event_type
                          ORDER BY value ASC, event_id ASC)""",
         "sim_range_search": _range_search_oracle(),
+        "h20_excess": """
+            WITH per_ps AS (
+              SELECT l_partkey, l_suppkey,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+              FROM lineitem GROUP BY l_partkey, l_suppkey
+            ), shared AS (
+              SELECT l_suppkey FROM (
+                SELECT l_partkey, l_suppkey, q,
+                       SUM(q) OVER (PARTITION BY l_partkey) AS tot
+                FROM per_ps
+              ) WHERE CAST(q AS DOUBLE) > 0.4 * CAST(tot AS DOUBLE)
+            )
+            SELECT s_name, n_dominated_parts FROM (
+              SELECT l_suppkey, count(*) AS n_dominated_parts
+              FROM shared GROUP BY l_suppkey
+            ) JOIN supplier ON l_suppkey = s_suppkey
+            ORDER BY n_dominated_parts DESC, s_name ASC LIMIT 15""",
+        "agg_linreg": """
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round((sxy - sx * sy / n) / (sxx - sx * sx / n), 9)
+                     AS slope,
+                   round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                          * sx) / n, 6) AS intercept,
+                   round((sxy - sx * sy / n)
+                         / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
+                         6) AS pearson_r
+            FROM (
+              SELECT event_type,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     CAST(SUM(CAST(event_id AS DECIMAL(18,0))) AS DOUBLE)
+                       AS sx,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sy,
+                     CAST(SUM(CAST(event_id AS DECIMAL(18,0))
+                              * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sxy,
+                     CAST(SUM(CAST(event_id AS DECIMAL(18,0))
+                              * CAST(event_id AS DECIMAL(18,0))) AS DOUBLE)
+                       AS sxx,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))
+                              * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS syy
+              FROM events GROUP BY event_type
+            )""",
+        "w10_islands": """
+            WITH days AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+            ), islands AS (
+              SELECT user_id, g, count(*) AS len FROM (
+                SELECT user_id,
+                       d - CAST(row_number() OVER (PARTITION BY user_id
+                                ORDER BY d) AS INTEGER) AS g
+                FROM days
+              ) GROUP BY user_id, g
+            )
+            SELECT user_id, count(*) AS n_streaks,
+                   CAST(max(len) AS BIGINT) AS longest_streak_days,
+                   CAST(SUM(len) AS BIGINT) AS active_days
+            FROM islands GROUP BY user_id""",
     }
