@@ -135,13 +135,29 @@ class BatcherConfig:
 
 @dataclass
 class SinkConfig:
-    """Where a batcher's (or the DLQ's) rows land."""
+    """Where a batcher's (or the DLQ's) rows land.
+
+    ``idempotent=True`` makes the write replay-safe: each micro-batch
+    lands in its own ``batch_id=N`` partition directory with overwrite
+    semantics, so a replayed micro-batch (crash between sink write and
+    checkpoint commit — the at-least-once window of foreachBatch)
+    REPLACES its previous attempt instead of appending duplicates.
+    Readers scan the root path; ``batch_id`` surfaces as a partition
+    column. This is the standard exactly-once-output recipe for
+    deterministic batches; the default stays plain append (matching
+    at-least-once acks).
+    """
 
     path: str
     format: str = "parquet"
+    idempotent: bool = False
 
     def validate(self, label: str) -> None:
         _require(bool(self.path), f"sink {label!r} requires a path")
+        _require(
+            not (self.idempotent and self.format == "noop"),
+            f"sink {label!r}: idempotent mode is meaningless for noop",
+        )
         _require(
             self.format in ("parquet", "json", "csv", "noop"),
             f"sink {label!r}: unsupported format {self.format!r}",

@@ -308,9 +308,14 @@ class Pipeline:
                             ),
                             sink.path,
                             sink.format,
+                            batch_id,
+                            sink.idempotent,
                         )
                 if cfg.dlq is not None:
-                    _write(failed, cfg.dlq.path, cfg.dlq.format)
+                    _write(
+                        failed, cfg.dlq.path, cfg.dlq.format,
+                        batch_id, cfg.dlq.idempotent,
+                    )
                 if cfg.ack_log is not None or cfg.ack_executor is not None:
                     # A3/A4 on the stateful path, mirroring the
                     # foreachBatch router (router.py): failed rows with
@@ -372,7 +377,11 @@ class Pipeline:
                                 if cfg.ack_executor is not None
                                 else acks
                             )
-                            _write(logged, cfg.ack_log.path, cfg.ack_log.format)
+                            _write(
+                                logged, cfg.ack_log.path,
+                                cfg.ack_log.format, batch_id,
+                                cfg.ack_log.idempotent,
+                            )
                         if cfg.ack_executor is not None:
                             # A1 connector bulk ack (acknowledger.ex:
                             # 63-85) — e.g. SQS per-message deletes.

@@ -51,9 +51,22 @@ ACK_LOG_SCHEMA = (
 )
 
 
-def _write(df: DataFrame, path: str, fmt: str) -> None:
+def _write(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    batch_id: int | None = None,
+    idempotent: bool = False,
+) -> None:
     if fmt == "noop":
         df.write.format("noop").mode("overwrite").save()
+    elif idempotent and batch_id is not None:
+        # Exactly-once output for deterministic batches: the replayed
+        # micro-batch overwrites its own batch_id partition instead of
+        # appending a duplicate (the standard foreachBatch recipe).
+        df.write.format(fmt).mode("overwrite").save(
+            f"{path}/batch_id={batch_id}"
+        )
     else:
         df.write.format(fmt).mode("append").save(path)
 
@@ -241,6 +254,8 @@ def build_router(
                         failed.withColumn("dlq_disposition", disposition),
                         config.dlq.path,
                         config.dlq.format,
+                        batch_id,
+                        config.dlq.idempotent,
                     )
             # A4: failed rows with on_failure=retry flow through
             # handle_failed and the DLQ like any failure (the reference
@@ -266,7 +281,7 @@ def build_router(
                 # terminal; ack in place, optional default sink.
                 sink = config.sinks.get("default")
                 if sink is not None:
-                    _write(ok, sink.path, sink.format)
+                    _write(ok, sink.path, sink.format, batch_id, sink.idempotent)
                 late_ok = (
                     ok.filter(F.col("ack_policy") != "early") if has_policy else ok
                 )
@@ -368,6 +383,8 @@ def build_router(
                             chunked.drop("chunk_id", "batch_size_", "trigger_"),
                             sink.path,
                             sink.format,
+                            batch_id,
+                            sink.idempotent,
                         )
                     late_chunked = (
                         chunked.filter(F.col("ack_policy") != "early")
@@ -400,7 +417,13 @@ def build_router(
                         if config.ack_executor is not None
                         else acks
                     )
-                    _write(logged, config.ack_log.path, config.ack_log.format)
+                    _write(
+                        logged,
+                        config.ack_log.path,
+                        config.ack_log.format,
+                        batch_id,
+                        config.ack_log.idempotent,
+                    )
                 if config.ack_executor is not None:
                     # A1 bulk ack: the connector's one-call-per-source
                     # hook (acknowledger.ex:63-85) — e.g. SQS deletes,

@@ -14,7 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from broadway_spark import message as M
-from broadway_spark.config import TopologyConfig
+from broadway_spark.config import SinkConfig, TopologyConfig
 from broadway_spark.operators.failure import with_status
 from broadway_spark.testing import run_test_batch
 
@@ -141,3 +141,57 @@ def test_spool_max_backlog_discards_oldest_and_journals(spark, tmp_dirs, caplog)
     # steady state: no further discard while backlog stays bounded
     assert rdr.latestOffset() == {"row": 100}
     assert len(src.discards()) == 1
+
+
+def test_idempotent_sink_replay_does_not_duplicate(spark, tmp_path):
+    """Exactly-once output: foreachBatch is at-least-once (a crash
+    between sink write and checkpoint commit replays the micro-batch).
+    With SinkConfig(idempotent=True) the replay OVERWRITES its own
+    batch_id partition; plain append duplicates. Driven by invoking
+    the compiled router twice with the same batch_id — exactly what a
+    replay does."""
+    from broadway_spark.config import BatcherConfig
+    from broadway_spark.streaming.router import build_router
+
+    def make_batch(n):
+        from broadway_spark import message as M
+
+        df = spark.createDataFrame(make_events(n), EVENTS_DDL)
+        return M.normalize(
+            df,
+            source_name="t",
+            ack_ref="t#idem",
+            ack_data=F.col("event_id").cast("string"),
+        )
+
+    idem_path = str(tmp_path / "idem_sink")
+    plain_path = str(tmp_path / "plain_sink")
+    cfg = TopologyConfig(
+        name="idem",
+        order_by="event_id",
+        batchers={"default": BatcherConfig(batch_size=10)},
+        sinks={"default": SinkConfig(path=idem_path, idempotent=True)},
+        ack_log=SinkConfig(path=str(tmp_path / "ack")),
+    ).validate()
+    router = build_router(cfg)
+    batch = make_batch(40)
+    router(batch, 0)
+    router(batch, 0)  # replay of the same micro-batch
+    router(make_batch(40), 1)
+    out = spark.read.parquet(idem_path)
+    assert out.count() == 80  # 40 per batch, replay replaced itself
+    assert set(
+        r[0] for r in out.select("batch_id").distinct().collect()
+    ) == {0, 1}
+
+    cfg2 = TopologyConfig(
+        name="plain",
+        order_by="event_id",
+        batchers={"default": BatcherConfig(batch_size=10)},
+        sinks={"default": SinkConfig(path=plain_path)},
+        ack_log=SinkConfig(path=str(tmp_path / "ack2")),
+    ).validate()
+    router2 = build_router(cfg2)
+    router2(batch, 0)
+    router2(batch, 0)
+    assert spark.read.parquet(plain_path).count() == 80  # duplicated
