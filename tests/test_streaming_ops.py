@@ -3,6 +3,8 @@ aggregation with late data, runtime rate-limit update (F3)."""
 
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from broadway_spark.config import BatcherConfig, SinkConfig, TopologyConfig
@@ -340,6 +342,84 @@ def test_streaming_near_dedup_same_batch_keeps_one_winner(spark, tmp_dirs):
     }
     # min-id copy (4) survives — not zero survivors, not several
     assert got == {4, 6}, f"expected one winner + distinct doc, got {got}"
+
+
+@pytest.mark.parametrize(
+    "split",
+    [
+        [[7, 4, 9, 6]],  # all in one micro-batch
+        [[7], [4], [9], [6]],  # one per micro-batch
+        [[7, 4], [9, 6]],  # mixed
+        [[9, 6], [7], [4]],  # winner arrives last
+    ],
+    ids=["one-batch", "per-batch", "mixed", "winner-last"],
+)
+def test_streaming_near_dedup_batch_split_independent(spark, tmp_dirs, split):
+    """The min-id-per-window arbitration makes the keeper set a pure
+    function of the data, independent of micro-batch boundaries: every
+    split of the same four docs (three copies + one distinct) yields
+    exactly {min copy id, distinct id}. The r3 design (arbitrary-keep
+    band dedup) violated this — same-batch arrivals could drop ALL
+    copies."""
+    from broadway_spark.operators.dedup import streaming_near_dedup
+
+    ddl = "doc_id long, text string, ts timestamp"
+    src = SpoolSource(
+        name="spool",
+        path=tmp_dirs["spool"],
+        schema_ddl=ddl,
+        ack_data_column="doc_id",
+    )
+    t_a = "the quick brown fox jumps over the lazy dog tonight"
+    t_b = "completely different words about spark streaming engines here"
+    texts = {7: t_a, 4: t_a, 9: t_a, 6: t_b}
+
+    kept = streaming_near_dedup(
+        src.read_stream(spark),
+        "doc_id",
+        "text",
+        "ts",
+        watermark_delay="30 minutes",
+        window_duration="1 hour",
+    )
+
+    def drain():
+        q = (
+            kept.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", tmp_dirs["sink"])
+            .option("checkpointLocation", tmp_dirs["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for i, batch in enumerate(split):
+        src.push_messages(
+            [
+                {
+                    "doc_id": d,
+                    "text": texts[d],
+                    "ts": f"2024-01-01 00:1{d}:00",
+                }
+                for d in batch
+            ],
+            f"{i:03d}.jsonl",
+        )
+        drain()
+    for n, ts in ((100, "2024-01-02 00:00:00"), (101, "2024-01-03 00:00:00")):
+        src.push_messages(
+            [{"doc_id": n, "text": f"sentinel {n}", "ts": ts}],
+            f"{n:03d}_sentinel.jsonl",
+        )
+        drain()
+
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(tmp_dirs["sink"]).collect()
+        if r["doc_id"] < 100
+    }
+    assert got == {4, 6}, f"split {split}: got {got}"
 
 
 def test_runtime_rate_limit_update(spark, tmp_dirs):
