@@ -2162,6 +2162,19 @@ def q_w10_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT ...) over different columns in ONE
+    aggregation (Catalyst's expand-based rewrite: one scan, one
+    expanded shuffle — not one scan per distinct column), per day."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("value").alias("n_values"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -2280,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h20_excess": q_h20_excess,
         "agg_linreg": q_agg_linreg,
         "w10_islands": q_w10_islands,
+        "agg_multi_distinct": q_agg_multi_distinct,
     }
 
 
@@ -3558,4 +3572,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(len) AS BIGINT) AS longest_streak_days,
                    CAST(SUM(len) AS BIGINT) AS active_days
             FROM islands GROUP BY user_id""",
+        "agg_multi_distinct": """
+            SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+                   count(DISTINCT user_id) AS n_users,
+                   count(DISTINCT event_type) AS n_types,
+                   count(DISTINCT value) AS n_values
+            FROM events GROUP BY CAST(ts AS DATE)""",
     }
