@@ -2175,6 +2175,20 @@ def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-heavy-hitter vocabulary tokens via two-pass Misra-Gries:
+    Arrow-batch-local MG summaries emit a tiny candidate superset, one
+    broadcast semi-join + count verifies exactly. The shuffle carries
+    candidate keys only — never the full vocabulary (the 100 TB win
+    when the key space is huge and the answer is small). Output is
+    exact, so the oracle is a plain GROUP BY ... HAVING."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    return K.heavy_hitters(toks, "token", phi=0.03)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -2294,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_linreg": q_agg_linreg,
         "w10_islands": q_w10_islands,
         "agg_multi_distinct": q_agg_multi_distinct,
+        "sketch_heavy_hitters": q_sketch_heavy_hitters,
     }
 
 
@@ -3578,4 +3593,12 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT event_type) AS n_types,
                    count(DISTINCT value) AS n_values
             FROM events GROUP BY CAST(ts AS DATE)""",
+        "sketch_heavy_hitters": """
+            WITH toks AS (
+              SELECT unnest(string_split(lower(text), ' ')) AS t
+              FROM documents
+            ), toks2 AS (SELECT t FROM toks WHERE length(t) > 0)
+            SELECT t AS key, count(*) AS n FROM toks2
+            GROUP BY t
+            HAVING count(*) > 0.03 * (SELECT count(*) FROM toks2)""",
     }

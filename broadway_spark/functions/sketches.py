@@ -130,3 +130,82 @@ SELECT {g},
   END) AS BIGINT) AS n_hll
 FROM folded
 """
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col,
+    phi: float,
+    batch_counters: int | None = None,
+) -> DataFrame:
+    """Exact φ-heavy hitters via the two-pass Misra-Gries pattern:
+    every key whose frequency exceeds ``phi`` of the total, with its
+    EXACT count.
+
+    Scale shape — the reason this beats a plain groupBy at 100 TB when
+    the key space is huge (tokens, URLs, n-grams) but the answer is
+    tiny:
+
+    1. **Candidate pass**: each Arrow batch runs a local Misra-Gries
+       summary with ``ceil(1/phi)`` counters (``mapInPandas`` — pure
+       pandas value_counts + decrement, no Python-per-row loop) and
+       emits only its surviving candidate keys. MG's guarantee makes
+       the union a SUPERSET of the true heavy hitters: a key with
+       global frequency > φ·n must exceed φ·n_p in at least one batch
+       p (pigeonhole), and a local MG(⌈1/φ⌉) never evicts a key with
+       local frequency > φ·n_p. At most ⌈1/φ⌉ candidates per batch
+       regardless of key-space size.
+    2. **Exact verify**: one count aggregate over rows semi-joined
+       (broadcast) to the candidate set — the shuffle carries only
+       candidate keys' partial counts, never the full key space —
+       filtered by the exact global threshold count > φ·n.
+
+    The output is exact and deterministic (MG internals only affect
+    the candidate superset, never the verified answer) — which is what
+    makes a SQL oracle possible. Returns (key, n) for count > φ·total.
+    """
+    import math
+
+    from pyspark.sql.functions import broadcast
+
+    k = batch_counters or max(2, math.ceil(1.0 / phi))
+    keyed = df.select(F.col(key_col).cast("string").alias("__k")).filter(
+        F.col("__k").isNotNull()
+    )
+
+    def mg_candidates(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            counters: dict[str, int] = {}
+            # vectorized MG: value_counts gives batch-local exact
+            # counts; running MG over the distinct (value, count)
+            # items is equivalent to row-at-a-time MG for the
+            # superset guarantee and touches |distinct| items only.
+            for val, cnt in pdf["__k"].value_counts().items():
+                if val in counters:
+                    counters[val] += int(cnt)
+                elif len(counters) < k:
+                    counters[val] = int(cnt)
+                else:
+                    dec = min(int(cnt), min(counters.values()))
+                    counters = {
+                        v: c - dec for v, c in counters.items() if c - dec > 0
+                    }
+                    if int(cnt) > dec:
+                        counters[val] = int(cnt) - dec
+            yield pd.DataFrame({"__k": list(counters.keys())})
+
+    candidates = (
+        keyed.mapInPandas(mg_candidates, schema="__k string").distinct()
+    )
+    total = keyed.count()
+    return (
+        keyed.join(broadcast(candidates), "__k")
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > phi * total)
+        .select(F.col("__k").alias("key"), "n")
+    )

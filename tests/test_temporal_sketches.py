@@ -144,3 +144,54 @@ def test_ivf_results_subset_of_bruteforce(spark, sf_dir="/root/testdata/sf0.001"
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_heavy_hitters_exact_vs_plain_groupby(spark):
+    """Two-pass Misra-Gries must return EXACTLY the keys with
+    freq > phi*n and their exact counts — identical to the plain
+    groupBy+having — under a skewed distribution spread across many
+    partitions (the MG candidate pass only affects the superset,
+    never the verified answer)."""
+    from pyspark.sql import functions as F
+
+    from broadway_spark.functions.sketches import heavy_hitters
+
+    # 3 heavy keys (~20% each), long uniform tail, 16 partitions
+    df = (
+        spark.range(0, 30_000, numPartitions=16)
+        .select(
+            F.when(F.col("id") % 5 == 0, F.lit("hot_a"))
+            .when(F.col("id") % 5 == 1, F.lit("hot_b"))
+            .when(F.col("id") % 5 == 2, F.lit("hot_c"))
+            .otherwise(F.concat(F.lit("tail_"), (F.col("id") % 4000)))
+            .alias("k")
+        )
+    )
+    got = {
+        (r["key"], r["n"]) for r in heavy_hitters(df, "k", phi=0.05).collect()
+    }
+    n = df.count()
+    want = {
+        (r["k"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 0.05 * n)
+        .collect()
+    }
+    assert got == want and len(want) == 3
+
+
+def test_heavy_hitters_boundary_not_included(spark):
+    """A key at EXACTLY phi*n must not qualify (strict >)."""
+    from pyspark.sql import functions as F
+
+    from broadway_spark.functions.sketches import heavy_hitters
+
+    # 100 rows: 'edge' has exactly 10 = phi*n at phi=0.1;
+    # 'heavy' has 30 > 10.
+    rows = [("edge",)] * 10 + [("heavy",)] * 30 + [
+        (f"t{i}",) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = {r["key"] for r in heavy_hitters(df, "k", phi=0.1).collect()}
+    assert got == {"heavy"}
