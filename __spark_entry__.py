@@ -2189,6 +2189,45 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.heavy_hitters(toks, "token", phi=0.03)
 
 
+def q_sketch_cms_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point-frequency estimates for the 20 lowest part keys
+    over lineitem — the portable CMS (md5 rows, integer counters, one
+    2048-cell reduce regardless of input size); the DuckDB twin
+    reproduces every counter bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    counters = K.cms_build(li, "l_partkey")
+    keys = (
+        li.select("l_partkey").distinct().orderBy("l_partkey").limit(20)
+    )
+    return K.cms_estimate(counters, keys, "l_partkey")
+
+
+def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram surprisal in INTEGER bits: each token
+    contributes length(bin(total_tokens DIV corpus_freq)) — an exact
+    integer log2 surrogate for -log p(token) — summed per document.
+    The rare-token-rich documents float to the top; the all-integer
+    pipeline (corpus counts, integer division, bit length) is
+    order-independent and bit-identical across engines, unlike a
+    float ln() whose libm differs between JVM and C. One token-freq
+    aggregate, one (token) equi-join, one per-doc sum."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("__tok")
+    ).filter(F.length("__tok") > 0)
+    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__f"))
+    total = toks.count()
+    bits = F.length(F.expr(f"bin(CAST({total} AS BIGINT) DIV __f)"))
+    return (
+        toks.join(freq, "__tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(bits).cast("bigint").alias("surprisal_bits"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -2309,6 +2348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w10_islands": q_w10_islands,
         "agg_multi_distinct": q_agg_multi_distinct,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
+        "sketch_cms_parts": q_sketch_cms_parts,
+        "text_surprisal": q_text_surprisal,
     }
 
 
@@ -2406,6 +2447,12 @@ SELECT query_id, neighbor_id, cos_sim FROM (
   WHERE q.vec_id <> c.vec_id
 ) WHERE cos_sim >= 0.35
 """
+
+
+def _cms_oracle() -> str:
+    probe = ("(SELECT l_partkey FROM lineitem GROUP BY l_partkey"
+             " ORDER BY l_partkey LIMIT 20)")
+    return K.cms_sql("lineitem", "l_partkey", probe, "l_partkey")
 
 
 def _ann_oracle() -> str:
@@ -3601,4 +3648,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT t AS key, count(*) AS n FROM toks2
             GROUP BY t
             HAVING count(*) > 0.03 * (SELECT count(*) FROM toks2)""",
+        "sketch_cms_parts": _cms_oracle(),
+        "text_surprisal": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents
+            ), toks2 AS (SELECT * FROM toks WHERE length(tok) > 0),
+            freq AS (
+              SELECT tok, count(*) AS f FROM toks2 GROUP BY tok
+            ), total AS (SELECT count(*) AS n FROM toks2)
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(SUM(length(bin(
+                     CAST((SELECT n FROM total) AS BIGINT) // f
+                   ))) AS BIGINT) AS surprisal_bits
+            FROM toks2 JOIN freq USING (tok)
+            GROUP BY doc_id""",
     }

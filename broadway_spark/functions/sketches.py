@@ -209,3 +209,86 @@ def heavy_hitters(
         .filter(F.col("n") > phi * total)
         .select(F.col("__k").alias("key"), "n")
     )
+
+
+# -- Count-min sketch (portable, md5-derived rows) ---------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 512  # counters per row
+CMS_SEEDS = (11, 23, 37, 53)
+
+
+def cms_build(df: DataFrame, value_col: str) -> DataFrame:
+    """Count-min sketch of a column (Cormode & Muthukrishnan 2005):
+    ``CMS_D`` md5-derived hash rows × ``CMS_W`` counters.
+
+    Returns the counter table (row, idx, c) — at most d·w rows, exact
+    integer sums, trivially mergeable (union + re-sum) and
+    deterministic: the same portability property as the HLL above, so
+    a DuckDB oracle reproduces every counter bit-for-bit.
+
+    Plan: explode each value into its d (row, idx) cells → ONE
+    partial-agg shuffle keyed by (row, idx) with at most d·w distinct
+    keys — at 100 TB the reduce side is 2048 cells regardless of
+    input size.
+    """
+    cells = []
+    for i, seed in enumerate(CMS_SEEDS):
+        h = F.expr(_hash60_expr(value_col, seed))
+        cells.append(F.struct(F.lit(i).alias("row"), (h % CMS_W).alias("idx")))
+    return (
+        df.select(F.explode(F.array(*cells)).alias("__c"))
+        .select(F.col("__c.row").alias("row"), F.col("__c.idx").alias("idx"))
+        .groupBy("row", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame, keys: DataFrame, key_col: str
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` from a ``cms_build``
+    counter table: est = min over rows of counter[h_row(key)] — the
+    classic CMS upper bound (never under-counts; over-counts only by
+    collisions). Returns (key, est_n)."""
+    probes = []
+    for i, seed in enumerate(CMS_SEEDS):
+        h = F.expr(_hash60_expr(key_col, seed))
+        probes.append(F.struct(F.lit(i).alias("row"), (h % CMS_W).alias("idx")))
+    probed = keys.select(
+        F.col(key_col).alias("key"), F.explode(F.array(*probes)).alias("__p")
+    ).select("key", F.col("__p.row").alias("row"), F.col("__p.idx").alias("idx"))
+    return (
+        probed.join(F.broadcast(counters), ["row", "idx"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_n"))
+    )
+
+
+def cms_sql(table: str, value_expr: str, key_table: str, key_expr: str) -> str:
+    """DuckDB twin: build + probe in one statement (identical seeds,
+    width, md5 hash derivation — counter-exact)."""
+    h = lambda seed, v: (  # noqa: E731
+        f"CAST(concat('0x', substr(md5(concat('{seed}', ':', "
+        f"CAST({v} AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {i} AS row, {h(seed, value_expr)} % {CMS_W} AS idx FROM {table}"
+        for i, seed in enumerate(CMS_SEEDS)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {key_expr} AS key, {i} AS row,"
+        f" {h(seed, key_expr)} % {CMS_W} AS idx FROM {key_table}"
+        for i, seed in enumerate(CMS_SEEDS)
+    )
+    return f"""
+WITH cells AS ({cell_rows}),
+counters AS (
+  SELECT row, idx, count(*) AS c FROM cells GROUP BY row, idx
+),
+probes AS ({probe_rows})
+SELECT p.key, MIN(COALESCE(ct.c, 0)) AS est_n
+FROM probes p LEFT JOIN counters ct
+  ON p.row = ct.row AND p.idx = ct.idx
+GROUP BY p.key
+"""

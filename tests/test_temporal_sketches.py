@@ -195,3 +195,36 @@ def test_heavy_hitters_boundary_not_included(spark):
     df = spark.createDataFrame(rows, "k string").repartition(8)
     got = {r["key"] for r in heavy_hitters(df, "k", phi=0.1).collect()}
     assert got == {"heavy"}
+
+
+def test_cms_never_undercounts_and_is_mergeable(spark):
+    """CMS contract: estimates upper-bound true counts (never under);
+    building on two halves and summing counters equals building once
+    (mergeability — the distributed/streaming composition property)."""
+    from pyspark.sql import functions as F
+
+    from broadway_spark.functions.sketches import cms_build, cms_estimate
+
+    df = spark.range(0, 5000).select((F.col("id") % 97).alias("v"))
+    counters = cms_build(df, "v")
+    keys = df.select("v").distinct()
+    est = {r["key"]: r["est_n"] for r in cms_estimate(counters, keys, "v").collect()}
+    true = {
+        r["v"]: r["n"]
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true), "CMS undercounted"
+
+    h1 = cms_build(df.filter(F.col("v") < 50), "v")
+    h2 = cms_build(df.filter(F.col("v") >= 50), "v")
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("row", "idx")
+        .agg(F.sum("c").alias("c"))
+    )
+    est_m = {
+        r["key"]: r["est_n"]
+        for r in cms_estimate(merged, keys, "v").collect()
+    }
+    assert est_m == est, "merged halves != single build"
