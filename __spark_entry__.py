@@ -2228,6 +2228,137 @@ def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_h7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-nation trade volume (TPC-H Q7 shape): yearly discounted
+    revenue where supplier and customer sit in (NATION_1, NATION_2) in
+    either direction. Both nation filters are broadcast semi-prunes
+    applied BEFORE the fact joins, so the lineitem⋈orders⋈customer
+    spine only shuffles qualifying rows; the disjunctive pair
+    condition evaluates post-join as a cheap scalar predicate."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s_nat = supp.join(
+        F.broadcast(
+            nat.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    c_nat = cust.join(
+        F.broadcast(
+            nat.select(
+                F.col("n_nationkey").alias("cn_key"),
+                F.col("n_name").alias("cust_nation"),
+            )
+        ),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(F.broadcast(s_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c_nat, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_dp()).cast("double"), 2).alias("revenue"))
+    )
+
+
+def q_h2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest-supplier-per-part (TPC-H Q2 shape; lineitem extended
+    price per unit stands in for ps_supplycost): for each LARGE-type
+    part, the supplier offering the minimum unit price, ties broken by
+    supplier key — the per-group argmin as ONE min_by aggregate over
+    the joined relation, not a correlated subquery re-scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    supp = _t(spark, sf_dir, "supplier")
+    # unit price in integer micro-units: extendedprice*1e6 is exact in
+    # a double (2dp values < 1e5), the division and floor are the same
+    # IEEE ops in both engines — no decimal-division rounding-rule
+    # divergence.
+    unit_micro = F.floor(
+        F.col("l_extendedprice") * F.lit(1_000_000.0) / F.col("l_quantity")
+    ).cast("bigint")
+    offers = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "l_suppkey",
+            unit_micro.alias("__um"),
+        )
+    )
+    best = offers.groupBy("p_partkey", "p_name").agg(
+        F.min(F.struct(F.col("__um"), F.col("l_suppkey"))).alias("__best")
+    )
+    return (
+        best.select(
+            "p_partkey",
+            "p_name",
+            F.col("__best.l_suppkey").alias("best_suppkey"),
+            F.col("__best.__um").alias("__um"),
+        )
+        .join(
+            F.broadcast(supp),
+            F.col("best_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round(F.col("__um") / F.lit(1_000_000.0), 6).alias("unit_price"),
+        )
+    )
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — THE splitting
+    primitive of a training-data pipeline: md5(doc_id) buckets into
+    90/5/5, stable across runs, engines and cluster layouts (no RNG,
+    no row order dependence). Output: per (split, lang) doc and token
+    counts. Pure codegen hash + one partial-agg shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))),"
+        " 1, 15), 16, 10) AS BIGINT) % 100"
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "lang",
+            T.token_count("text").alias("__tok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -2350,6 +2481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "sketch_cms_parts": q_sketch_cms_parts,
         "text_surprisal": q_text_surprisal,
+        "h7_volume": q_h7_volume,
+        "h2_min_cost": q_h2_min_cost,
+        "sample_split": q_sample_split,
     }
 
 
@@ -3649,6 +3783,59 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t
             HAVING count(*) > 0.03 * (SELECT count(*) FROM toks2)""",
         "sketch_cms_parts": _cms_oracle(),
+        "h7_volume": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+                     AS revenue
+            FROM (
+              SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS INT) AS l_year,
+                     l_extendedprice, l_discount
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ns ON s_nationkey = ns.n_nationkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation nc ON c_nationkey = nc.n_nationkey
+              WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+                 OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+            )
+            GROUP BY supp_nation, cust_nation, l_year""",
+        "h2_min_cost": """
+            WITH offers AS (
+              SELECT p_partkey, p_name, l_suppkey,
+                     CAST(floor(l_extendedprice * 1000000.0 / l_quantity)
+                       AS BIGINT) AS um
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey AND p_type = 'LARGE'
+            ), best AS (
+              SELECT p_partkey, p_name,
+                     min(struct_pack(um := um, sk := l_suppkey)) AS b
+              FROM offers GROUP BY p_partkey, p_name
+            )
+            SELECT p_partkey, p_name, s_name,
+                   round(b.um / 1000000.0, 6) AS unit_price
+            FROM best JOIN supplier ON b.sk = s_suppkey""",
+        "sample_split": f"""
+            SELECT split, lang, count(*) AS n_docs,
+                   CAST(SUM({T.token_count_sql('text')}) AS BIGINT)
+                     AS n_tokens
+            FROM (
+              SELECT CASE
+                       WHEN b < 90 THEN 'train'
+                       WHEN b < 95 THEN 'val'
+                       ELSE 'test'
+                     END AS split, lang, text
+              FROM (
+                SELECT lang, text,
+                       CAST(concat('0x', substr(md5(concat('split:',
+                         CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                         % 100 AS b
+                FROM documents
+              )
+            )
+            GROUP BY split, lang""",
         "text_surprisal": """
             WITH toks AS (
               SELECT doc_id,
