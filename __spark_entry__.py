@@ -2359,6 +2359,54 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard near-dup pairs within (lang, source) —
+    the character-level member of the n-gram-Jaccard family (robust to
+    token-boundary edits where word shingles miss). Same EXACT prefix-
+    filter engine as text_jaccard_pairs; only the shingling changes.
+    The per-row gram-set build is a substring transform (no shuffle);
+    candidates still come from the rare-prefix equi-join."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(length(lower(text)) - 4, 0)),"
+                " i -> substring(lower(text), i, 5))"
+            )
+        ).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    return D.jaccard_pairs_prefix_filter(
+        docs, "doc_id", "grams", 0.25, block_cols=["lang", "source"]
+    )
+
+
+def q_h11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock parts (TPC-H Q11 shape; lineitem value stands in
+    for partsupp): parts whose total extended-price value exceeds
+    0.1% of the whole — a grouped aggregate filtered against a scalar
+    aggregate of the SAME pre-aggregated relation, broadcast as a
+    1-row threshold (never a re-scan of the fact table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("__v")
+    )
+    total = per_part.agg(
+        F.sum("__v").alias("__tot")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("__v").cast("double") > 0.001 * F.col("__tot").cast("double")
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("__v").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -2484,6 +2532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h7_volume": q_h7_volume,
         "h2_min_cost": q_h2_min_cost,
         "sample_split": q_sample_split,
+        "dedup_char_ngram": q_dedup_char_ngram,
+        "h11_important": q_h11_important,
     }
 
 
@@ -3783,6 +3833,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t
             HAVING count(*) > 0.03 * (SELECT count(*) FROM toks2)""",
         "sketch_cms_parts": _cms_oracle(),
+        "dedup_char_ngram": """
+            WITH d AS (
+              SELECT doc_id, lang, source,
+                     list_distinct(list_transform(
+                       generate_series(1,
+                         greatest(length(lower(text)) - 4, 0)),
+                       i -> substr(lower(text), i, 5))) AS grams
+              FROM documents
+              WHERE greatest(length(lower(text)) - 4, 0) > 0
+            )
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                   round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+                         / CAST(len(list_distinct(
+                             list_concat(l.grams, r.grams))) AS DOUBLE), 6)
+                     AS jaccard
+            FROM d l JOIN d r
+              ON l.lang = r.lang AND l.source = r.source
+             AND l.doc_id < r.doc_id
+            WHERE round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+                        / CAST(len(list_distinct(
+                            list_concat(l.grams, r.grams))) AS DOUBLE), 6)
+                  >= 0.25""",
+        "h11_important": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l_partkey, round(CAST(v AS DOUBLE), 2) AS part_value
+            FROM per_part
+            WHERE CAST(v AS DOUBLE)
+                  > 0.001 * (SELECT CAST(SUM(v) AS DOUBLE) FROM per_part)""",
         "h7_volume": """
             SELECT supp_nation, cust_nation, l_year,
                    round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
