@@ -2362,21 +2362,38 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-5-gram Jaccard near-dup pairs within (lang, source) —
     the character-level member of the n-gram-Jaccard family (robust to
-    token-boundary edits where word shingles miss). Same EXACT prefix-
-    filter engine as text_jaccard_pairs; only the shingling changes.
-    The per-row gram-set build is a substring transform (no shuffle);
-    candidates still come from the rare-prefix equi-join."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, greatest(length(lower(text)) - 4, 0)),"
-                " i -> substring(lower(text), i, 5))"
-            )
-        ).alias("grams"),
-    ).filter(F.size("grams") > 0)
+    token-boundary edits where word shingles miss).
+
+    Raw char-gram sets are dense (hundreds per doc) and at a 0.25
+    threshold the AllPairs prefix is ~75% of each set — the candidate
+    join explodes (measured 38 s at sf0.1). So the sets are first
+    MOD-SAMPLED (Broder's shingle sampling: keep grams with
+    md5(g) ≡ 0 mod 8) — a deterministic ~1/8 subsample identical in
+    both engines that preserves resemblance estimates while shrinking
+    sets ~8×; the prefix-filter join is then exact OVER THE SAMPLED
+    SETS (~8.6 s warm at sf0.1 — the suite's hardest similarity join;
+    the low 0.25 threshold forces ~75% prefixes, the same
+    exactness-over-speed trade as text_jaccard_pairs). Same engine as
+    text_jaccard_pairs; only the shingling and sampling differ."""
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(lower(text)) - 4, 0)),"
+        " i -> substring(lower(text), i, 5))"
+    )
+    sampled = F.expr(
+        "filter(__all_grams, g -> CAST(conv(substring(md5(g), 1, 15),"
+        " 16, 10) AS BIGINT) % 8 = 0)"
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.array_distinct(grams).alias("__all_grams"),
+        )
+        .select("doc_id", "lang", "source", sampled.alias("grams"))
+        .filter(F.size("grams") > 0)
+    )
     return D.jaccard_pairs_prefix_filter(
         docs, "doc_id", "grams", 0.25, block_cols=["lang", "source"]
     )
@@ -3834,14 +3851,19 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) > 0.03 * (SELECT count(*) FROM toks2)""",
         "sketch_cms_parts": _cms_oracle(),
         "dedup_char_ngram": """
-            WITH d AS (
+            WITH d0 AS (
               SELECT doc_id, lang, source,
-                     list_distinct(list_transform(
-                       generate_series(1,
-                         greatest(length(lower(text)) - 4, 0)),
-                       i -> substr(lower(text), i, 5))) AS grams
+                     list_filter(
+                       list_distinct(list_transform(
+                         generate_series(1,
+                           greatest(length(lower(text)) - 4, 0)),
+                         i -> substr(lower(text), i, 5))),
+                       g -> CAST(concat('0x', substr(md5(g), 1, 15))
+                              AS BIGINT) % 8 = 0) AS grams
               FROM documents
               WHERE greatest(length(lower(text)) - 4, 0) > 0
+            ), d AS (
+              SELECT * FROM d0 WHERE len(grams) > 0
             )
             SELECT l.doc_id AS id_a, r.doc_id AS id_b,
                    round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
