@@ -2360,42 +2360,51 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-5-gram Jaccard near-dup pairs within (lang, source) —
-    the character-level member of the n-gram-Jaccard family (robust to
-    token-boundary edits where word shingles miss).
+    """Character-16-gram Jaccard near-dup pairs within (lang, source) —
+    the character-level member of the n-gram-Jaccard family, at
+    fingerprinting granularity (long grams: this corpus's 5-char gram
+    space is degenerate — 249 distinct grams across 5k docs — so short
+    grams make every bucket quadratic; 16-grams span a 75k-term space
+    where rare-prefix filtering actually bites).
 
-    Raw char-gram sets are dense (hundreds per doc) and at a 0.25
-    threshold the AllPairs prefix is ~75% of each set — the candidate
-    join explodes (measured 38 s at sf0.1). So the sets are first
-    MOD-SAMPLED (Broder's shingle sampling: keep grams with
-    md5(g) ≡ 0 mod 8) — a deterministic ~1/8 subsample identical in
-    both engines that preserves resemblance estimates while shrinking
-    sets ~8×; the prefix-filter join is then exact OVER THE SAMPLED
-    SETS (~8.6 s warm at sf0.1 — the suite's hardest similarity join;
-    the low 0.25 threshold forces ~75% prefixes, the same
-    exactness-over-speed trade as text_jaccard_pairs). Same engine as
-    text_jaccard_pairs; only the shingling and sampling differ."""
-    grams = F.expr(
-        "transform(sequence(1, greatest(length(lower(text)) - 4, 0)),"
-        " i -> substring(lower(text), i, 5))"
-    )
-    sampled = F.expr(
-        "filter(__all_grams, g -> CAST(conv(substring(md5(g), 1, 15),"
-        " 16, 10) AS BIGINT) % 8 = 0)"
-    )
-    docs = (
-        _t(spark, sf_dir, "documents")
+    Gram sets are MOD-SAMPLED (Broder: keep grams with md5 ≡ 0 mod 8)
+    and built by codegen explode → filter → collect_set — measured 3×
+    faster than transform/filter HOF lambdas, which are interpreted
+    and re-evaluated per plan subtree. The prefix-filter join is exact
+    over the sampled sets."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            "text",
+            F.explode(
+                F.expr("sequence(1, greatest(length(text) - 15, 0))")
+            ).alias("__i"),
+        )
         .select(
             "doc_id",
             "lang",
             "source",
-            F.array_distinct(grams).alias("__all_grams"),
+            F.expr("substring(lower(text), __i, 16)").alias("__g"),
         )
-        .select("doc_id", "lang", "source", sampled.alias("grams"))
+        .filter(
+            F.expr(
+                "CAST(conv(substring(md5(__g), 1, 15), 16, 10) AS BIGINT)"
+                " % 8 = 0"
+            )
+        )
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.collect_set("__g").alias("grams"))
         .filter(F.size("grams") > 0)
     )
+    # Three consumers inside the prefix-filter operator (token-df
+    # count, prefix table, verify sides) — persist so the 10M-row
+    # gram explode + md5 runs once, not three times.
+    grams = grams.persist()
     return D.jaccard_pairs_prefix_filter(
-        docs, "doc_id", "grams", 0.25, block_cols=["lang", "source"]
+        grams, "doc_id", "grams", 0.15, block_cols=["lang", "source"]
     )
 
 
@@ -3856,12 +3865,12 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(
                        list_distinct(list_transform(
                          generate_series(1,
-                           greatest(length(lower(text)) - 4, 0)),
-                         i -> substr(lower(text), i, 5))),
+                           greatest(length(lower(text)) - 15, 0)),
+                         i -> substr(lower(text), i, 16))),
                        g -> CAST(concat('0x', substr(md5(g), 1, 15))
                               AS BIGINT) % 8 = 0) AS grams
               FROM documents
-              WHERE greatest(length(lower(text)) - 4, 0) > 0
+              WHERE greatest(length(lower(text)) - 15, 0) > 0
             ), d AS (
               SELECT * FROM d0 WHERE len(grams) > 0
             )
@@ -3876,7 +3885,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
                         / CAST(len(list_distinct(
                             list_concat(l.grams, r.grams))) AS DOUBLE), 6)
-                  >= 0.25""",
+                  >= 0.15""",
         "h11_important": """
             WITH per_part AS (
               SELECT l_partkey,
