@@ -228,3 +228,47 @@ def test_cms_never_undercounts_and_is_mergeable(spark):
         for r in cms_estimate(merged, keys, "v").collect()
     }
     assert est_m == est, "merged halves != single build"
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=400), min_size=3, max_size=25),
+    phi_pct=st.integers(min_value=5, max_value=40),
+    nparts=st.integers(min_value=1, max_value=12),
+)
+def test_heavy_hitters_matches_exact_for_any_distribution(
+    spark, weights, phi_pct, nparts
+):
+    """Property: for ANY multiset, threshold and partitioning, the
+    two-pass Misra-Gries result equals the exact groupBy+having —
+    the weighted-decrement candidate pass may only affect the
+    SUPERSET, never the verified answer (the MG guarantee: a key with
+    global freq > phi*n is locally heavy in some batch and a local
+    MG(ceil(1/phi)) never evicts a locally heavy key)."""
+    from pyspark.sql import functions as F
+
+    from broadway_spark.functions.sketches import heavy_hitters
+
+    phi = phi_pct / 100.0
+    rows = [(f"k{i}",) for i, w in enumerate(weights) for _ in range(w)]
+    df = spark.createDataFrame(rows, "k string").repartition(nparts)
+    got = {
+        (r["key"], r["n"]) for r in heavy_hitters(df, "k", phi=phi).collect()
+    }
+    n = len(rows)
+    want = {
+        (r["k"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > phi * n)
+        .collect()
+    }
+    assert got == want
