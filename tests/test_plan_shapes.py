@@ -308,3 +308,33 @@ def test_top_terms_partial_agg_before_shuffle(spark):
     plan = _plan(entry.q_text_top_terms(spark, SF))
     assert "partial_count" in plan or "HashAggregate" in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # agg + window
+
+
+def test_no_unguarded_cartesian_in_any_query(spark):
+    """Sweep EVERY registered query's physical plan: no
+    CartesianProduct anywhere; BroadcastNestedLoopJoin only where a
+    deliberately broadcast tiny side makes it the right plan (scalar
+    thresholds, query-side ANN fan-out). Locks the invariant for
+    queries added in future rounds."""
+    BNLJ_OK = {
+        # broadcast query/centroid sides (tiny by construction)
+        "sim_ann_bruteforce",
+        "sim_range_search",
+        "sim_ann_ivf",
+        "dedup_embedding",
+        # 1-row scalar-threshold broadcasts
+        "text_tfidf",
+        "h22_idle_rich",
+        "h11_important",
+    }
+    offenders = {}
+    for name, fn in entry.queries().items():
+        plan = _plan(fn(spark, SF))
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("cartesian")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            flags.append("bnlj")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, f"forbidden join shapes: {offenders}"
