@@ -2433,6 +2433,40 @@ def q_h11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture building: per language, keep the
+    highest-quality documents until a 3000-token budget is exhausted
+    (cumulative-sum cutoff over a deterministic (quality desc, doc_id)
+    order) — how a training mixture is actually assembled. One window
+    pass per language partition; the greedy order is total (integer
+    micro-unit quality, id tiebreak) so both engines pick identical
+    document sets."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        T.token_count("text").alias("n_tokens"),
+        F.round(T.quality_score("text") * F.lit(1e6))
+        .cast("bigint")
+        .alias("q_micro"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("q_micro").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("__cum", F.sum("n_tokens").over(w))
+        .filter(F.col("__cum") <= 3000)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("q_micro").alias("min_quality_micro"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -2560,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "dedup_char_ngram": q_dedup_char_ngram,
         "h11_important": q_h11_important,
+        "sample_token_budget": q_sample_token_budget,
     }
 
 
@@ -3859,6 +3894,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t
             HAVING count(*) > 0.03 * (SELECT count(*) FROM toks2)""",
         "sketch_cms_parts": _cms_oracle(),
+        "sample_token_budget": f"""
+            WITH scored AS (
+              SELECT doc_id, lang,
+                     {T.token_count_sql('text')} AS n_tokens,
+                     CAST(round({T.quality_score_sql('text')} * 1e6)
+                       AS BIGINT) AS q_micro
+              FROM documents
+            ), cum AS (
+              SELECT *,
+                     SUM(n_tokens) OVER (PARTITION BY lang
+                       ORDER BY q_micro DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS c
+              FROM scored
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   min(q_micro) AS min_quality_micro
+            FROM cum WHERE c <= 3000 GROUP BY lang""",
         "dedup_char_ngram": """
             WITH d0 AS (
               SELECT doc_id, lang, source,
