@@ -185,3 +185,33 @@ def test_per_key_order_preserved_under_parallel_reads(spark, tmp_dirs, tmp_path)
         assert {i % 7 for i in seq} == {int(key)}
         all_ids.extend(seq)
     assert sorted(all_ids) == list(range(400)), "every row exactly once"
+
+
+def test_schema_evolution_old_files_null_fill(spark, tmp_path):
+    """Schema evolution tolerance: after a new column is added to the
+    reader schema, rows from files written under the OLD schema load
+    with NULL for the new column instead of erroring — the additive
+    migration path for a long-lived spool."""
+    spool = str(tmp_path / "spool")
+    src = SpoolSource(
+        name="s", path=spool, schema_ddl=EVENTS_DDL, ack_data_column="event_id"
+    )
+    src.push_messages(make_events(10), "000.jsonl")  # old schema
+
+    new_ddl = EVENTS_DDL + ", region string"
+    new_rows = make_events(5, start=10)
+    for r in new_rows:
+        r["region"] = "eu"
+    src2 = SpoolSource(
+        name="s", path=spool, schema_ddl=new_ddl, ack_data_column="event_id"
+    )
+    src2.push_messages(new_rows, "001.jsonl")
+
+    schema = spark.createDataFrame([], new_ddl).schema
+    reader = _SpoolStreamReader(schema, {"path": spool})
+    end = reader.latestOffset()
+    assert end == {"row": 15}
+    rows = [r for p in reader.partitions({"row": 0}, end) for r in reader.read(p)]
+    by_id = {r[0]: r for r in rows}
+    assert by_id[0][-1] is None  # old row: new column null-filled
+    assert by_id[12][-1] == "eu"  # new row: value present
