@@ -2467,6 +2467,47 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization audit — the storage/serve
+    compression step of an embedding pipeline (4× smaller vectors),
+    with its reconstruction error accounted exactly: per label, the
+    max and mean absolute dequantization error in integer micro-units.
+    scale = max|x| / 127 per vector; q = round(x/scale) clamped to
+    [-127, 127]; err = |x - q*scale|. All error sums are integer
+    micro-units (exact, order-independent) — the same oracle-exactness
+    policy as emb_kmeans. Pure codegen HOF-free row math: explode once,
+    two window-free aggregates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "__pos", "__x"
+        ),
+    )
+    w = Window.partitionBy("vec_id")
+    scaled = rows.withColumn(
+        "__scale", F.max(F.abs("__x")).over(w) / F.lit(127.0)
+    )
+    q = F.greatest(
+        F.lit(-127.0),
+        F.least(F.lit(127.0), F.round(F.col("__x") / F.col("__scale"))),
+    )
+    err_micro = F.floor(
+        F.abs(F.col("__x") - q * F.col("__scale")) * F.lit(1_000_000.0)
+    ).cast("bigint")
+    return (
+        scaled.filter(F.col("__scale") > 0)
+        .select("label", err_micro.alias("__e"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.max("__e").alias("max_err_micro"),
+            F.floor(F.avg("__e")).cast("bigint").alias("mean_err_micro"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -2595,6 +2636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_char_ngram": q_dedup_char_ngram,
         "h11_important": q_h11_important,
         "sample_token_budget": q_sample_token_budget,
+        "emb_quantize_int8": q_emb_quantize_int8,
     }
 
 
@@ -3894,6 +3936,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t
             HAVING count(*) > 0.03 * (SELECT count(*) FROM toks2)""",
         "sketch_cms_parts": _cms_oracle(),
+        "emb_quantize_int8": """
+            WITH rows0 AS (
+              SELECT vec_id, label,
+                     unnest(CAST(embedding AS DOUBLE[])) AS x
+              FROM embeddings
+            ), scaled AS (
+              SELECT label, x,
+                     MAX(abs(x)) OVER (PARTITION BY vec_id) / 127.0
+                       AS scale
+              FROM rows0
+            ), err AS (
+              SELECT label,
+                     CAST(floor(abs(x - greatest(-127.0, least(127.0,
+                       round(x / scale, 0))) * scale) * 1000000.0)
+                       AS BIGINT) AS e
+              FROM scaled WHERE scale > 0
+            )
+            SELECT label, count(*) AS n_components,
+                   max(e) AS max_err_micro,
+                   CAST(floor(avg(e)) AS BIGINT) AS mean_err_micro
+            FROM err GROUP BY label""",
         "sample_token_budget": f"""
             WITH scored AS (
               SELECT doc_id, lang,
