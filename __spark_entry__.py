@@ -2508,6 +2508,64 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_j3_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit LEFT SEMI / LEFT ANTI join semantics: per nation, how
+    many customers have at least one order vs none at all. Both sides
+    of the existence predicate materialize as semi/anti hash joins on
+    the customer key — never a count-then-filter of a full outer
+    join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    nat = _t(spark, sf_dir, "nation")
+    active = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_active"))
+    idle = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_idle"))
+    return (
+        active.join(idle, "c_nationkey", "full_outer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active"),
+            F.coalesce("n_idle", F.lit(0)).cast("long").alias("n_idle"),
+        )
+    )
+
+
+def q_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics suite — the classic cross-engine traps, pinned:
+    null-safe equality (Spark <=> / SQL IS NOT DISTINCT FROM), NULLIF,
+    COALESCE chains, null ordering inside aggregates (count vs
+    count(col)), and CASE fall-through on NULL comparisons. Exercised
+    over a derived column that is NULL for every third row."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 3 != 0, F.col("value"))
+    e = ev.select(
+        "event_id",
+        "event_type",
+        v.alias("__v"),
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("__v").alias("n_nonnull"),
+        F.sum(F.col("__v").cast("decimal(18,2)")).cast("double").alias("sum_v"),
+        F.sum(
+            (F.col("__v").eqNullSafe(F.lit(None).cast("double"))).cast("int")
+        ).alias("n_nullsafe_eq_null"),
+        F.sum(F.nullif(F.col("__v"), F.lit(0.0)).isNull().cast("int")).alias(
+            "n_zero_or_null"
+        ),
+        F.sum(
+            F.coalesce(F.col("__v"), F.lit(-1.0)).cast("decimal(18,2)")
+        ).cast("double").alias("sum_coalesced"),
+        F.sum(
+            F.when(F.col("__v") > 50.0, 1).otherwise(0)
+        ).alias("n_gt50_null_falls_through"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -2637,6 +2695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h11_important": q_h11_important,
         "sample_token_budget": q_sample_token_budget,
         "emb_quantize_int8": q_emb_quantize_int8,
+        "j3_semi_anti": q_j3_semi_anti,
+        "null_suite": q_null_suite,
     }
 
 
@@ -3936,6 +3996,44 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t
             HAVING count(*) > 0.03 * (SELECT count(*) FROM toks2)""",
         "sketch_cms_parts": _cms_oracle(),
+        "j3_semi_anti": """
+            WITH active AS (
+              SELECT c_nationkey, count(*) AS n_active
+              FROM customer c
+              WHERE EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey)
+              GROUP BY c_nationkey
+            ), idle AS (
+              SELECT c_nationkey, count(*) AS n_idle
+              FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey)
+              GROUP BY c_nationkey
+            )
+            SELECT n_name AS nation,
+                   CAST(COALESCE(n_active, 0) AS BIGINT) AS n_active,
+                   CAST(COALESCE(n_idle, 0) AS BIGINT) AS n_idle
+            FROM active FULL OUTER JOIN idle USING (c_nationkey)
+            JOIN nation ON c_nationkey = n_nationkey""",
+        "null_suite": """
+            SELECT event_type,
+                   count(*) AS n_rows,
+                   count(v) AS n_nonnull,
+                   CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+                   SUM(CASE WHEN v IS NOT DISTINCT FROM NULL
+                       THEN 1 ELSE 0 END) AS n_nullsafe_eq_null,
+                   SUM(CASE WHEN NULLIF(v, 0.0) IS NULL
+                       THEN 1 ELSE 0 END) AS n_zero_or_null,
+                   CAST(SUM(CAST(COALESCE(v, -1.0) AS DECIMAL(18,2)))
+                     AS DOUBLE) AS sum_coalesced,
+                   SUM(CASE WHEN v > 50.0 THEN 1 ELSE 0 END)
+                     AS n_gt50_null_falls_through
+            FROM (
+              SELECT event_type,
+                     CASE WHEN event_id % 3 <> 0 THEN value END AS v
+              FROM events
+            )
+            GROUP BY event_type""",
         "emb_quantize_int8": """
             WITH rows0 AS (
               SELECT vec_id, label,
