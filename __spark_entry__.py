@@ -2566,6 +2566,152 @@ def q_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1),
+    word-granular: top-word fraction, duplicate-word fraction,
+    duplicate-bigram fraction, mean word length, and a pass flag.
+
+    Scale shape: one posexplode + two-level hash aggregate for unigrams
+    (map-side partials on (doc_id, tok)), bigrams through the shared
+    lead-window gather (one keyed shuffle), then a doc_id equi-join of
+    two per-doc aggregates. The shuffles carry (doc_id, token, count)
+    rows — never the document text — so this is linear in corpus bytes
+    and survives a 100× scale-up."""
+    docs = _t(spark, sf_dir, "documents")
+    uni = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+        .where(F.length("tok") > 0)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_c"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_c"
+            ),
+            F.sum(F.length("tok") * F.col("c")).alias("chars"),
+        )
+    )
+    bg = (
+        T.shingle_instances(docs, "doc_id", "text", 2)
+        .groupBy("__id", "__sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_bg"
+            ),
+        )
+        .withColumnRenamed("__id", "doc_id")
+    )
+    top_frac = F.round(F.col("top_c") / F.col("n_tokens"), 6)
+    dup_frac = F.round(F.col("dup_c") / F.col("n_tokens"), 6)
+    bg_frac = F.round(F.col("dup_bg") / F.col("n_bigrams"), 6)
+    mwl = F.round(F.col("chars") / F.col("n_tokens"), 6)
+    return uni.join(bg, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        top_frac.alias("top_word_frac"),
+        dup_frac.alias("dup_word_frac"),
+        bg_frac.alias("dup_bigram_frac"),
+        mwl.alias("mean_word_len"),
+        ((top_frac <= 0.2) & (bg_frac <= 0.6))
+        .cast("int")
+        .alias("pass_gopher"),
+    )
+
+
+PASSAGE_CHUNK_TOKENS = 10
+
+
+def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact passage dedup (CCNet-style, adapted to fixed
+    10-token chunks since this corpus is single-line): a chunk instance
+    survives iff it is the globally-first occurrence (min (doc_id,
+    chunk_idx)) of its md5 fingerprint; per-doc stats report how much
+    of each document is boilerplate already seen elsewhere.
+
+    Scale shape: chunking is a per-row slice expression (no shuffle);
+    the global first-occurrence arbitration is ONE shuffle keyed on the
+    16-byte fingerprint (never the passage text — the md5 is computed
+    before the exchange and the passage column is dropped), then one
+    doc_id aggregate. Window state per key is the tiny min-struct."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = "split(lower(text), ' ')"
+    n = PASSAGE_CHUNK_TOKENS
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size({tok}) / {n}.0) as int)"
+                f" - 1), i -> array_join(slice({tok}, i * {n} + 1, {n}), ' '))"
+            )
+        ).alias("chunk_idx", "passage"),
+    ).select("doc_id", "chunk_idx", F.md5("passage").alias("fp"))
+    w = Window.partitionBy("fp")
+    first = F.min(F.struct("doc_id", "chunk_idx")).over(w)
+    marked = chunks.select(
+        "doc_id",
+        (
+            (first.getField("doc_id") != F.col("doc_id"))
+            | (first.getField("chunk_idx") != F.col("chunk_idx"))
+        )
+        .cast("int")
+        .alias("is_dup"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("is_dup").alias("n_dup"),
+        F.round(F.sum("is_dup") / F.count(F.lit(1)), 6).alias("dup_frac"),
+    )
+
+
+def q_sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable histogram-quantile sketch: fixed-width 1000-unit bins of
+    l_extendedprice per return flag, quantile estimated as the lower
+    bound of the first bin whose cumulative count reaches q·N (integer
+    comparisons only — bit-identical across engines; the sketch twin of
+    agg_percentiles' exact path).
+
+    Scale shape: one partial-agg shuffle down to (flag, bin) counts —
+    a few hundred rows regardless of input size — then a per-flag
+    window over bins. This is the mergeable-summary pattern: the
+    histogram is a commutative monoid, so 1000 executors each emit
+    partial bin counts and the exchange carries only the sketch."""
+    li = _t(spark, sf_dir, "lineitem")
+    binned = (
+        li.groupBy(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") / 1000).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = binned.select(
+        "l_returnflag",
+        "b",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_rows"),
+        (
+            F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("b"))) * 1000.0
+        ).alias("p50_lo"),
+        (
+            F.min(F.when(F.col("cum") * 10 >= F.col("n") * 9, F.col("b")))
+            * 1000.0
+        ).alias("p90_lo"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -2697,6 +2843,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_int8": q_emb_quantize_int8,
         "j3_semi_anti": q_j3_semi_anti,
         "null_suite": q_null_suite,
+        "text_quality_gopher": q_text_quality_gopher,
+        "dedup_passage": q_dedup_passage,
+        "sketch_hist_quantile": q_sketch_hist_quantile,
     }
 
 
@@ -4179,4 +4328,97 @@ def oracle_sql() -> dict[str, str]:
                    ))) AS BIGINT) AS surprisal_bits
             FROM toks2 JOIN freq USING (tok)
             GROUP BY doc_id""",
+        "text_quality_gopher": """
+            WITH d AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents
+            ), t0 AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks))) AS i
+              FROM d
+            ), t AS (
+              SELECT doc_id, toks[i] AS tok FROM t0
+              WHERE length(toks[i]) > 0
+            ), uc AS (
+              SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok
+            ), uni AS (
+              SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_c,
+                     SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c,
+                     SUM(length(tok) * c) AS chars
+              FROM uc GROUP BY doc_id
+            ), b0 AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, greatest(len(toks) - 1, 1)))
+                       AS i
+              FROM d
+            ), bt AS (
+              SELECT doc_id, concat_ws(' ', toks[i], toks[i + 1]) AS bg
+              FROM b0
+            ), bc AS (
+              SELECT doc_id, bg, count(*) AS c FROM bt GROUP BY doc_id, bg
+            ), bga AS (
+              SELECT doc_id, SUM(c) AS n_bigrams,
+                     SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bg
+              FROM bc GROUP BY doc_id
+            )
+            SELECT uni.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(top_c / CAST(n_tokens AS DOUBLE), 6)
+                     AS top_word_frac,
+                   round(dup_c / CAST(n_tokens AS DOUBLE), 6)
+                     AS dup_word_frac,
+                   round(dup_bg / CAST(n_bigrams AS DOUBLE), 6)
+                     AS dup_bigram_frac,
+                   round(chars / CAST(n_tokens AS DOUBLE), 6)
+                     AS mean_word_len,
+                   CAST(round(top_c / CAST(n_tokens AS DOUBLE), 6) <= 0.2
+                        AND round(dup_bg / CAST(n_bigrams AS DOUBLE), 6)
+                              <= 0.6 AS INT) AS pass_gopher
+            FROM uni JOIN bga ON uni.doc_id = bga.doc_id""",
+        "dedup_passage": """
+            WITH d AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents
+            ), c0 AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0,
+                       CAST(ceil(len(toks) / 10.0) AS INT) - 1)) AS i
+              FROM d
+            ), ch AS (
+              SELECT doc_id, i AS chunk_idx,
+                     md5(array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' '))
+                       AS fp
+              FROM c0
+            ), mk AS (
+              SELECT doc_id, chunk_idx,
+                     min(struct_pack(d := doc_id, c := chunk_idx))
+                       OVER (PARTITION BY fp) AS first
+              FROM ch
+            )
+            SELECT doc_id, count(*) AS n_chunks,
+                   SUM(CASE WHEN first.d = doc_id AND first.c = chunk_idx
+                            THEN 0 ELSE 1 END) AS n_dup,
+                   round(SUM(CASE WHEN first.d = doc_id
+                                   AND first.c = chunk_idx
+                             THEN 0 ELSE 1 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+            FROM mk GROUP BY doc_id""",
+        "sketch_hist_quantile": """
+            WITH binned AS (
+              SELECT l_returnflag,
+                     CAST(floor(l_extendedprice / 1000) AS BIGINT) AS b,
+                     count(*) AS c
+              FROM lineitem GROUP BY 1, 2
+            ), cum AS (
+              SELECT l_returnflag, b,
+                     SUM(c) OVER (PARTITION BY l_returnflag ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                     SUM(c) OVER (PARTITION BY l_returnflag) AS n
+              FROM binned
+            )
+            SELECT l_returnflag, MAX(n) AS n_rows,
+                   MIN(CASE WHEN cum * 2 >= n THEN b END) * 1000.0 AS p50_lo,
+                   MIN(CASE WHEN cum * 10 >= n * 9 THEN b END) * 1000.0
+                     AS p90_lo
+            FROM cum GROUP BY l_returnflag""",
     }

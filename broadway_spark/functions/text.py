@@ -123,6 +123,13 @@ def shingle_rows(df, id_col: str, text_col: str, k: int = 3):
     )
 
 
+def shingle_instances(df, id_col: str, text_col: str, k: int = 3):
+    """(__id, __sh) k-gram rows WITH multiplicity — the instance-form
+    twin of ``shingle_rows`` for consumers that need occurrence counts
+    (repetition/quality scoring), not the distinct shingle set."""
+    return _shingle_gather(df, id_col, text_col, k).select("__id", "__sh")
+
+
 def word_shingles_sql(expr: str, k: int = 3) -> str:
     """DuckDB twin of ``word_shingles`` (1-based list indexing)."""
     tok = f"string_split(lower({expr}), ' ')"
