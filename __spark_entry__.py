@@ -2712,6 +2712,126 @@ def q_sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: exact-dup groups keep the HIGHEST-
+    QUALITY copy (not min-id) — the realistic keeper policy when dup
+    groups mix a clean original with truncated/mojibake re-crawls.
+    Keeper = argmax(quality, tiebreak min doc_id) via a single
+    min-struct aggregate on (-q_micro, doc_id); quality in integer
+    micro-units so the argmax is exact across engines.
+
+    Scale shape: one hash-aggregate keyed on the md5 fingerprint (the
+    shuffle carries 32-char digests + two ints, never text)."""
+    docs = _t(spark, sf_dir, "documents")
+    qm = F.round(T.quality_score("text") * 1e6).cast("long")
+    scored = docs.select(
+        F.md5("text").alias("fp"), "doc_id", qm.alias("q_micro")
+    )
+    best = scored.groupBy("fp").agg(
+        F.min(
+            F.struct(
+                (-F.col("q_micro")).alias("nq"), F.col("doc_id").alias("id")
+            )
+        ).alias("b"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return best.select(
+        F.col("b.id").alias("keeper_id"),
+        (-F.col("b.nq")).alias("keeper_q_micro"),
+        "n_copies",
+    )
+
+
+CONTAINMENT_MAXDF = 50
+CONTAINMENT_MIN = 0.8
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc detection via set containment |A∩B| / min(|A|,|B|)
+    over 3-word shingles, after CCNet-style common-shingle pruning
+    (shingles in >50 docs are boilerplate and dropped; singletons
+    can't witness a pair). Catches subset relationships Jaccard
+    misses: a doc embedded in a 10× larger one has low Jaccard but
+    containment ≈ 1.
+
+    Scale shape: the pair generator is an equi-join on pruned shingles
+    — per-shingle fan-out is capped at df ≤ 50 so the candidate count
+    is O(n_shingles · df), never all-pairs; doc sizes join back as two
+    broadcast-size aggregates. The df cap is the explicit scale knob
+    (CCNet prunes the same way at petabyte scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = T.shingle_rows(docs, "doc_id", "text", 3)
+    keep = (
+        sh.groupBy("__sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(
+            (F.col("df") >= 2) & (F.col("df") <= CONTAINMENT_MAXDF)
+        )
+        .select("__sh")
+    )
+    rare = sh.join(keep, "__sh")
+    sizes = rare.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        rare.alias("l")
+        .join(rare.alias("r"), "__sh")
+        .where(F.col("l.__id") < F.col("r.__id"))
+        .groupBy(
+            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    cont = F.round(
+        F.col("shared") / F.least(F.col("a.sz"), F.col("b.sz")), 6
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.alias("a")), F.col("id_a") == F.col("a.__id")
+        )
+        .join(F.broadcast(sizes.alias("b")), F.col("id_b") == F.col("b.__id"))
+        .select("id_a", "id_b", cont.alias("containment"))
+        .where(F.col("containment") >= CONTAINMENT_MIN)
+    )
+
+
+def q_bit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise-function surface: popcount, masks, shifts, and the
+    bit_and/bit_or/bit_xor aggregate family over event ids."""
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.bit_count(eid)).alias("sum_popcount"),
+        F.sum(eid.bitwiseAND(F.lit(255))).alias("sum_and255"),
+        F.sum(F.shiftright(eid, 3).bitwiseAND(F.lit(7))).alias(
+            "sum_shift_mask"
+        ),
+        F.bit_and(eid).alias("agg_and"),
+        F.bit_or(eid).alias("agg_or"),
+        F.bit_xor(eid).alias("agg_xor"),
+    )
+
+
+def q_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-function surface over document text: first-match
+    extraction, match counting, replace, boolean match, regex split
+    (patterns restricted to the Java∩RE2 common dialect so both
+    engines agree)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"\b(query|table|join)\b", 1).alias(
+            "first_kw"
+        ),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"\b(scan|sort|merge)\b"), 0)
+        ).alias("n_exec_kw"),
+        F.length(F.regexp_replace("text", "[aeiou]+", "*")).alias(
+            "devowel_len"
+        ),
+        F.col("text").rlike("^[a-z ]+$").cast("int").alias("is_plain"),
+        F.size(F.split("text", "a+")).alias("n_a_splits"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -2846,6 +2966,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_gopher": q_text_quality_gopher,
         "dedup_passage": q_dedup_passage,
         "sketch_hist_quantile": q_sketch_hist_quantile,
+        "dedup_canonical": q_dedup_canonical,
+        "dedup_containment": q_dedup_containment,
+        "bit_suite": q_bit_suite,
+        "regex_suite": q_regex_suite,
     }
 
 
@@ -4421,4 +4545,69 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN cum * 10 >= n * 9 THEN b END) * 1000.0
                      AS p90_lo
             FROM cum GROUP BY l_returnflag""",
+        "dedup_canonical": f"""
+            WITH s AS (
+              SELECT md5(text) AS fp, doc_id,
+                     CAST(round({T.quality_score_sql('text')} * 1e6)
+                       AS BIGINT) AS q
+              FROM documents
+            ), g AS (
+              SELECT fp,
+                     min(struct_pack(nq := -q, id := doc_id)) AS b,
+                     count(*) AS n_copies
+              FROM s GROUP BY fp
+            )
+            SELECT b.id AS keeper_id, -b.nq AS keeper_q_micro, n_copies
+            FROM g""",
+        "dedup_containment": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     unnest({T.word_shingles_sql('text', 3)}) AS s
+              FROM documents
+            ), keep AS (
+              SELECT s FROM sh GROUP BY s
+              HAVING count(*) BETWEEN 2 AND {CONTAINMENT_MAXDF}
+            ), rare AS (
+              SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)
+            ), sz AS (
+              SELECT doc_id, count(*) AS sz FROM rare GROUP BY doc_id
+            ), p AS (
+              SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                     count(*) AS shared
+              FROM rare l JOIN rare r
+                ON l.s = r.s AND l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(shared / CAST(least(a.sz, b.sz) AS DOUBLE), 6)
+                     AS containment
+            FROM p
+            JOIN sz a ON p.id_a = a.doc_id
+            JOIN sz b ON p.id_b = b.doc_id
+            WHERE round(shared / CAST(least(a.sz, b.sz) AS DOUBLE), 6)
+                  >= {CONTAINMENT_MIN}""",
+        "bit_suite": """
+            SELECT event_type,
+                   CAST(SUM(bit_count(event_id)) AS BIGINT)
+                     AS sum_popcount,
+                   CAST(SUM(event_id & 255) AS BIGINT) AS sum_and255,
+                   CAST(SUM((event_id >> 3) & 7) AS BIGINT)
+                     AS sum_shift_mask,
+                   bit_and(event_id) AS agg_and,
+                   bit_or(event_id) AS agg_or,
+                   bit_xor(event_id) AS agg_xor
+            FROM events GROUP BY event_type""",
+        "regex_suite": """
+            SELECT doc_id,
+                   regexp_extract(text, '\\b(query|table|join)\\b', 1)
+                     AS first_kw,
+                   CAST(len(regexp_extract_all(text,
+                     '\\b(scan|sort|merge)\\b')) AS INT) AS n_exec_kw,
+                   CAST(length(regexp_replace(text, '[aeiou]+', '*', 'g'))
+                     AS INT) AS devowel_len,
+                   CAST(regexp_matches(text, '^[a-z ]+$') AS INT)
+                     AS is_plain,
+                   CAST(len(regexp_split_to_array(text, 'a+')) AS INT)
+                     AS n_a_splits
+            FROM documents""",
     }
