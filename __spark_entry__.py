@@ -2832,6 +2832,55 @@ def q_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evt_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix: per (state → next state)
+    pair, the count and the per-source transition probability — the
+    sequence-analytics primitive behind session-flow and churn models.
+
+    Scale shape: one lead() window keyed on user_id (the same shuffle a
+    sessionization already pays), then a hash-aggregate down to
+    |states|² rows and a tiny window over those for probabilities."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("from_state"),
+        F.lead("event_type").over(w).alias("to_state"),
+    ).where(F.col("to_state").isNotNull())
+    counts = t.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
+def q_emb_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact power-iteration step toward the corpus's top principal
+    direction: y = Xᵀ(X·v₀) with v₀ = ones, all in integer micro-units
+    so every sum is associative and the result is bit-identical across
+    engines (the float path would be summation-order-dependent).
+
+    Scale shape: the row projection s_i = Σ_d x_id is a per-row fold
+    (no shuffle); the dimension sums are one partial-agg shuffle down
+    to 64 keys. Overflow headroom: |s·x| ≤ 2.6e12 per term, so bigint
+    holds ~3.5M rows per dimension partial — beyond that, chunk ids
+    and re-sum (same monoid)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    micro = "transform(embedding, x -> cast(round(x * 1e6) as bigint))"
+    rows = emb.select(
+        F.expr(f"aggregate({micro}, 0L, (a, x) -> a + x)").alias("s"),
+        F.posexplode(F.expr(micro)).alias("d", "xi"),
+    )
+    return (
+        rows.groupBy((F.col("d") + 1).alias("dim_idx"))
+        .agg(F.sum(F.col("xi") * F.col("s")).alias("proj"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -2970,6 +3019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "bit_suite": q_bit_suite,
         "regex_suite": q_regex_suite,
+        "evt_markov": q_evt_markov,
+        "emb_top_direction": q_emb_top_direction,
     }
 
 
@@ -4610,4 +4661,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_split_to_array(text, 'a+')) AS INT)
                      AS n_a_splits
             FROM documents""",
+        "evt_markov": """
+            WITH t AS (
+              SELECT event_type AS from_state,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS to_state
+              FROM events
+            ), c AS (
+              SELECT from_state, to_state, count(*) AS n
+              FROM t WHERE to_state IS NOT NULL
+              GROUP BY from_state, to_state
+            )
+            SELECT from_state, to_state, n,
+                   round(n / CAST(SUM(n) OVER (PARTITION BY from_state)
+                     AS DOUBLE), 6) AS p
+            FROM c""",
+        "emb_top_direction": """
+            WITH m AS (
+              SELECT list_transform(embedding,
+                       x -> CAST(round(x * 1e6) AS BIGINT)) AS xi
+              FROM embeddings
+            ), s AS (
+              SELECT xi, list_aggregate(xi, 'sum') AS s FROM m
+            ), ex AS (
+              SELECT s, xi, unnest(generate_series(1, len(xi))) AS d
+              FROM s
+            )
+            SELECT CAST(d AS INT) AS dim_idx,
+                   CAST(SUM(xi[d] * s) AS BIGINT) AS proj
+            FROM ex GROUP BY d""",
     }
