@@ -422,6 +422,55 @@ def test_streaming_near_dedup_batch_split_independent(spark, tmp_dirs, split):
     assert got == {4, 6}, f"split {split}: got {got}"
 
 
+def test_streaming_histogram_sketch_matches_batch(spark, tmp_dirs):
+    """The fixed-width bin histogram (sketch_hist_quantile's state) is
+    a commutative monoid, so streamed partial aggregation across
+    micro-batches must converge to the batch sketch bin-for-bin — the
+    property that lets 1000 executors each emit partials and a
+    streaming job keep a running quantile estimate."""
+    src = SpoolSource(
+        name="spool",
+        path=tmp_dirs["spool"],
+        schema_ddl=EVENTS_DDL,
+        ack_data_column="event_id",
+    )
+    # three micro-batch files so the state store actually merges
+    src.push_messages(make_events(70), "000.jsonl")
+    src.push_messages(make_events(70, start=70), "001.jsonl")
+    src.push_messages(make_events(60, start=140), "002.jsonl")
+
+    binned = (
+        src.read_stream(spark)
+        .groupBy(
+            "event_type", F.floor(F.col("value") / 10).alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    q = (
+        binned.writeStream.format("memory")
+        .queryName("hist_sketch")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["event_type"], r["b"]): r["c"]
+        for r in spark.sql("SELECT * FROM hist_sketch").collect()
+    }
+
+    batch_df = spark.createDataFrame(make_events(200))
+    batch = {
+        (r["event_type"], r["b"]): r["c"]
+        for r in batch_df.groupBy(
+            "event_type", F.floor(F.col("value") / 10).alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 10
+
+
 def test_runtime_rate_limit_update(spark, tmp_dirs):
     """F3: update_rate_limiting takes effect on subsequent triggers
     (broadway.ex:1447-1523)."""
