@@ -2871,13 +2871,112 @@ def q_emb_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     and re-sum (same monoid)."""
     emb = _t(spark, sf_dir, "embeddings")
     micro = "transform(embedding, x -> cast(round(x * 1e6) as bigint))"
+    # Two selects on purpose: computing s in the SAME select as the
+    # posexplode lands the (interpreted) fold in the post-Generate
+    # Project, re-evaluating it once per exploded row (64×). Split, it
+    # stays below the Generate and runs once per vector.
     rows = emb.select(
         F.expr(f"aggregate({micro}, 0L, (a, x) -> a + x)").alias("s"),
-        F.posexplode(F.expr(micro)).alias("d", "xi"),
-    )
+        F.expr(micro).alias("m"),
+    ).select("s", F.posexplode("m").alias("d", "xi"))
     return (
         rows.groupBy((F.col("d") + 1).alias("dim_idx"))
         .agg(F.sum(F.col("xi") * F.col("s")).alias("proj"))
+    )
+
+
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle rollup: per (hour, event_type) the opening value
+    (argmin ts), high, low, closing value (argmax ts), count and exact
+    sum — the finance-style twin of ts_rollup. Open/close are
+    deterministic via (ts, event_id) composite ordering inside a
+    min/max-struct aggregate (event_id is unique, so ties in ts can't
+    make the result engine-dependent).
+
+    Scale shape: ONE hash-aggregate; min/max-struct are partial-agg
+    friendly so 1000 executors emit candle partials and the exchange
+    carries |hours|·|types| rows."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00")
+    probe = F.struct("ts", "event_id", "value")
+    return (
+        ev.groupBy(h.alias("bucket"), "event_type")
+        .agg(
+            F.min(probe).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(probe).getField("value").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            _dsum("value").alias("sum_value"),
+        )
+    )
+
+
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + linear interpolation: each user's hourly mean value
+    on a dense hour spine from their first to last event; missing
+    hours are linearly interpolated between the neighboring observed
+    hours (edges stay NULL). The timeseries-regularization primitive
+    sensor/metrics pipelines need before any windowed model.
+
+    Exactness: hourly means are decimal-sum / count (associative);
+    interpolation is then scalar double math on those exact inputs.
+
+    Scale shape: one aggregate to (user, hour) means; the spine is a
+    per-user sequence() explode (no shuffle — it reuses the group's
+    partitioning); fill is two IGNORE NULLS window passes over the
+    user's own partition. No joins against a global calendar table."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg((_dsum("value") / F.count(F.lit(1))).alias("v"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(h0, h1, interval 1 hour)")
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last("v", ignorenulls=True).over(wb)
+    next_v = F.first("v", ignorenulls=True).over(wf)
+    prev_h = F.last(
+        F.when(F.col("v").isNotNull(), F.col("h")), ignorenulls=True
+    ).over(wb)
+    next_h = F.first(
+        F.when(F.col("v").isNotNull(), F.col("h")), ignorenulls=True
+    ).over(wf)
+    span = F.unix_timestamp(next_h) - F.unix_timestamp(prev_h)
+    frac = (F.unix_timestamp("h") - F.unix_timestamp(prev_h)) / span
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        prev_v + (next_v - prev_v) * frac
+    )
+    # micro-unit output with explicit floor(x*1e6 + 0.5): round() is
+    # engine-policy-dependent on exact decimal midpoints (HALF_UP vs
+    # half-even), and interpolation fractions hit midpoints often.
+    return joined.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("bucket"),
+        F.col("v").isNotNull().cast("int").alias("observed"),
+        F.floor(interp * 1e6 + F.lit(0.5)).cast("long").alias(
+            "value_micro"
+        ),
     )
 
 
@@ -3021,6 +3120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_suite": q_regex_suite,
         "evt_markov": q_evt_markov,
         "emb_top_direction": q_emb_top_direction,
+        "ts_ohlc": q_ts_ohlc,
+        "ts_interpolate": q_ts_interpolate,
     }
 
 
@@ -4690,4 +4791,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(d AS INT) AS dim_idx,
                    CAST(SUM(xi[d] * s) AS BIGINT) AS proj
             FROM ex GROUP BY d""",
+        "ts_ohlc": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00')
+                     AS bucket,
+                   event_type,
+                   (min(struct_pack(t := ts, e := event_id, v := value))).v
+                     AS "open",
+                   max(value) AS high,
+                   min(value) AS low,
+                   (max(struct_pack(t := ts, e := event_id, v := value))).v
+                     AS "close",
+                   count(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "ts_interpolate": """
+            WITH hourly AS (
+              SELECT user_id, date_trunc('hour', ts) AS h,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*) AS v
+              FROM events GROUP BY 1, 2
+            ), spine AS (
+              SELECT user_id,
+                     unnest(generate_series(min(h), max(h),
+                       INTERVAL 1 HOUR)) AS h
+              FROM hourly GROUP BY user_id
+            ), j AS (
+              SELECT s.user_id, s.h, hourly.v
+              FROM spine s LEFT JOIN hourly
+                ON s.user_id = hourly.user_id AND s.h = hourly.h
+            ), f AS (
+              SELECT user_id, h, v,
+                     last_value(v IGNORE NULLS) OVER wb AS prev_v,
+                     first_value(v IGNORE NULLS) OVER wf AS next_v,
+                     last_value(CASE WHEN v IS NOT NULL THEN h END
+                       IGNORE NULLS) OVER wb AS prev_h,
+                     first_value(CASE WHEN v IS NOT NULL THEN h END
+                       IGNORE NULLS) OVER wf AS next_h
+              FROM j
+              WINDOW wb AS (PARTITION BY user_id ORDER BY h
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW),
+                     wf AS (PARTITION BY user_id ORDER BY h
+                            ROWS BETWEEN CURRENT ROW
+                                     AND UNBOUNDED FOLLOWING)
+            )
+            SELECT user_id, strftime(h, '%Y-%m-%d %H:00') AS bucket,
+                   CAST(v IS NOT NULL AS INT) AS observed,
+                   CAST(floor((CASE WHEN v IS NOT NULL THEN v
+                         ELSE prev_v + (next_v - prev_v)
+                              * ((epoch(h) - epoch(prev_h))
+                                 / (epoch(next_h) - epoch(prev_h))) END)
+                        * 1e6 + 0.5) AS BIGINT) AS value_micro
+            FROM f""",
     }
