@@ -2944,6 +2944,12 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     joined = spine.join(hourly, ["user_id", "h"], "left")
+    # Both fills are RUNNING frames (unboundedPreceding → currentRow):
+    # the natural (currentRow → unboundedFollowing) spelling of the
+    # forward neighbor hits Spark's UnboundedFollowingWindowFunctionFrame,
+    # which re-aggregates the remainder of the partition per row —
+    # O(n²) per user (measured 10.5 s vs 1-2 s at sf0.1). Reversing the
+    # sort instead costs one extra O(n log n) sort and stays linear.
     wb = (
         Window.partitionBy("user_id")
         .orderBy("h")
@@ -2951,15 +2957,15 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("h").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev_v = F.last("v", ignorenulls=True).over(wb)
-    next_v = F.first("v", ignorenulls=True).over(wf)
+    next_v = F.last("v", ignorenulls=True).over(wf)
     prev_h = F.last(
         F.when(F.col("v").isNotNull(), F.col("h")), ignorenulls=True
     ).over(wb)
-    next_h = F.first(
+    next_h = F.last(
         F.when(F.col("v").isNotNull(), F.col("h")), ignorenulls=True
     ).over(wf)
     span = F.unix_timestamp(next_h) - F.unix_timestamp(prev_h)
@@ -2978,6 +2984,65 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_micro"
         ),
     )
+
+
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (argmax count, min-value tiebreak)
+    via the deterministic min-struct aggregate — no window, no sort.
+
+    Scale shape: two chained hash-aggregates, both partial-agg
+    friendly; the second's key space is |event_type|."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int").alias("k")
+    counts = ev.select("event_type", k).groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best = counts.groupBy("event_type").agg(
+        F.min(
+            F.struct((-F.col("n")).alias("nn"), F.col("k").alias("k"))
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.k").alias("mode_k"),
+        (-F.col("b.nn")).alias("n_mode"),
+    )
+
+
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic sample per stratum: the 10 docs with the
+    smallest md5('k:'||doc_id) per language — the fixed-size twin of
+    the proportional samplers (hash order is stable across engines
+    and re-runs, unlike rand()).
+
+    Scale shape: per-stratum top-k via row_number inside the
+    stratum's own partition; Spark's window top-k stays a partial
+    top-k sort, no global order."""
+    docs = _t(spark, sf_dir, "documents")
+    hk = F.md5(F.concat(F.lit("k:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(hk.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 10)
+    )
+
+
+def q_sketch_bloom_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit: build the portable bitset sketch
+    over lineitem.l_orderkey, probe the 10 lowest existing orderkeys
+    (must all be present — no false negatives) and 10 keys past
+    max(o_orderkey) (absent unless a deterministic false positive,
+    which the oracle reproduces bit-for-bit)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    bits = K.bloom_build(li, "l_orderkey")
+    lowest = (
+        li.select("l_orderkey").distinct().orderBy("l_orderkey").limit(10)
+    )
+    absent = orders.agg(F.max("o_orderkey").alias("mx")).select(
+        F.explode(F.expr("sequence(mx + 1, mx + 10)")).alias("l_orderkey")
+    )
+    return K.bloom_probe(bits, lowest.unionAll(absent), "l_orderkey")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3122,6 +3187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_top_direction": q_emb_top_direction,
         "ts_ohlc": q_ts_ohlc,
         "ts_interpolate": q_ts_interpolate,
+        "agg_mode": q_agg_mode,
+        "sample_exact_k": q_sample_exact_k,
+        "sketch_bloom_orders": q_sketch_bloom_orders,
     }
 
 
@@ -4844,4 +4912,41 @@ def oracle_sql() -> dict[str, str]:
                                  / (epoch(next_h) - epoch(prev_h))) END)
                         * 1e6 + 0.5) AS BIGINT) AS value_micro
             FROM f""",
+        "agg_mode": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ), g AS (
+              SELECT event_type,
+                     min(struct_pack(nn := -n, k := k)) AS b
+              FROM c GROUP BY event_type
+            )
+            SELECT event_type, b.k AS mode_k,
+                   CAST(-b.nn AS BIGINT) AS n_mode
+            FROM g""",
+        "sample_exact_k": """
+            SELECT lang, doc_id, rk FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(concat('k:', CAST(doc_id AS VARCHAR))),
+                                doc_id) AS rk
+              FROM documents
+            ) WHERE rk <= 10""",
+        "sketch_bloom_orders": K.bloom_sql(
+            "lineitem",
+            "l_orderkey",
+            """(
+              SELECT l_orderkey FROM (
+                SELECT DISTINCT l_orderkey FROM lineitem
+                ORDER BY l_orderkey LIMIT 10
+              )
+              UNION ALL
+              SELECT mx + i AS l_orderkey
+              FROM (SELECT max(o_orderkey) AS mx FROM orders),
+                   generate_series(1, 10) AS u(i)
+            ) keyt""",
+            "keyt.l_orderkey",
+        ),
     }

@@ -294,6 +294,79 @@ GROUP BY p.key
 """
 
 
+# -- Bloom filter (portable, md5-derived bit positions) ----------------
+
+BLOOM_M = 4096  # bit positions
+BLOOM_SEEDS = (7, 19, 31)
+
+
+def bloom_build(df: DataFrame, value_col: str) -> DataFrame:
+    """Bloom membership sketch (Bloom 1970) in bitset-row form: the
+    DISTINCT md5-derived bit positions of every value. Returns (pos)
+    rows — at most ``BLOOM_M`` rows regardless of input size, so the
+    sketch is mergeable by plain UNION/distinct and the reduce side is
+    constant at 100 TB. One distinct-aggregate shuffle, ≤ m keys."""
+    cells = [
+        (F.expr(_hash60_expr(value_col, seed)) % BLOOM_M).alias("pos")
+        for seed in BLOOM_SEEDS
+    ]
+    return (
+        df.select(F.explode(F.array(*cells)).alias("pos"))
+        .groupBy("pos")
+        .agg(F.lit(1).alias("__one"))
+        .select("pos")
+    )
+
+
+def bloom_probe(bits: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Membership probe: present iff ALL k bit positions are set
+    (the classic no-false-negative guarantee; false positives are
+    deterministic given the seeds, so the oracle reproduces them)."""
+    probes = [
+        (F.expr(_hash60_expr(key_col, seed)) % BLOOM_M).alias("pos")
+        for seed in BLOOM_SEEDS
+    ]
+    probed = keys.select(
+        F.col(key_col).alias("key"), F.explode(F.array(*probes)).alias("pos")
+    )
+    hit = F.when(F.col("__one").isNotNull(), 1).otherwise(0)
+    return (
+        probed.join(
+            F.broadcast(bits.withColumn("__one", F.lit(1))), ["pos"], "left"
+        )
+        .groupBy("key")
+        .agg(F.min(hit).alias("present"))
+    )
+
+
+def bloom_sql(
+    table: str, value_expr: str, key_table: str, key_expr: str
+) -> str:
+    """DuckDB twin of bloom_build + bloom_probe (identical seeds and
+    md5 position derivation — bit-exact, including false positives)."""
+    h = lambda seed, v: (  # noqa: E731
+        f"CAST(concat('0x', substr(md5(concat('{seed}', ':', "
+        f"CAST({v} AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    bit_rows = " UNION ALL ".join(
+        f"SELECT {h(seed, value_expr)} % {BLOOM_M} AS pos FROM {table}"
+        for seed in BLOOM_SEEDS
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {key_expr} AS key,"
+        f" {h(seed, key_expr)} % {BLOOM_M} AS pos FROM {key_table}"
+        for seed in BLOOM_SEEDS
+    )
+    return f"""
+WITH bits AS (SELECT DISTINCT pos FROM ({bit_rows})),
+probes AS ({probe_rows})
+SELECT p.key,
+       MIN(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS present
+FROM probes p LEFT JOIN bits b ON p.pos = b.pos
+GROUP BY p.key
+"""
+
+
 def streaming_hot_keys(
     df: DataFrame,
     key_col: str,
