@@ -230,6 +230,45 @@ def test_cms_never_undercounts_and_is_mergeable(spark):
     assert est_m == est, "merged halves != single build"
 
 
+def test_bloom_no_false_negatives_and_mergeable(spark):
+    """Bloom contract: every inserted key probes present=1 (no false
+    negatives — the filter's only hard guarantee); union of the bitsets
+    of two halves equals the single build (mergeability)."""
+    from pyspark.sql import functions as F
+
+    from broadway_spark.functions.sketches import bloom_build, bloom_probe
+
+    df = spark.range(0, 3000).select((F.col("id") * 13 % 911).alias("v"))
+    bits = bloom_build(df, "v")
+    keys = df.select("v").distinct()
+    probed = bloom_probe(bits, keys, "v")
+    n_keys = keys.count()
+    assert (
+        probed.filter(F.col("present") == 1).count() == n_keys
+    ), "Bloom false negative"
+
+    b1 = bloom_build(df.filter(F.col("v") < 400), "v")
+    b2 = bloom_build(df.filter(F.col("v") >= 400), "v")
+    merged = b1.unionByName(b2).distinct()
+    assert merged.count() == bits.count()
+    assert (
+        bloom_probe(merged, keys, "v").filter(F.col("present") == 1).count()
+        == n_keys
+    )
+
+
+def test_shingle_instances_multiplicity(spark):
+    """shingle_instances keeps duplicate k-grams (shingle_rows dedups):
+    'a b a b a' has 2-grams [a b, b a, a b, b a] — 4 instances, 2
+    distinct."""
+    from broadway_spark.functions.text import shingle_instances, shingle_rows
+
+    df = spark.createDataFrame([(1, "a b a b a")], ["id", "text"])
+    inst = shingle_instances(df, "id", "text", 2).collect()
+    assert len(inst) == 4
+    assert len(shingle_rows(df, "id", "text", 2).collect()) == 2
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
