@@ -3045,6 +3045,68 @@ def q_sketch_bloom_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.bloom_probe(bits, lowest.unionAll(absent), "l_orderkey")
 
 
+def q_text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document, TF-IDF-ordered without
+    floats: rank by (tf DESC, corpus-df ASC, term ASC) — the same
+    ordering tf·idf induces when idf is monotone in 1/df, but
+    integer-exact so the oracle can't drift.
+
+    Scale shape: one (doc, term) aggregate, a term-keyed join against
+    the corpus df table (shuffle on term — the df side is partial-
+    agg'd first), then per-doc top-k inside the doc partition."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("term")
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.groupBy("term", "doc_id")
+        .agg(F.lit(1).alias("__one"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .select(
+            "doc_id", "term", "tf", "df", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") <= 3)
+    )
+
+
+def q_w12_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per user — the window Spark (and ANSI
+    SQL) refuse to express directly — via the first-occurrence-flag
+    trick: row_number()==1 inside (user, event_type) marks the first
+    sighting, a running sum of flags is the cumulative distinct count.
+
+    Scale shape: both windows share the user_id partitioning, so this
+    is ONE shuffle and two sorted passes; no distinct-state blowup."""
+    ev = _t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.row_number().over(w_first) == 1).cast("int").alias("__new"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("__new").over(w_run).alias("n_types_seen"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -3190,6 +3252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_mode": q_agg_mode,
         "sample_exact_k": q_sample_exact_k,
         "sketch_bloom_orders": q_sketch_bloom_orders,
+        "text_salient_terms": q_text_salient_terms,
+        "w12_cumulative_distinct": q_w12_cumulative_distinct,
     }
 
 
@@ -4949,4 +5013,38 @@ def oracle_sql() -> dict[str, str]:
             ) keyt""",
             "keyt.l_orderkey",
         ),
+        "text_salient_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(text), ' ')) AS term
+              FROM documents
+            ), t2 AS (SELECT * FROM toks WHERE length(term) > 0),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM t2 GROUP BY doc_id, term
+            ), dfreq AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM t2 GROUP BY term
+            ), ranked AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC)
+                       AS rk
+              FROM tf JOIN dfreq ON tf.term = dfreq.term
+            )
+            SELECT doc_id, term, tf, df, rk FROM ranked WHERE rk <= 3""",
+        "w12_cumulative_distinct": """
+            WITH flagged AS (
+              SELECT event_id, user_id, ts,
+                     CAST(row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) = 1 AS INT) AS fnew
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(SUM(fnew) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS n_types_seen
+            FROM flagged""",
     }
