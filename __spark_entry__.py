@@ -2373,21 +2373,28 @@ def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     and re-evaluated per plan subtree. The prefix-filter join is exact
     over the sampled sets."""
     docs = _t(spark, sf_dir, "documents")
+    # lower() is hoisted into its own select BELOW the explode: written
+    # in the same select as the Generate it lands in the post-Generate
+    # Project and re-lowercases the full document once per gram
+    # position (~500× per doc; measured 2× slower at sf0.1).
     grams = (
         docs.select(
+            "doc_id", "lang", "source", F.lower("text").alias("__lt")
+        )
+        .select(
             "doc_id",
             "lang",
             "source",
-            "text",
+            "__lt",
             F.explode(
-                F.expr("sequence(1, greatest(length(text) - 15, 0))")
+                F.expr("sequence(1, greatest(length(__lt) - 15, 0))")
             ).alias("__i"),
         )
         .select(
             "doc_id",
             "lang",
             "source",
-            F.expr("substring(lower(text), __i, 16)").alias("__g"),
+            F.expr("substring(__lt, __i, 16)").alias("__g"),
         )
         .filter(
             F.expr(
