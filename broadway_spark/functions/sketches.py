@@ -215,29 +215,51 @@ def heavy_hitters(
 
 CMS_D = 4  # hash rows
 CMS_W = 512  # counters per row
-CMS_SEEDS = (11, 23, 37, 53)
+
+
+def _cms_hex(value_col: str) -> Column:
+    return F.md5(F.concat(F.lit("cms:"), F.col(value_col).cast("string")))
+
+
+def _cms_cells(hex_col: str) -> list[Column]:
+    """Row i's counter index = 24-bit window i of the single digest,
+    mod W. One md5 per value instead of d (md5 dominates sketch build
+    cost; the d windows of one digest are disjoint bit ranges of a
+    uniformly mixed 128-bit hash — the portable stand-in for d
+    independent hash functions)."""
+    return [
+        F.struct(
+            F.lit(i).alias("row"),
+            (
+                F.expr(
+                    f"CAST(conv(substring({hex_col}, {1 + 6 * i}, 6), "
+                    f"16, 10) AS BIGINT)"
+                )
+                % CMS_W
+            ).alias("idx"),
+        )
+        for i in range(CMS_D)
+    ]
 
 
 def cms_build(df: DataFrame, value_col: str) -> DataFrame:
     """Count-min sketch of a column (Cormode & Muthukrishnan 2005):
-    ``CMS_D`` md5-derived hash rows × ``CMS_W`` counters.
+    ``CMS_D`` md5-window hash rows × ``CMS_W`` counters.
 
     Returns the counter table (row, idx, c) — at most d·w rows, exact
     integer sums, trivially mergeable (union + re-sum) and
     deterministic: the same portability property as the HLL above, so
     a DuckDB oracle reproduces every counter bit-for-bit.
 
-    Plan: explode each value into its d (row, idx) cells → ONE
+    Plan: one md5 per value (computed below the explode so it isn't
+    re-hashed per cell), explode into d (row, idx) cells → ONE
     partial-agg shuffle keyed by (row, idx) with at most d·w distinct
     keys — at 100 TB the reduce side is 2048 cells regardless of
     input size.
     """
-    cells = []
-    for i, seed in enumerate(CMS_SEEDS):
-        h = F.expr(_hash60_expr(value_col, seed))
-        cells.append(F.struct(F.lit(i).alias("row"), (h % CMS_W).alias("idx")))
     return (
-        df.select(F.explode(F.array(*cells)).alias("__c"))
+        df.select(_cms_hex(value_col).alias("__hx"))
+        .select(F.explode(F.array(*_cms_cells("__hx"))).alias("__c"))
         .select(F.col("__c.row").alias("row"), F.col("__c.idx").alias("idx"))
         .groupBy("row", "idx")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -251,13 +273,15 @@ def cms_estimate(
     counter table: est = min over rows of counter[h_row(key)] — the
     classic CMS upper bound (never under-counts; over-counts only by
     collisions). Returns (key, est_n)."""
-    probes = []
-    for i, seed in enumerate(CMS_SEEDS):
-        h = F.expr(_hash60_expr(key_col, seed))
-        probes.append(F.struct(F.lit(i).alias("row"), (h % CMS_W).alias("idx")))
-    probed = keys.select(
-        F.col(key_col).alias("key"), F.explode(F.array(*probes)).alias("__p")
-    ).select("key", F.col("__p.row").alias("row"), F.col("__p.idx").alias("idx"))
+    probed = (
+        keys.select(
+            F.col(key_col).alias("key"), _cms_hex(key_col).alias("__hx")
+        )
+        .select("key", F.explode(F.array(*_cms_cells("__hx"))).alias("__p"))
+        .select(
+            "key", F.col("__p.row").alias("row"), F.col("__p.idx").alias("idx")
+        )
+    )
     return (
         probed.join(F.broadcast(counters), ["row", "idx"], "left")
         .groupBy("key")
@@ -266,20 +290,20 @@ def cms_estimate(
 
 
 def cms_sql(table: str, value_expr: str, key_table: str, key_expr: str) -> str:
-    """DuckDB twin: build + probe in one statement (identical seeds,
-    width, md5 hash derivation — counter-exact)."""
-    h = lambda seed, v: (  # noqa: E731
-        f"CAST(concat('0x', substr(md5(concat('{seed}', ':', "
-        f"CAST({v} AS VARCHAR))), 1, 15)) AS BIGINT)"
+    """DuckDB twin: build + probe in one statement (identical digest
+    windows, width, md5 derivation — counter-exact)."""
+    h = lambda i, v: (  # noqa: E731
+        f"CAST(concat('0x', substr(md5(concat('cms:', "
+        f"CAST({v} AS VARCHAR))), {1 + 6 * i}, 6)) AS BIGINT)"
     )
     cell_rows = " UNION ALL ".join(
-        f"SELECT {i} AS row, {h(seed, value_expr)} % {CMS_W} AS idx FROM {table}"
-        for i, seed in enumerate(CMS_SEEDS)
+        f"SELECT {i} AS row, {h(i, value_expr)} % {CMS_W} AS idx FROM {table}"
+        for i in range(CMS_D)
     )
     probe_rows = " UNION ALL ".join(
         f"SELECT {key_expr} AS key, {i} AS row,"
-        f" {h(seed, key_expr)} % {CMS_W} AS idx FROM {key_table}"
-        for i, seed in enumerate(CMS_SEEDS)
+        f" {h(i, key_expr)} % {CMS_W} AS idx FROM {key_table}"
+        for i in range(CMS_D)
     )
     return f"""
 WITH cells AS ({cell_rows}),
@@ -297,7 +321,26 @@ GROUP BY p.key
 # -- Bloom filter (portable, md5-derived bit positions) ----------------
 
 BLOOM_M = 4096  # bit positions
-BLOOM_SEEDS = (7, 19, 31)
+BLOOM_K = 3  # digest windows
+
+
+def _bloom_positions(hex_col: str) -> list[Column]:
+    """k bit positions = k disjoint 24-bit windows of ONE md5 digest,
+    mod m (same one-digest economy as the CMS above)."""
+    return [
+        (
+            F.expr(
+                f"CAST(conv(substring({hex_col}, {1 + 6 * i}, 6), "
+                f"16, 10) AS BIGINT)"
+            )
+            % BLOOM_M
+        ).alias("pos")
+        for i in range(BLOOM_K)
+    ]
+
+
+def _bloom_hex(value_col: str) -> Column:
+    return F.md5(F.concat(F.lit("bloom:"), F.col(value_col).cast("string")))
 
 
 def bloom_build(df: DataFrame, value_col: str) -> DataFrame:
@@ -306,12 +349,9 @@ def bloom_build(df: DataFrame, value_col: str) -> DataFrame:
     rows — at most ``BLOOM_M`` rows regardless of input size, so the
     sketch is mergeable by plain UNION/distinct and the reduce side is
     constant at 100 TB. One distinct-aggregate shuffle, ≤ m keys."""
-    cells = [
-        (F.expr(_hash60_expr(value_col, seed)) % BLOOM_M).alias("pos")
-        for seed in BLOOM_SEEDS
-    ]
     return (
-        df.select(F.explode(F.array(*cells)).alias("pos"))
+        df.select(_bloom_hex(value_col).alias("__hx"))
+        .select(F.explode(F.array(*_bloom_positions("__hx"))).alias("pos"))
         .groupBy("pos")
         .agg(F.lit(1).alias("__one"))
         .select("pos")
@@ -321,13 +361,15 @@ def bloom_build(df: DataFrame, value_col: str) -> DataFrame:
 def bloom_probe(bits: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     """Membership probe: present iff ALL k bit positions are set
     (the classic no-false-negative guarantee; false positives are
-    deterministic given the seeds, so the oracle reproduces them)."""
-    probes = [
-        (F.expr(_hash60_expr(key_col, seed)) % BLOOM_M).alias("pos")
-        for seed in BLOOM_SEEDS
-    ]
-    probed = keys.select(
-        F.col(key_col).alias("key"), F.explode(F.array(*probes)).alias("pos")
+    deterministic given the digest windows, so the oracle reproduces
+    them)."""
+    probed = (
+        keys.select(
+            F.col(key_col).alias("key"), _bloom_hex(key_col).alias("__hx")
+        )
+        .select(
+            "key", F.explode(F.array(*_bloom_positions("__hx"))).alias("pos")
+        )
     )
     hit = F.when(F.col("__one").isNotNull(), 1).otherwise(0)
     return (
@@ -342,20 +384,21 @@ def bloom_probe(bits: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
 def bloom_sql(
     table: str, value_expr: str, key_table: str, key_expr: str
 ) -> str:
-    """DuckDB twin of bloom_build + bloom_probe (identical seeds and
-    md5 position derivation — bit-exact, including false positives)."""
-    h = lambda seed, v: (  # noqa: E731
-        f"CAST(concat('0x', substr(md5(concat('{seed}', ':', "
-        f"CAST({v} AS VARCHAR))), 1, 15)) AS BIGINT)"
+    """DuckDB twin of bloom_build + bloom_probe (identical digest
+    windows and md5 derivation — bit-exact, including false
+    positives)."""
+    h = lambda i, v: (  # noqa: E731
+        f"CAST(concat('0x', substr(md5(concat('bloom:', "
+        f"CAST({v} AS VARCHAR))), {1 + 6 * i}, 6)) AS BIGINT)"
     )
     bit_rows = " UNION ALL ".join(
-        f"SELECT {h(seed, value_expr)} % {BLOOM_M} AS pos FROM {table}"
-        for seed in BLOOM_SEEDS
+        f"SELECT {h(i, value_expr)} % {BLOOM_M} AS pos FROM {table}"
+        for i in range(BLOOM_K)
     )
     probe_rows = " UNION ALL ".join(
         f"SELECT {key_expr} AS key,"
-        f" {h(seed, key_expr)} % {BLOOM_M} AS pos FROM {key_table}"
-        for seed in BLOOM_SEEDS
+        f" {h(i, key_expr)} % {BLOOM_M} AS pos FROM {key_table}"
+        for i in range(BLOOM_K)
     )
     return f"""
 WITH bits AS (SELECT DISTINCT pos FROM ({bit_rows})),
