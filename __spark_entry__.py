@@ -2767,7 +2767,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-size aggregates. The df cap is the explicit scale knob
     (CCNet prunes the same way at petabyte scale)."""
     docs = _t(spark, sf_dir, "documents")
-    sh = T.shingle_rows(docs, "doc_id", "text", 3)
+    # sh feeds two consumers (df counts + the pruned join) and rare
+    # feeds three (sizes, both pair sides): persist so the shingle
+    # gather's window shuffle runs once, not per consumer.
+    sh = T.shingle_rows(docs, "doc_id", "text", 3).persist()
     keep = (
         sh.groupBy("__sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -2776,7 +2779,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("__sh")
     )
-    rare = sh.join(keep, "__sh")
+    rare = sh.join(keep, "__sh").persist()
     sizes = rare.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
         rare.alias("l")
