@@ -3117,6 +3117,61 @@ def q_w12_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup with canonical selection — the full
+    production chain in one query: MinHash-LSH candidate pairs →
+    large/small-star connected components → per-cluster keeper by
+    max quality (micro-units, min-id tiebreak) → per-language
+    survivor stats. Singletons (docs in no pair) keep themselves.
+
+    Scale shape: every stage is the already-audited scalable form
+    (band equi-join, O(log² n) star rounds, one keeper aggregate);
+    the composition adds only a left join of the corpus against the
+    label table and one final stats aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD,
+        shingle_k=MINHASH_K,
+    )
+    labels = D.near_dup_labels(pairs)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.round(T.quality_score("text") * 1e6).cast("long").alias("q"),
+        T.token_count("text").alias("nt"),
+    )
+    lab = (
+        scored.join(labels, scored.doc_id == labels.id, "left")
+        .select(
+            "doc_id",
+            "lang",
+            "q",
+            "nt",
+            F.coalesce("cluster_id", "doc_id").alias("cid"),
+        )
+    )
+    best = lab.groupBy("cid").agg(
+        F.min(
+            F.struct((-F.col("q")).alias("nq"), F.col("doc_id").alias("id"))
+        ).alias("b")
+    )
+    kept = (F.col("doc_id") == F.col("b.id")).cast("int")
+    return (
+        lab.join(best, "cid")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+            F.sum(F.col("nt") * kept).cast("long").alias("tokens_kept"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -3264,6 +3319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom_orders": q_sketch_bloom_orders,
         "text_salient_terms": q_text_salient_terms,
         "w12_cumulative_distinct": q_w12_cumulative_distinct,
+        "pipeline_near_dedup_keep": q_pipeline_near_dedup_keep,
     }
 
 
@@ -5057,4 +5113,46 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS n_types_seen
             FROM flagged""",
+        "pipeline_near_dedup_keep": f"""
+            WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(node, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT reach.node, e.dst FROM reach JOIN edges e
+                ON reach.r = e.src
+            ),
+            labels AS (
+              SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+            ),
+            scored AS (
+              SELECT doc_id, lang,
+                     CAST(round({T.quality_score_sql('text')} * 1e6)
+                       AS BIGINT) AS q,
+                     {T.token_count_sql('text')} AS nt
+              FROM documents
+            ),
+            lab AS (
+              SELECT s.doc_id, s.lang, s.q, s.nt,
+                     COALESCE(l.cluster_id, s.doc_id) AS cid
+              FROM scored s LEFT JOIN labels l ON s.doc_id = l.node
+            ),
+            best AS (
+              SELECT cid,
+                     min(struct_pack(nq := -q, id := doc_id)) AS b
+              FROM lab GROUP BY cid
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(SUM(CASE WHEN lab.doc_id = (best.b).id
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN lab.doc_id = (best.b).id
+                            THEN lab.nt ELSE 0 END) AS BIGINT)
+                     AS tokens_kept
+            FROM lab JOIN best ON lab.cid = best.cid
+            GROUP BY lang""",
     }

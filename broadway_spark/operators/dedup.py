@@ -470,6 +470,37 @@ def near_dup_clusters(
     if algorithm != "star":
         raise ValueError(f"unknown algorithm {algorithm!r}")
 
+    e = _star_fixpoint(pairs, id_a, id_b, max_iter)
+    # Fixpoint: min-rooted star forest — b is the component minimum,
+    # each non-root member appears exactly once as a.
+    return e.groupBy(F.col("b").alias("cluster_id")).agg(
+        (F.count(F.lit(1)) + 1).alias("size")
+    )
+
+
+def near_dup_labels(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, cluster_id) per node of the pair graph — the label-form
+    twin of ``near_dup_clusters`` (same large/small-star fixpoint;
+    cluster_id = min member id; roots label themselves). The form a
+    keeper-selection join needs."""
+    e = _star_fixpoint(pairs, id_a, id_b, max_iter)
+    members = e.select(F.col("a").alias("id"), F.col("b").alias("cluster_id"))
+    roots = e.select(
+        F.col("b").alias("id"), F.col("b").alias("cluster_id")
+    ).distinct()
+    return members.union(roots).distinct()
+
+
+def _star_fixpoint(
+    pairs: DataFrame, id_a: str, id_b: str, max_iter: int
+) -> DataFrame:
+    """Run alternating large-star/small-star to the fixpoint; returns
+    the min-rooted star forest as (a member, b root) edges."""
     e = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -525,11 +556,7 @@ def near_dup_clusters(
         if sig == prev_sig:
             break
         prev_sig = sig
-    # Fixpoint: min-rooted star forest — b is the component minimum,
-    # each non-root member appears exactly once as a.
-    return e.groupBy(F.col("b").alias("cluster_id")).agg(
-        (F.count(F.lit(1)) + 1).alias("size")
-    )
+    return e
 
 
 def _clusters_label_prop(
