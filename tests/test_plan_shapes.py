@@ -310,6 +310,60 @@ def test_top_terms_partial_agg_before_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") <= 2  # agg + window
 
 
+def test_passage_dedup_shuffles_fingerprint_not_passage(spark):
+    """dedup_passage: the first-occurrence window keys on the md5
+    fingerprint; neither the passage string nor the document text may
+    reach an exchange (same 100 TB contract as corpus_clean)."""
+    import re
+
+    plan = _plan(entry.q_dedup_passage(spark, SF))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "passage" not in m.group(1) and "text" not in m.group(1), (
+            f"raw text in shuffle key: {m.group(0)}"
+        )
+
+
+def test_hist_quantile_partial_agg_before_shuffle(spark):
+    """sketch_hist_quantile: bin counts must partial-aggregate map-side
+    so the exchange carries (flag, bin) partials, never raw rows —
+    the mergeable-summary property the sketch claims."""
+    plan = _plan(entry.q_sketch_hist_quantile(spark, SF))
+    assert "partial_count" in plan or "partial_" in plan
+
+
+def test_no_quadratic_window_frames_in_any_query(spark):
+    """Sweep EVERY query's plan for (currentRow → unboundedFollowing)
+    window frames: Spark evaluates them with
+    UnboundedFollowingWindowFunctionFrame, which re-aggregates the
+    partition remainder per row — O(n²) per key (ts_interpolate's
+    forward fill cost 29 s vs 2 s at sf0.1 until rewritten as a
+    reversed running frame). Whole-partition frames (unboundedpreceding
+    AND unboundedfollowing) are the specialized O(n) frame and pass."""
+    offenders = {}
+    for name, fn in entry.queries().items():
+        plan = _plan(fn(spark, SF))
+        for line in plan.splitlines():
+            if (
+                "unboundedfollowing$()" in line
+                and "unboundedpreceding$(), unboundedfollowing$()"
+                not in line
+            ):
+                offenders[name] = line.strip()[:160]
+                break
+    assert not offenders, f"O(n^2) window frames: {offenders}"
+
+
+def test_top_direction_fold_below_generate(spark):
+    """emb_top_direction: the interpreted aggregate() fold must sit
+    BELOW the posexplode Generate (computed once per vector), never in
+    the post-Generate Project where it re-runs per exploded element."""
+    plan = _plan(entry.q_emb_top_direction(spark, SF))
+    above_generate = plan.split("Generate")[0]
+    assert "aggregate(" not in above_generate, (
+        "fold evaluated per exploded row"
+    )
+
+
 def test_no_unguarded_cartesian_in_any_query(spark):
     """Sweep EVERY registered query's physical plan: no
     CartesianProduct anywhere; BroadcastNestedLoopJoin only where a
