@@ -3172,6 +3172,26 @@ def q_pipeline_near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DAY HLL distinct users next to the exact count — the
+    sketch-per-window form a streaming daily-uniques dashboard keeps:
+    register tables group by (day, idx), so state is windows × m
+    regardless of traffic.
+
+    Scale shape: identical to sketch_hll_users with the window as the
+    group key — two partial-agg shuffles, the second over ≤ m rows per
+    day."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    est = K.hll_count_distinct(days, ["day"], "user_id", seed=HLL_SEED)
+    exact = days.groupBy("day").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return exact.join(est, "day")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -3320,6 +3340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_salient_terms": q_text_salient_terms,
         "w12_cumulative_distinct": q_w12_cumulative_distinct,
         "pipeline_near_dedup_keep": q_pipeline_near_dedup_keep,
+        "sketch_hll_daily": q_sketch_hll_daily,
     }
 
 
@@ -5155,4 +5176,17 @@ def oracle_sql() -> dict[str, str]:
                      AS tokens_kept
             FROM lab JOIN best ON lab.cid = best.cid
             GROUP BY lang""",
+        "sketch_hll_daily": f"""
+            WITH est AS (
+              {K.hll_count_distinct_sql(
+                  "(SELECT strftime(ts, '%Y-%m-%d') AS day, user_id "
+                  "FROM events) d",
+                  ['day'], 'user_id', seed=HLL_SEED)}
+            ), ex AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS day,
+                     count(DISTINCT user_id) AS n_exact
+              FROM events GROUP BY 1
+            )
+            SELECT ex.day, n_exact, n_hll
+            FROM ex JOIN est ON ex.day = est.day""",
     }
