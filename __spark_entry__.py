@@ -3192,6 +3192,18 @@ def q_sketch_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "day")
 
 
+def q_dedup_embedding_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized blocked cosine near-dup pairs: per-label Arrow batch
+    → numpy int64 Gram matrix (operators/dedup.py::
+    embedding_near_duplicates_vectorized). Same pair semantics as
+    dedup_embedding but over micro-unit-quantized vectors, which is
+    what makes a BLAS matmul oracle-reproducible."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_duplicates_vectorized(
+        emb, "vec_id", "embedding", "label", threshold=NEARDUP_COS
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -3341,6 +3353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w12_cumulative_distinct": q_w12_cumulative_distinct,
         "pipeline_near_dedup_keep": q_pipeline_near_dedup_keep,
         "sketch_hll_daily": q_sketch_hll_daily,
+        "dedup_embedding_vec": q_dedup_embedding_vec,
     }
 
 
@@ -5189,4 +5202,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ex.day, n_exact, n_hll
             FROM ex JOIN est ON ex.day = est.day""",
+        "dedup_embedding_vec": f"""
+            WITH m AS (
+              SELECT vec_id, label,
+                     list_transform(embedding,
+                       x -> CAST(round(x * 1e6) AS BIGINT)) AS xi
+              FROM embeddings
+            ), s AS (
+              SELECT vec_id, label, xi,
+                     list_aggregate(list_transform(xi, v -> v * v),
+                       'sum') AS sq
+              FROM m
+            )
+            SELECT id_a, id_b, cos_sim FROM (
+              SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                     round(CAST(list_aggregate(
+                         list_transform(generate_series(1, len(l.xi)),
+                           i -> l.xi[i] * r.xi[i]), 'sum') AS DOUBLE)
+                       / (sqrt(CAST(l.sq AS DOUBLE))
+                          * sqrt(CAST(r.sq AS DOUBLE))), 6) AS cos_sim
+              FROM s l JOIN s r
+                ON l.label = r.label AND l.vec_id < r.vec_id
+            ) WHERE cos_sim >= {NEARDUP_COS}""",
     }

@@ -437,6 +437,62 @@ def embedding_near_duplicates(
     )
 
 
+def embedding_near_duplicates_vectorized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Blocked cosine near-dup pairs via per-bucket Arrow + numpy
+    matmul — the vectorized twin of ``embedding_near_duplicates`` for
+    buckets big enough that a per-pair expression fold loses to BLAS.
+
+    Exactness: vectors are quantized to integer micro-units BEFORE the
+    matmul, so the Gram matrix is int64-exact (|dot| < 2^53, exactly
+    representable as float64) and the cosine is deterministic scalar
+    math on exact inputs — a DuckDB oracle reproduces it bit-for-bit,
+    which a float matmul (pairwise summation order) could not.
+
+    Scale shape: one shuffle on the bucket key; each task computes its
+    block's Gram matrix locally (Arrow batch in, numpy int64 matmul).
+    Same quadratic-per-block bound as the expression form — the df-cap
+    /LSH/IVF paths remain the unbounded-scale route.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "id_a long, id_b long, cos_sim double"
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__id"].to_numpy()
+        scaled = np.stack(pdf["__vec"].to_numpy()) * 1e6
+        # half-away-from-zero, matching SQL round() (np.rint is
+        # half-even and would disagree on exact .5 boundaries)
+        m = np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64)
+        dot = (m @ m.T).astype(np.float64)
+        norm = np.sqrt(np.einsum("ij,ij->i", m, m).astype(np.float64))
+        denom = np.outer(norm, norm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.round(np.where(denom > 0, dot / denom, 0.0), 6)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = cos[iu, ju] >= threshold
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame(
+            {"id_a": a2, "id_b": b2, "cos_sim": cos[iu, ju][keep]}
+        )
+
+    slim = df.select(
+        F.col(bucket_col).alias("__bucket"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+    )
+    return slim.groupBy("__bucket").applyInPandas(pairs, out_schema)
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
