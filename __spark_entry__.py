@@ -3204,6 +3204,26 @@ def q_dedup_embedding_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-path plumbing, oracle-checked: media envelope → frame-
+    sampling plan (one frame row per every_n content bytes, byte_len
+    as the stub duration proxy) → per-doc frame counts. The explode is
+    pure Spark — a 100 TB video table fans out to frame tasks with no
+    Python and no driver-side decode; per-frame decode then rides the
+    same Arrow featurizer as multimodal_features."""
+    from broadway_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    media = MM.attach_media(docs, "content", "video/stub")
+    frames = MM.frame_sample_plan(media, "content", every_n=10)
+    return frames.groupBy("doc_id", "byte_len").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_idx").alias("last_frame"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -3354,6 +3374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_near_dedup_keep": q_pipeline_near_dedup_keep,
         "sketch_hll_daily": q_sketch_hll_daily,
         "dedup_embedding_vec": q_dedup_embedding_vec,
+        "multimodal_frame_plan": q_multimodal_frame_plan,
     }
 
 
@@ -5224,4 +5245,12 @@ def oracle_sql() -> dict[str, str]:
               FROM s l JOIN s r
                 ON l.label = r.label AND l.vec_id < r.vec_id
             ) WHERE cos_sim >= {NEARDUP_COS}""",
+        "multimodal_frame_plan": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS INT) AS byte_len,
+                   CAST(greatest(CAST(floor(octet_length(encode(text))
+                     / 10) AS INT), 1) AS BIGINT) AS n_frames,
+                   greatest(CAST(floor(octet_length(encode(text)) / 10)
+                     AS INT), 1) - 1 AS last_frame
+            FROM documents""",
     }
