@@ -3224,6 +3224,42 @@ def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute
+    deviation (MAD) with the 1.4826 normal-consistency factor — the
+    z-score detector's robust twin (evt_zscore breaks when the
+    outliers themselves inflate the stddev; MAD does not).
+
+    Scale shape: two sort-based percentile aggregates and one counting
+    pass, medians broadcast back — the fact table streams three times
+    but never shuffles on anything wider than event_type."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    stats = dev.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.expr("percentile(dev, 0.5D)").alias("mad"),
+    )
+    flagged = dev.join(F.broadcast(stats.select("event_type", "mad")), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            # single literal (3 × 1.4826 pre-multiplied): letting each
+            # engine fold 3*1.4826 itself risks a 1-ulp constant drift
+            F.sum(
+                (F.col("dev") > F.lit(4.4478) * F.col("mad")).cast("int")
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -3375,6 +3411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_daily": q_sketch_hll_daily,
         "dedup_embedding_vec": q_dedup_embedding_vec,
         "multimodal_frame_plan": q_multimodal_frame_plan,
+        "evt_anomaly_mad": q_evt_anomaly_mad,
     }
 
 
@@ -5253,4 +5290,24 @@ def oracle_sql() -> dict[str, str]:
                    greatest(CAST(floor(octet_length(encode(text)) / 10)
                      AS INT), 1) - 1 AS last_frame
             FROM documents""",
+        "evt_anomaly_mad": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY 1
+            ), dev AS (
+              SELECT e.event_type, m.med,
+                     abs(e.value - m.med) AS dev
+              FROM events e JOIN med m ON e.event_type = m.event_type
+            ), st AS (
+              SELECT event_type, quantile_cont(dev, 0.5) AS mad
+              FROM dev GROUP BY 1
+            )
+            SELECT d.event_type, round(max(d.med), 6) AS med,
+                   round(max(s.mad), 6) AS mad,
+                   CAST(SUM(CASE WHEN d.dev >
+                     CAST(4.4478 AS DOUBLE) * s.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   count(*) AS n
+            FROM dev d JOIN st s ON d.event_type = s.event_type
+            GROUP BY d.event_type""",
     }
