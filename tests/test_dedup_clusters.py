@@ -6,7 +6,7 @@ SoCC'14 — O(log² n) rounds vs rounds ∝ diameter)."""
 
 import random
 
-from broadway_spark.operators.dedup import near_dup_clusters
+from broadway_spark.operators.dedup import near_dup_clusters, near_dup_labels
 
 
 def _pairs_df(spark, edges):
@@ -17,6 +17,22 @@ def _pairs_df(spark, edges):
 
 def _result(df):
     return {(r["cluster_id"], r["size"]) for r in df.collect()}
+
+
+def test_labels_cover_every_node_with_component_min(spark):
+    """near_dup_labels: every node of the pair graph gets exactly one
+    label, the label is the component minimum, and labels agree with
+    near_dup_clusters' (cluster_id, size) view of the same graph."""
+    edges = [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)]
+    labels = {
+        r["id"]: r["cluster_id"]
+        for r in near_dup_labels(_pairs_df(spark, edges)).collect()
+    }
+    assert labels == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20,
+    }
+    sizes = _result(near_dup_clusters(_pairs_df(spark, edges)))
+    assert sizes == {(1, 4), (10, 2), (20, 2)}
 
 
 def test_star_matches_label_prop_on_random_graph(spark):
