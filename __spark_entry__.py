@@ -3260,6 +3260,80 @@ def q_evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIXTURE_ALPHA = 0.5
+MIXTURE_BUDGET_TOKENS = 100_000
+
+
+def q_sample_mixture_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled language mixture (the multilingual corpus
+    re-balancing rule: sampling weight ∝ n_l^α, α=0.5 — upsamples the
+    tail languages a proportional mix would starve): per language the
+    raw token count, the renormalized weight, and the token quota from
+    a fixed budget.
+
+    Scale shape: one aggregate to |langs| rows; the normalizing sum is
+    a broadcast scalar. Exactness: counts are integers; ^α and the
+    ratio are deterministic scalar double math on them, rounded 6dp;
+    the quota floors to an integer."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.sum(T.token_count("text")).cast("long").alias("n_tokens")
+    )
+    # weights quantized to integer micro-units BEFORE normalizing: a
+    # SUM of raw pow() doubles is summation-order-dependent across
+    # engines; a sum of BIGINTs is not, and the quota becomes exact
+    # integer arithmetic ((wq·B) DIV tot == floor(weight·B)).
+    powed = counts.select(
+        "lang",
+        "n_tokens",
+        F.floor(
+            F.pow(F.col("n_tokens").cast("double"), MIXTURE_ALPHA) * 1e6
+            + F.lit(0.5)
+        ).cast("long").alias("__wq"),
+    )
+    tot = powed.agg(F.sum("__wq").alias("__tot"))
+    return (
+        powed.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_tokens",
+            F.round(F.col("__wq") / F.col("__tot"), 6).alias("weight"),
+            F.expr(
+                f"(__wq * {MIXTURE_BUDGET_TOKENS}L) DIV __tot"
+            ).alias("quota_tokens"),
+        )
+    )
+
+
+def q_text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity signals per document: type-token ratio and
+    hapax (once-only word) fraction — the vocabulary-side quality
+    complement to the repetition-side Gopher signals.
+
+    Scale shape: one posexplode + two chained hash-aggregates keyed
+    (doc, token) then (doc) — partial-agg friendly throughout."""
+    docs = _t(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+        .where(F.length("tok") > 0)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("ttr"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_frac"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -3412,6 +3486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_vec": q_dedup_embedding_vec,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "evt_anomaly_mad": q_evt_anomaly_mad,
+        "sample_mixture_temperature": q_sample_mixture_temperature,
+        "text_ttr": q_text_ttr,
     }
 
 
@@ -5310,4 +5386,41 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM dev d JOIN st s ON d.event_type = s.event_type
             GROUP BY d.event_type""",
+        "sample_mixture_temperature": f"""
+            WITH counts AS (
+              SELECT lang,
+                     CAST(SUM({T.token_count_sql('text')}) AS BIGINT)
+                       AS n_tokens
+              FROM documents GROUP BY lang
+            ), powed AS (
+              SELECT lang, n_tokens,
+                     CAST(floor(pow(CAST(n_tokens AS DOUBLE),
+                       {MIXTURE_ALPHA}) * 1e6 + 0.5) AS BIGINT) AS wq
+              FROM counts
+            ), tot AS (SELECT SUM(wq) AS t FROM powed)
+            SELECT lang, n_tokens,
+                   round(wq / CAST((SELECT t FROM tot) AS DOUBLE), 6)
+                     AS weight,
+                   (wq * {MIXTURE_BUDGET_TOKENS}) // (SELECT t FROM tot)
+                     AS quota_tokens
+            FROM powed""",
+        "text_ttr": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents
+            ), t2 AS (SELECT * FROM toks WHERE length(tok) > 0),
+            pt AS (
+              SELECT doc_id, tok, count(*) AS c
+              FROM t2 GROUP BY doc_id, tok
+            )
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_types,
+                   round(count(*) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_hapax,
+                   round(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS hapax_frac
+            FROM pt GROUP BY doc_id""",
     }
