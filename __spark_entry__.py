@@ -3334,6 +3334,50 @@ def q_text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pv2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of pv1_pivot: wide lineitem
+    measures → long (metric, value) rows via stack(), then one
+    aggregate per (returnflag, metric). The stack is a per-row
+    expression (no shuffle, no join); only the final tiny aggregate
+    exchanges."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice,"
+            " 'discount', l_discount) AS (metric, val)"
+        ),
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum("val").alias("sum_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+def q_evt_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence (market-basket): for every unordered
+    type pair, how many users performed both — the association
+    primitive under recommender/affinity features.
+
+    Scale shape: distinct (user, type) first (one aggregate, bounds
+    the join input at users × types), then a self-equi-join on user
+    — fan-out per user is ≤ |types|², a constant."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    return (
+        ut.alias("a")
+        .join(ut.alias("b"), "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -3488,6 +3532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_anomaly_mad": q_evt_anomaly_mad,
         "sample_mixture_temperature": q_sample_mixture_temperature,
         "text_ttr": q_text_ttr,
+        "pv2_unpivot": q_pv2_unpivot,
+        "evt_cooccurrence": q_evt_cooccurrence,
     }
 
 
@@ -5423,4 +5469,27 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
                      / CAST(count(*) AS DOUBLE), 6) AS hapax_frac
             FROM pt GROUP BY doc_id""",
+        "pv2_unpivot": f"""
+            WITH long AS (
+              SELECT l_returnflag, 'quantity' AS metric,
+                     l_quantity AS val FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, 'discount', l_discount FROM lineitem
+            )
+            SELECT l_returnflag, metric, count(*) AS n,
+                   {_dsum_sql('val')} AS sum_val,
+                   min(val) AS min_val, max(val) AS max_val
+            FROM long GROUP BY l_returnflag, metric""",
+        "evt_cooccurrence": """
+            WITH ut AS (
+              SELECT DISTINCT user_id, event_type FROM events
+            )
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_users
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2""",
     }
