@@ -3378,6 +3378,49 @@ def q_evt_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall, measured as a first-class query: ground truth is
+    the EXACT shingle-Jaccard pair set ≥ threshold (prefix-filter
+    join — no false negatives, property-tested), candidates are the
+    banded MinHash pairs; recall = found/true. The number an engineer
+    needs before trusting the LSH path at scale, computed by the
+    engine itself.
+
+    Scale shape: both pair generators are the audited scalable forms;
+    the audit adds one pair-keyed left join and a single-row
+    aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = T.shingle_table(docs, "doc_id", "text", MINHASH_K).select(
+        F.col("__id").alias("doc_id"), F.col("__sh").alias("toks")
+    )
+    exact = D.jaccard_pairs_prefix_filter(
+        sh, "doc_id", "toks", MINHASH_THRESHOLD
+    )
+    lsh = D.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD,
+        shingle_k=MINHASH_K,
+    )
+    found = exact.select("id_a", "id_b").join(
+        lsh.select("id_a", "id_b").withColumn("__f", F.lit(1)),
+        ["id_a", "id_b"],
+        "left",
+    )
+    return found.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.coalesce(F.col("__f"), F.lit(0)))
+        .cast("long")
+        .alias("n_found"),
+        F.round(
+            F.sum(F.coalesce(F.col("__f"), F.lit(0))) / F.count(F.lit(1)), 6
+        ).alias("recall"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -3534,6 +3577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ttr": q_text_ttr,
         "pv2_unpivot": q_pv2_unpivot,
         "evt_cooccurrence": q_evt_cooccurrence,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
     }
 
 
@@ -5492,4 +5536,26 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND a.event_type < b.event_type
             GROUP BY 1, 2""",
+        "dedup_lsh_recall": f"""
+            WITH lsh AS ({_minhash_oracle()}),
+            d AS (
+              SELECT doc_id, {T.word_shingles_sql('text', MINHASH_K)} AS sh
+              FROM documents
+            ),
+            exact AS (
+              SELECT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM d l JOIN d r ON l.doc_id < r.doc_id
+              WHERE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                          / CAST(len(list_distinct(
+                              list_concat(l.sh, r.sh))) AS DOUBLE), 6)
+                    >= {MINHASH_THRESHOLD}
+            )
+            SELECT count(*) AS n_true,
+                   CAST(SUM(CASE WHEN lsh.id_a IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+                   round(SUM(CASE WHEN lsh.id_a IS NOT NULL
+                             THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS recall
+            FROM exact LEFT JOIN lsh
+              ON exact.id_a = lsh.id_a AND exact.id_b = lsh.id_b""",
     }
