@@ -380,6 +380,7 @@ def test_no_unguarded_cartesian_in_any_query(spark):
         "text_tfidf",
         "h22_idle_rich",
         "h11_important",
+        "sample_mixture_temperature",  # 1-row normalizer broadcast
     }
     offenders = {}
     for name, fn in entry.queries().items():
