@@ -3421,6 +3421,54 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: per-label L2-norm distribution fences (p5/p95 of
+    the exact integer squared norm) and how many vectors fall outside
+    — catches collapsed (near-zero) and exploded embeddings before
+    they poison an ANN index. Integer squared norms keep the
+    percentile input exact; fences compare integers only.
+
+    Scale shape: one per-row fold (no shuffle), one percentile
+    aggregate per label, fences broadcast back for the counting
+    pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    micro = "transform(embedding, x -> cast(round(x * 1e6) as bigint))"
+    sq = emb.select(
+        "label",
+        F.expr(
+            f"aggregate({micro}, 0L, (a, x) -> a + x * x)"
+        ).alias("sq"),
+    )
+    # DISCRETE rank fences (k-th smallest), not interpolated
+    # percentiles: at ~1e12 magnitudes the interpolation arithmetic
+    # differs across engines in the last float digits, and round(...,6)
+    # preserves the noise. Rank selection stays integer-exact.
+    w = Window.partitionBy("label").orderBy("sq")
+    ranked = sq.select(
+        "label",
+        "sq",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("n"),
+    )
+    # integer ceil: k_lo = ⌈n/20⌉, k_hi = ⌈19n/20⌉ — no float ceil
+    k_lo = F.expr("(n + 19) DIV 20")
+    k_hi = F.expr("(19 * n + 19) DIV 20")
+    fences = ranked.groupBy("label").agg(
+        F.min(F.when(F.col("rn") == k_lo, F.col("sq"))).alias("lo"),
+        F.min(F.when(F.col("rn") == k_hi, F.col("sq"))).alias("hi"),
+    )
+    flagged = sq.join(F.broadcast(fences), "label")
+    return flagged.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("lo").alias("p5_sq"),
+        F.max("hi").alias("p95_sq"),
+        F.sum(
+            ((F.col("sq") < F.col("lo")) | (F.col("sq") > F.col("hi")))
+            .cast("int")
+        ).alias("n_outliers"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -3578,6 +3626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pv2_unpivot": q_pv2_unpivot,
         "evt_cooccurrence": q_evt_cooccurrence,
         "dedup_lsh_recall": q_dedup_lsh_recall,
+        "emb_norm_outliers": q_emb_norm_outliers,
     }
 
 
@@ -5558,4 +5607,33 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6) AS recall
             FROM exact LEFT JOIN lsh
               ON exact.id_a = lsh.id_a AND exact.id_b = lsh.id_b""",
+        "emb_norm_outliers": """
+            WITH sq AS (
+              SELECT label,
+                     list_aggregate(list_transform(embedding,
+                       x -> CAST(round(x * 1e6) AS BIGINT)
+                            * CAST(round(x * 1e6) AS BIGINT)), 'sum')
+                       AS sq
+              FROM embeddings
+            ), ranked AS (
+              SELECT label, sq,
+                     row_number() OVER (PARTITION BY label
+                       ORDER BY sq) AS rn,
+                     count(*) OVER (PARTITION BY label) AS n
+              FROM sq
+            ), fences AS (
+              SELECT label,
+                     MIN(CASE WHEN rn = (n + 19) // 20 THEN sq END)
+                       AS lo,
+                     MIN(CASE WHEN rn = (19 * n + 19) // 20 THEN sq END)
+                       AS hi
+              FROM ranked GROUP BY label
+            )
+            SELECT s.label, count(*) AS n,
+                   CAST(max(f.lo) AS BIGINT) AS p5_sq,
+                   CAST(max(f.hi) AS BIGINT) AS p95_sq,
+                   CAST(SUM(CASE WHEN s.sq < f.lo OR s.sq > f.hi
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM sq s JOIN fences f ON s.label = f.label
+            GROUP BY s.label""",
     }
