@@ -3469,6 +3469,53 @@ def q_emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction with tombstones (latest-wins upsert): the
+    event stream is read as a change log keyed by user — the newest
+    record per key wins, and keys whose newest record is a tombstone
+    ('error' rows stand in for deletes) drop out of the compacted
+    state. The lakehouse MERGE/compaction primitive as one aggregate.
+
+    Scale shape: ONE hash-aggregate (max-struct by (ts, event_id) is
+    partial-agg friendly) — no join against the base table, no sort;
+    the exchange carries one struct per key."""
+    ev = _t(spark, sf_dir, "events")
+    probe = F.struct("ts", "event_id", "event_type", "value")
+    latest = ev.groupBy("user_id").agg(
+        F.max(probe).alias("b"), F.count(F.lit(1)).alias("n_versions")
+    )
+    return latest.where(F.col("b.event_type") != "error").select(
+        "user_id",
+        F.col("b.event_id").alias("last_event_id"),
+        F.col("b.value").alias("last_value"),
+        "n_versions",
+    )
+
+
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: each user's change log becomes
+    versioned validity intervals [valid_from, valid_to) with an
+    is_current flag — the dimension-history shape every warehouse
+    derives from a CDC feed.
+
+    Scale shape: one lead() window inside the user partition (the
+    same single shuffle a sessionization pays); intervals never
+    self-join."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("attr_value"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("ts").over(w), fmt), F.lit("9999-12-31")
+        ).alias("valid_to"),
+        F.lead("ts").over(w).isNull().cast("int").alias("is_current"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -3627,6 +3674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_cooccurrence": q_evt_cooccurrence,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "emb_norm_outliers": q_emb_norm_outliers,
+        "cdc_upsert_compact": q_cdc_upsert_compact,
+        "cdc_scd2_history": q_cdc_scd2_history,
     }
 
 
@@ -5636,4 +5685,23 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
             FROM sq s JOIN fences f ON s.label = f.label
             GROUP BY s.label""",
+        "cdc_upsert_compact": """
+            WITH latest AS (
+              SELECT user_id,
+                     max(struct_pack(t := ts, e := event_id,
+                       ty := event_type, v := value)) AS b,
+                     count(*) AS n_versions
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id, (b).e AS last_event_id,
+                   (b).v AS last_value, n_versions
+            FROM latest WHERE (b).ty <> 'error'""",
+        "cdc_scd2_history": """
+            SELECT user_id, event_id, value AS attr_value,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                   COALESCE(strftime(lead(ts) OVER w,
+                     '%Y-%m-%d %H:%M:%S'), '9999-12-31') AS valid_to,
+                   CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     }
