@@ -3516,6 +3516,123 @@ def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evt_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity score per user: total surprisal of their
+    event-type stream in INTEGER bits (length(bin(n DIV c)) per
+    event, the same libm-free surrogate as text_surprisal — ln()
+    differs between JVM and C runtimes, bit lengths do not).
+    Low bits = monotone bot-like streams; high bits = diverse organic
+    behavior.
+
+    Scale shape: two chained aggregates sharing the user_id key."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("user_id")
+    n = F.sum("c").over(w)
+    bits = F.length(F.expr("bin(n DIV c)"))
+    return (
+        counts.withColumn("n", n)
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(bits * F.col("c")).cast("long").alias("surprisal_bits"),
+        )
+    )
+
+
+def q_graph_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite importance rank: a supplier scores the sum over its
+    parts of 1e6 DIV (number of suppliers for that part) — suppliers
+    of scarce parts rank high (one power-iteration step of a
+    part→supplier random walk, in integer micro-units so the sum is
+    associative and engine-exact).
+
+    Scale shape: one distinct aggregate to (part, supplier) edges,
+    one part-degree aggregate joined back on part, one supplier sum.
+    All equi-keyed; no iteration state on the driver."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select("l_partkey", "l_suppkey").distinct()
+    deg = edges.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("deg"))
+    scored = edges.join(deg, "l_partkey").select(
+        "l_suppkey", F.expr("1000000 DIV deg").alias("share")
+    )
+    ranked = scored.groupBy("l_suppkey").agg(
+        F.sum("share").cast("long").alias("rank_micro"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    # top-k FIRST (distributed TakeOrdered), then rank the 25
+    # survivors — a global row_number window would single-partition
+    # the whole table.
+    top = ranked.orderBy(
+        F.col("rank_micro").desc(), F.col("l_suppkey").asc()
+    ).limit(25)
+    w = Window.orderBy(F.col("rank_micro").desc(), F.col("l_suppkey").asc())
+    return top.select(
+        "l_suppkey", "rank_micro", "n_parts", F.row_number().over(w).alias("rk")
+    )
+
+
+def q_pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 'make the training mix' chain in one query: quality +
+    length gate → exact-dedup keeper → temperature-scaled (n^α)
+    per-language quotas over the SURVIVING corpus → per-language mix
+    stats. Composes the gate, dedup, and mixture operators end to end
+    the way a data-curation run actually does.
+
+    Scale shape: each stage is the audited form; nothing new joins on
+    text, and the mixture normalizer stays an integer broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    qm = F.round(T.quality_score("text") * 1e6).cast("long")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        T.token_count("text").alias("nt"),
+        qm.alias("q"),
+        F.md5("text").alias("fp"),
+    ).where(
+        (qm >= int(CORPUS_MIN_QUALITY * 1e6))
+        & (F.col("nt") >= CORPUS_MIN_TOKENS)
+        & (F.col("nt") <= CORPUS_MAX_TOKENS)
+    )
+    kept = (
+        scored.groupBy("fp")
+        .agg(
+            F.min(F.struct("doc_id", "lang", "nt")).alias("k"),
+        )
+        .select(
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.lang").alias("lang"),
+            F.col("k.nt").alias("nt"),
+        )
+    )
+    counts = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    powed = counts.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.floor(
+            F.pow(F.col("n_tokens").cast("double"), MIXTURE_ALPHA) * 1e6
+            + F.lit(0.5)
+        ).cast("long").alias("__wq"),
+    )
+    tot = powed.agg(F.sum("__wq").alias("__tot"))
+    return powed.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("__wq") / F.col("__tot"), 6).alias("weight"),
+        F.expr(f"(__wq * {MIXTURE_BUDGET_TOKENS}L) DIV __tot").alias(
+            "quota_tokens"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -3676,6 +3793,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_norm_outliers": q_emb_norm_outliers,
         "cdc_upsert_compact": q_cdc_upsert_compact,
         "cdc_scd2_history": q_cdc_scd2_history,
+        "evt_entropy": q_evt_entropy,
+        "graph_supplier_rank": q_graph_supplier_rank,
+        "pipeline_training_mix": q_pipeline_training_mix,
     }
 
 
@@ -5704,4 +5824,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "evt_entropy": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*) AS c
+              FROM events GROUP BY user_id, event_type
+            ), t AS (
+              SELECT user_id, event_type, c,
+                     SUM(c) OVER (PARTITION BY user_id) AS n
+              FROM c
+            )
+            SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+                   count(*) AS n_types,
+                   CAST(SUM(length(bin(n // c)) * c) AS BIGINT)
+                     AS surprisal_bits
+            FROM t GROUP BY user_id""",
+        "graph_supplier_rank": """
+            WITH edges AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ), deg AS (
+              SELECT l_partkey, count(*) AS deg
+              FROM edges GROUP BY l_partkey
+            ), scored AS (
+              SELECT l_suppkey, 1000000 // deg AS share
+              FROM edges JOIN deg USING (l_partkey)
+            ), ranked AS (
+              SELECT l_suppkey,
+                     CAST(SUM(share) AS BIGINT) AS rank_micro,
+                     count(*) AS n_parts
+              FROM scored GROUP BY l_suppkey
+            )
+            SELECT l_suppkey, rank_micro, n_parts,
+                   row_number() OVER (ORDER BY rank_micro DESC,
+                     l_suppkey ASC) AS rk
+            FROM ranked
+            ORDER BY rank_micro DESC, l_suppkey ASC LIMIT 25""",
+        "pipeline_training_mix": f"""
+            WITH scored AS (
+              SELECT doc_id, lang,
+                     {T.token_count_sql('text')} AS nt,
+                     CAST(round({T.quality_score_sql('text')} * 1e6)
+                       AS BIGINT) AS q,
+                     md5(text) AS fp
+              FROM documents
+            ), gated AS (
+              SELECT * FROM scored
+              WHERE q >= {int(CORPUS_MIN_QUALITY * 1e6)}
+                AND nt BETWEEN {CORPUS_MIN_TOKENS} AND {CORPUS_MAX_TOKENS}
+            ), kept AS (
+              SELECT (k).doc_id AS doc_id, (k).lang AS lang,
+                     (k).nt AS nt
+              FROM (
+                SELECT fp, min(struct_pack(doc_id := doc_id,
+                  lang := lang, nt := nt)) AS k
+                FROM gated GROUP BY fp
+              )
+            ), counts AS (
+              SELECT lang, count(*) AS n_docs,
+                     CAST(SUM(nt) AS BIGINT) AS n_tokens
+              FROM kept GROUP BY lang
+            ), powed AS (
+              SELECT lang, n_docs, n_tokens,
+                     CAST(floor(pow(CAST(n_tokens AS DOUBLE),
+                       {MIXTURE_ALPHA}) * 1e6 + 0.5) AS BIGINT) AS wq
+              FROM counts
+            ), tot AS (SELECT SUM(wq) AS t FROM powed)
+            SELECT lang, n_docs, n_tokens,
+                   round(wq / CAST((SELECT t FROM tot) AS DOUBLE), 6)
+                     AS weight,
+                   (wq * {MIXTURE_BUDGET_TOKENS}) // (SELECT t FROM tot)
+                     AS quota_tokens
+            FROM powed""",
     }
