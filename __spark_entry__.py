@@ -3633,6 +3633,64 @@ def q_pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health: mean and variance of every
+    coordinate across the corpus — dead dimensions (≈0 variance) and
+    runaway ones surface immediately. Sums run in integer micro-units
+    (exact, associative); the variance formula
+    (n·Σx² − (Σx)²) / (n·(n−1)) is then deterministic scalar math.
+
+    Scale shape: one posexplode and ONE partial-agg shuffle down to
+    64 dimension keys carrying two bigint sums each."""
+    emb = _t(spark, sf_dir, "embeddings")
+    micro = "transform(embedding, x -> cast(round(x * 1e6) as bigint))"
+    rows = emb.select(F.posexplode(F.expr(micro)).alias("d", "xi"))
+    agg = rows.groupBy((F.col("d") + 1).alias("dim_idx")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("s1"),
+        F.sum(F.col("xi") * F.col("xi")).alias("s2"),
+    )
+    var = (
+        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    ) / (F.col("n") * (F.col("n") - 1))
+    # Explicit truncation toward zero on BOTH sides (Spark cast
+    # double→long truncates; the oracle spells trunc()) — integer
+    # division operators disagree across engines on negative sums,
+    # and embedding coordinate sums are frequently negative.
+    return agg.select(
+        "dim_idx",
+        (F.col("s1") / F.col("n")).cast("long").alias("mean_micro"),
+        F.round(var / 1e12, 6).alias("variance"),
+    )
+
+
+def q_sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class balancing: downsample every language to the size of the
+    SMALLEST one (deterministic hash order, not rand()) — the
+    classifier-training prep where skewed classes must not dominate.
+    Unlike sample_exact_k the quota is dynamic: min over group sizes,
+    broadcast back.
+
+    Scale shape: one count aggregate, a 1-row min broadcast, and a
+    per-stratum hash-rank top-k inside the stratum's partition."""
+    docs = _t(spark, sf_dir, "documents")
+    sizes = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    floor_n = sizes.agg(F.min("n").alias("min_n"))
+    hk = F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(hk.asc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        "lang", "doc_id", F.row_number().over(w).alias("rk")
+    )
+    picked = ranked.crossJoin(F.broadcast(floor_n)).where(
+        F.col("rk") <= F.col("min_n")
+    )
+    return picked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -3796,6 +3854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_entropy": q_evt_entropy,
         "graph_supplier_rank": q_graph_supplier_rank,
         "pipeline_training_mix": q_pipeline_training_mix,
+        "emb_dim_variance": q_emb_dim_variance,
+        "sample_balanced_classes": q_sample_balanced_classes,
     }
 
 
@@ -5894,4 +5954,41 @@ def oracle_sql() -> dict[str, str]:
                    (wq * {MIXTURE_BUDGET_TOKENS}) // (SELECT t FROM tot)
                      AS quota_tokens
             FROM powed""",
+        "emb_dim_variance": """
+            WITH m AS (
+              SELECT list_transform(embedding,
+                       x -> CAST(round(x * 1e6) AS BIGINT)) AS xi
+              FROM embeddings
+            ), ex AS (
+              SELECT xi, unnest(generate_series(1, len(xi))) AS d
+              FROM m
+            ), agg AS (
+              SELECT CAST(d AS INT) AS dim_idx, count(*) AS n,
+                     CAST(SUM(xi[d]) AS BIGINT) AS s1,
+                     CAST(SUM(xi[d] * xi[d]) AS BIGINT) AS s2
+              FROM ex GROUP BY d
+            )
+            SELECT dim_idx,
+                   CAST(trunc(s1 / CAST(n AS DOUBLE)) AS BIGINT)
+                     AS mean_micro,
+                   round(((n * s2 - s1 * s1)
+                          / CAST(n * (n - 1) AS DOUBLE)) / 1e12, 6)
+                     AS variance
+            FROM agg""",
+        "sample_balanced_classes": """
+            WITH sizes AS (
+              SELECT lang, count(*) AS n FROM documents GROUP BY lang
+            ), floor_n AS (SELECT min(n) AS min_n FROM sizes),
+            ranked AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(concat('bal:',
+                         CAST(doc_id AS VARCHAR))), doc_id) AS rk
+              FROM documents
+            )
+            SELECT lang, count(*) AS n_kept,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM ranked
+            WHERE rk <= (SELECT min_n FROM floor_n)
+            GROUP BY lang""",
     }

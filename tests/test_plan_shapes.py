@@ -381,6 +381,8 @@ def test_no_unguarded_cartesian_in_any_query(spark):
         "h22_idle_rich",
         "h11_important",
         "sample_mixture_temperature",  # 1-row normalizer broadcast
+        "pipeline_training_mix",  # 1-row normalizer broadcast
+        "sample_balanced_classes",  # 1-row min-count broadcast
     }
     offenders = {}
     for name, fn in entry.queries().items():
