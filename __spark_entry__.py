@@ -3691,6 +3691,56 @@ def q_sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per order priority: monthly
+    decimal-exact sums, lag() within the priority partition, growth
+    ratio on the exact inputs. First month per priority reports NULL
+    growth (no fabricated 0%).
+
+    Scale shape: one partial-agg shuffle to (priority, month) rows,
+    then a window over that tiny table."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(_dsum("o_totalprice").alias("rev"))
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        F.round("rev", 2).alias("rev"),
+        F.round((F.col("rev") - prev) / prev, 6).alias("mom_growth"),
+    )
+
+
+def q_agg_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend decile report: exact per-customer totals,
+    ntile(10) over (spend DESC, custkey) — fully deterministic tiling
+    — then per-decile count and decimal-exact sum/min/max.
+
+    Scale shape: one aggregate to customer totals; the ntile window is
+    a single global sort of |customers| pre-aggregated rows (the one
+    genuinely global operation a decile report requires — at 100 TB
+    you'd range-partition that sort, which Spark's sort already
+    does)."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        _dsum("o_totalprice").alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+    tiled = spend.select(
+        "spend", F.ntile(10).over(w).alias("decile")
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum(F.col("spend").cast("decimal(18,2)")).cast("double"), 2)
+        .alias("total_spend"),
+        F.round(F.min("spend"), 2).alias("min_spend"),
+        F.round(F.max("spend"), 2).alias("max_spend"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -3856,6 +3906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_training_mix": q_pipeline_training_mix,
         "emb_dim_variance": q_emb_dim_variance,
         "sample_balanced_classes": q_sample_balanced_classes,
+        "ts_mom_growth": q_ts_mom_growth,
+        "agg_deciles": q_agg_deciles,
     }
 
 
@@ -5991,4 +6043,35 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
             WHERE rk <= (SELECT min_n FROM floor_n)
             GROUP BY lang""",
+        "ts_mom_growth": """
+            WITH monthly AS (
+              SELECT o_orderpriority,
+                     strftime(o_orderdate, '%Y-%m') AS month,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS rev
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT o_orderpriority, month, round(rev, 2) AS rev,
+                   round((rev - lag(rev) OVER w) / (lag(rev) OVER w), 6)
+                     AS mom_growth
+            FROM monthly
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)""",
+        "agg_deciles": """
+            WITH spend AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS spend
+              FROM orders GROUP BY o_custkey
+            ), tiled AS (
+              SELECT spend,
+                     ntile(10) OVER (ORDER BY spend DESC,
+                       o_custkey ASC) AS decile
+              FROM spend
+            )
+            SELECT decile, count(*) AS n_customers,
+                   round(CAST(SUM(CAST(spend AS DECIMAL(18,2)))
+                     AS DOUBLE), 2) AS total_spend,
+                   round(min(spend), 2) AS min_spend,
+                   round(max(spend), 2) AS max_spend
+            FROM tiled GROUP BY decile""",
     }
