@@ -3741,6 +3741,53 @@ def q_agg_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order,
+    against the corpus max date so the query is reproducible),
+    frequency (order count), monetary (decimal-exact spend) →
+    quartile codes via deterministic ntile(4) with custkey tiebreaks
+    → segment population report. The classic CRM scoring chain as one
+    declarative query.
+
+    Scale shape: one customer aggregate; three ntile windows over the
+    pre-aggregated |customers| rows (range-partitioned sorts); one
+    final tiny aggregate keyed by the 64 possible codes."""
+    orders = _t(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("maxd"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.datediff(F.col("maxd"), F.col("o_orderdate"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            _dsum("o_totalprice").alias("monetary"),
+        )
+    )
+    tile = lambda col, asc: F.ntile(4).over(  # noqa: E731
+        Window.orderBy(
+            F.col(col).asc() if asc else F.col(col).desc(),
+            F.col("o_custkey").asc(),
+        )
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        tile("recency_days", True).alias("r"),
+        tile("frequency", False).alias("f_"),
+        tile("monetary", False).alias("m"),
+    )
+    return scored.groupBy("r", "f_", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("segment_value"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -3908,6 +3955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_balanced_classes": q_sample_balanced_classes,
         "ts_mom_growth": q_ts_mom_growth,
         "agg_deciles": q_agg_deciles,
+        "agg_rfm_segments": q_agg_rfm_segments,
     }
 
 
@@ -6074,4 +6122,28 @@ def oracle_sql() -> dict[str, str]:
                    round(min(spend), 2) AS min_spend,
                    round(max(spend), 2) AS max_spend
             FROM tiled GROUP BY decile""",
+        "agg_rfm_segments": """
+            WITH maxd AS (SELECT max(o_orderdate) AS maxd FROM orders),
+            per_cust AS (
+              SELECT o_custkey,
+                     min(datediff('day', o_orderdate,
+                       (SELECT maxd FROM maxd))) AS recency_days,
+                     count(*) AS frequency,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS monetary
+              FROM orders GROUP BY o_custkey
+            ), scored AS (
+              SELECT o_custkey, recency_days, frequency, monetary,
+                     ntile(4) OVER (ORDER BY recency_days ASC,
+                       o_custkey ASC) AS r,
+                     ntile(4) OVER (ORDER BY frequency DESC,
+                       o_custkey ASC) AS f_,
+                     ntile(4) OVER (ORDER BY monetary DESC,
+                       o_custkey ASC) AS m
+              FROM per_cust
+            )
+            SELECT r, f_, m, count(*) AS n_customers,
+                   round(CAST(SUM(CAST(monetary AS DECIMAL(18,2)))
+                     AS DOUBLE), 2) AS segment_value
+            FROM scored GROUP BY r, f_, m""",
     }
