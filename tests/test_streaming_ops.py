@@ -471,6 +471,51 @@ def test_streaming_histogram_sketch_matches_batch(spark, tmp_dirs):
     assert streamed == batch and len(batch) > 10
 
 
+def test_streaming_cdc_compaction_matches_batch(spark, tmp_dirs):
+    """CDC latest-wins compaction (cdc_upsert_compact's core) is a
+    max-struct monoid, so streaming it across micro-batches in
+    complete mode must converge to the batch compaction — including
+    tombstone suppression — no matter how the change log is split."""
+    src = SpoolSource(
+        name="spool",
+        path=tmp_dirs["spool"],
+        schema_ddl=EVENTS_DDL,
+        ack_data_column="event_id",
+    )
+    log = make_events(150)  # 'error' rows act as delete tombstones
+    src.push_messages(log[:50], "000.jsonl")
+    src.push_messages(log[50:120], "001.jsonl")
+    src.push_messages(log[120:], "002.jsonl")
+
+    def compact(df):
+        probe = F.struct("event_id", "event_type", "value")
+        latest = df.groupBy("user_id").agg(F.max(probe).alias("b"))
+        return latest.where(F.col("b.event_type") != "error").select(
+            "user_id",
+            F.col("b.event_id").alias("last_event_id"),
+            F.col("b.value").alias("last_value"),
+        )
+
+    q = (
+        compact(src.read_stream(spark))
+        .writeStream.format("memory")
+        .queryName("cdc_state")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["user_id"]: (r["last_event_id"], r["last_value"])
+        for r in spark.sql("SELECT * FROM cdc_state").collect()
+    }
+    batch = {
+        r["user_id"]: (r["last_event_id"], r["last_value"])
+        for r in compact(spark.createDataFrame(make_events(150))).collect()
+    }
+    assert streamed == batch and 0 < len(batch) < 7
+
+
 def test_runtime_rate_limit_update(spark, tmp_dirs):
     """F3: update_rate_limiting takes effect on subsequent triggers
     (broadway.ex:1447-1523)."""
