@@ -3788,6 +3788,55 @@ def q_agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_DRAIN_SEQ = [0]
+
+
+def q_s7_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING on the oracle gate: a real Structured Streaming query
+    (file stream source over the events parquet → stateful complete-
+    mode aggregate → memory sink, Trigger.AvailableNow) whose drained
+    result must hash-match the DuckDB batch oracle. Proves the
+    streaming engine computes the same answers as the batch path —
+    not just that it runs (decimal sums make the streamed aggregation
+    order-independent, so the equality is exact).
+
+    Scale shape: identical to the batch aggregate — partial-agg state
+    per (event_type), one exchange; availableNow chunks the backlog
+    into bounded micro-batches exactly as a backfill would at 100 TB."""
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # datagen wrote a parquet DIRECTORY — stream it directly
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        # single file: the file stream source wants a directory, so
+        # stream the sf_dir with a glob selecting just this table
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum("value").alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+    _STREAM_DRAIN_SEQ[0] += 1
+    qname = f"s7_stream_drain_{_STREAM_DRAIN_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(qname)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -3956,6 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_mom_growth": q_ts_mom_growth,
         "agg_deciles": q_agg_deciles,
         "agg_rfm_segments": q_agg_rfm_segments,
+        "s7_stream_drain": q_s7_stream_drain,
     }
 
 
@@ -6146,4 +6196,9 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(CAST(monetary AS DECIMAL(18,2)))
                      AS DOUBLE), 2) AS segment_value
             FROM scored GROUP BY r, f_, m""",
+        "s7_stream_drain": f"""
+            SELECT event_type, count(*) AS n_events,
+                   {_dsum_sql('value')} AS sum_value,
+                   min(event_id) AS min_id, max(event_id) AS max_id
+            FROM events GROUP BY event_type""",
     }
