@@ -3837,6 +3837,62 @@ def q_s7_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def q_s8_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming on the oracle gate: event-time tumbling
+    windows (the streaming state store, not just a running aggregate)
+    drained with availableNow and hash-checked against the batch
+    date_trunc oracle. With s7 this covers both halves of the
+    streaming engine — stateless scan and windowed state.
+
+    Scale shape: watermark-free complete mode here because the drain
+    is finite; the windowed aggregate itself is the same partial-agg
+    state per (window, type) a live pipeline carries."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    stream = (
+        reader.parquet(path)
+        if os.path.isdir(path)
+        else reader.option("pathGlobFilter", "events.parquet").parquet(
+            sf_dir
+        )
+    )
+    ts_type = {f.name: f.dataType.simpleString() for f in schema.fields}.get(
+        "ts"
+    )
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"), _dsum("value").alias("sum_value")
+    )
+    out = agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:00").alias("bucket"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    _STREAM_DRAIN_SEQ[0] += 1
+    qname = f"s8_stream_window_{_STREAM_DRAIN_SEQ[0]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(qname)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -4006,6 +4062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_deciles": q_agg_deciles,
         "agg_rfm_segments": q_agg_rfm_segments,
         "s7_stream_drain": q_s7_stream_drain,
+        "s8_stream_window": q_s8_stream_window,
     }
 
 
@@ -6201,4 +6258,10 @@ def oracle_sql() -> dict[str, str]:
                    {_dsum_sql('value')} AS sum_value,
                    min(event_id) AS min_id, max(event_id) AS max_id
             FROM events GROUP BY event_type""",
+        "s8_stream_window": f"""
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00')
+                     AS bucket,
+                   event_type, count(*) AS n,
+                   {_dsum_sql('value')} AS sum_value
+            FROM events GROUP BY 1, 2""",
     }
