@@ -3893,6 +3893,64 @@ def q_s8_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def q_ts_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase intervals: per customer the day gaps between
+    consecutive orders (lag within the customer partition), rolled up
+    per order priority of the later order — the repeat-purchase-cadence
+    metric behind retention curves. Integer day diffs keep the
+    averages exact (decimal sum / count).
+
+    Scale shape: one lag() window keyed on customer, one small
+    aggregate; no self-join of orders against itself."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(
+            F.sum(F.col("gap_days").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_gap_days"),
+        F.min("gap_days").alias("min_gap"),
+        F.max("gap_days").alias("max_gap"),
+    )
+
+
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document novelty: the fraction of each doc's DISTINCT
+    bigrams that appear in no other document — the
+    memorization/contamination risk signal (hapax measures
+    within-doc rarity; this measures corpus-level uniqueness).
+
+    Scale shape: the shared lead-window bigram gather, one df
+    aggregate keyed on the bigram, one join back and a per-doc
+    fraction — all equi-keyed, text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    bg = T.shingle_rows(docs, "doc_id", "text", 2)
+    dfreq = bg.groupBy("__sh").agg(F.count(F.lit(1)).alias("df"))
+    joined = bg.join(dfreq, "__sh")
+    return (
+        joined.groupBy(F.col("__id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias(
+                "n_unique"
+            ),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -4063,6 +4121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rfm_segments": q_agg_rfm_segments,
         "s7_stream_drain": q_s7_stream_drain,
         "s8_stream_window": q_s8_stream_window,
+        "ts_order_intervals": q_ts_order_intervals,
+        "text_novelty": q_text_novelty,
     }
 
 
@@ -6264,4 +6324,34 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    {_dsum_sql('value')} AS sum_value
             FROM events GROUP BY 1, 2""",
+        "ts_order_intervals": """
+            WITH gaps AS (
+              SELECT o_orderpriority,
+                     datediff('day', lag(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey), o_orderdate)
+                       AS gap_days
+              FROM orders
+            )
+            SELECT o_orderpriority, count(*) AS n_gaps,
+                   round(CAST(SUM(CAST(gap_days AS DECIMAL(18,2)))
+                     AS DOUBLE) / count(*), 6) AS avg_gap_days,
+                   min(gap_days) AS min_gap, max(gap_days) AS max_gap
+            FROM gaps WHERE gap_days IS NOT NULL
+            GROUP BY o_orderpriority""",
+        "text_novelty": f"""
+            WITH bg AS (
+              SELECT doc_id,
+                     unnest({T.word_shingles_sql('text', 2)}) AS sh
+              FROM documents
+            ), dfreq AS (
+              SELECT sh, count(*) AS df FROM bg GROUP BY sh
+            )
+            SELECT bg.doc_id, count(*) AS n_bigrams,
+                   CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_unique,
+                   round(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS novelty
+            FROM bg JOIN dfreq ON bg.sh = dfreq.sh
+            GROUP BY bg.doc_id""",
     }
