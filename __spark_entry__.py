@@ -3951,6 +3951,40 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HARD_NEG_BANDS = 8
+
+
+def q_sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: the LSH band
+    collisions that exact verification REJECTS (jaccard below the
+    near-dup threshold) are exactly the confusable-but-distinct pairs
+    a retrieval model should learn to separate. Top-3 hardest (highest
+    sub-threshold similarity) per anchor doc.
+
+    Scale shape: reuses the audited LSH candidate generator (band
+    equi-join, never all-pairs); the per-anchor top-k ranks inside the
+    anchor's own small candidate partition."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = D.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_NUM,
+        bands=HARD_NEG_BANDS,
+        threshold=None,
+        shingle_k=MINHASH_K,
+    ).where(F.col("jaccard") < MINHASH_THRESHOLD)
+    # NOTE: bands=HARD_NEG_BANDS (8, rows_per_band 2) — deliberately
+    # MORE promiscuous than the dedup layout: mining wants the
+    # near-miss collisions dedup's selective bands suppress.
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("jaccard").desc(), F.col("id_b").asc()
+    )
+    return scored.select(
+        "id_a", "id_b", "jaccard", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= 3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -4123,13 +4157,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s8_stream_window": q_s8_stream_window,
         "ts_order_intervals": q_ts_order_intervals,
         "text_novelty": q_text_novelty,
+        "sample_hard_negatives": q_sample_hard_negatives,
     }
 
 
 # --- oracle SQL builders (DuckDB dialect, generated from shared consts) ---
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(comparator: str = ">=", bands: int | None = None) -> str:
+    n_bands = bands if bands is not None else MINHASH_BANDS
     tok = "string_split(lower(text), ' ')"
     parts = ", ".join(f"{tok}[i + {j}]" for j in range(MINHASH_K))
     sh = (
@@ -4153,9 +4189,9 @@ def _minhash_oracle() -> str:
         f"), 'min')"
         for i in range(MINHASH_NUM)
     )
-    rows_per_band = MINHASH_NUM // MINHASH_BANDS
+    rows_per_band = MINHASH_NUM // n_bands
     band_rows = []
-    for b in range(MINHASH_BANDS):
+    for b in range(n_bands):
         elems = ", ".join(
             f"CAST(sig[{b * rows_per_band + j + 1}] AS VARCHAR)"
             for j in range(rows_per_band)
@@ -4186,7 +4222,7 @@ JOIN docs a ON a.id = c.id_a
 JOIN docs b ON b.id = c.id_b
 WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)
-      >= {MINHASH_THRESHOLD}
+      {comparator} {MINHASH_THRESHOLD}
 """
 
 
@@ -6354,4 +6390,13 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6) AS novelty
             FROM bg JOIN dfreq ON bg.sh = dfreq.sh
             GROUP BY bg.doc_id""",
+        "sample_hard_negatives": f"""
+            WITH cand AS ({_minhash_oracle(comparator="<",
+                                           bands=HARD_NEG_BANDS)})
+            SELECT id_a, id_b, jaccard, rk FROM (
+              SELECT id_a, id_b, jaccard,
+                     row_number() OVER (PARTITION BY id_a
+                       ORDER BY jaccard DESC, id_b ASC) AS rk
+              FROM cand
+            ) WHERE rk <= 3""",
     }

@@ -258,10 +258,12 @@ def minhash_lsh_pairs(
     text_col: str,
     num_hashes: int = 16,
     bands: int = 4,
-    threshold: float = 0.5,
+    threshold: float | None = 0.5,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash-LSH + exact Jaccard verification.
+    """Near-duplicate pairs via MinHash-LSH + exact Jaccard
+    verification (``threshold=None`` returns ALL scored band-collision
+    candidates — the hard-negative-mining feed).
 
     Plan shape (scale-first):
       1. per-row signature + band keys       (narrow, codegen)
@@ -309,13 +311,18 @@ def minhash_lsh_pairs(
     b = shingled.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    scored = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
+    if threshold is None:
+        # scored-candidate form: EVERY band-collision pair with its
+        # exact Jaccard — the feed for hard-negative mining (pairs the
+        # LSH found but that sit BELOW the near-dup threshold).
+        return scored
+    return scored.filter(F.col("jaccard") >= F.lit(threshold))
 
 
 def simhash(text_col_name: str, bits: int = 32, seed: int = 99) -> Column:
