@@ -3985,6 +3985,71 @@ def q_sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("rk") <= 3)
 
 
+def q_evt_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the product
+    engagement headline. Exact (no sketch): the trailing distinct
+    union is a (day, user) distinct table joined to a day spine over
+    a 7-day range, re-distinct'd — state is bounded by
+    active-users × 7, never raw events.
+
+    Scale shape: one distinct aggregate to (day, user); the range
+    join fans each row out ≤ 7×; two small aggregates. At 100 TB the
+    (day, user) table is the natural pre-aggregation every metrics
+    store keeps anyway."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = du.select("day").distinct()
+    win = days.alias("d").join(
+        du.alias("u"),
+        (F.col("u.day") <= F.col("d.day"))
+        & (
+            F.datediff(
+                F.to_date(F.col("d.day")), F.to_date(F.col("u.day"))
+            )
+            <= 6
+        ),
+    )
+    wau = (
+        win.select(F.col("d.day").alias("day"), "u.user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+    )
+
+
+def q_dedup_body_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-insensitive exact dedup: fingerprint the document
+    BODY (tokens from position 11 on), so docs identical up to an
+    injected header/footer prefix collapse into one group — the
+    template-crawl variant plain exact dedup misses. Min-id keeper,
+    same deterministic contract as dedup_exact.
+
+    Scale shape: one per-row slice+hash expression, one hash-aggregate
+    keyed on the digest."""
+    docs = _t(spark, sf_dir, "documents")
+    body = F.expr(
+        "md5(array_join(slice(split(lower(text), ' '), 11, 1000000), ' '))"
+    )
+    return (
+        docs.select(body.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keeper_id", "n_copies")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -4158,6 +4223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_order_intervals": q_ts_order_intervals,
         "text_novelty": q_text_novelty,
         "sample_hard_negatives": q_sample_hard_negatives,
+        "evt_dau_wau": q_evt_dau_wau,
+        "dedup_body_fingerprint": q_dedup_body_fingerprint,
     }
 
 
@@ -6399,4 +6466,33 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY jaccard DESC, id_b ASC) AS rk
               FROM cand
             ) WHERE rk <= 3""",
+        "evt_dau_wau": """
+            WITH du AS (
+              SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+              FROM events
+            ), dau AS (
+              SELECT day, count(*) AS dau FROM du GROUP BY day
+            ), days AS (SELECT DISTINCT day FROM du),
+            win AS (
+              SELECT DISTINCT d.day AS day, u.user_id
+              FROM days d JOIN du u
+                ON u.day <= d.day
+               AND datediff('day', CAST(u.day AS DATE),
+                     CAST(d.day AS DATE)) <= 6
+            ), wau AS (
+              SELECT day, count(*) AS wau FROM win GROUP BY day
+            )
+            SELECT dau.day, dau, wau,
+                   round(dau / CAST(wau AS DOUBLE), 6) AS stickiness
+            FROM dau JOIN wau ON dau.day = wau.day""",
+        "dedup_body_fingerprint": """
+            SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+            FROM (
+              SELECT doc_id,
+                     md5(array_to_string(
+                       string_split(lower(text), ' ')[11:1000000], ' '))
+                       AS fp
+              FROM documents
+            )
+            GROUP BY fp""",
     }
