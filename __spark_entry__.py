@@ -4001,20 +4001,19 @@ def q_evt_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
     ).distinct()
     dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    days = du.select("day").distinct()
-    win = days.alias("d").join(
-        du.alias("u"),
-        (F.col("u.day") <= F.col("d.day"))
-        & (
-            F.datediff(
-                F.to_date(F.col("d.day")), F.to_date(F.col("u.day"))
-            )
-            <= 6
-        ),
-    )
+    # Scale-right trailing window: EXPLODE each active (day, user) into
+    # the ≤7 window-end days it contributes to, then distinct + count —
+    # pure equi operations (an inequality day-range join would plan as
+    # a nested-loop). The inner join against dau drops the phantom
+    # window-ends past the last active day.
+    contrib = du.select(
+        F.explode(
+            F.expr("sequence(to_date(day), date_add(to_date(day), 6))")
+        ).alias("__d"),
+        "user_id",
+    ).select(F.date_format("__d", "yyyy-MM-dd").alias("day"), "user_id")
     wau = (
-        win.select(F.col("d.day").alias("day"), "u.user_id")
-        .distinct()
+        contrib.distinct()
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("wau"))
     )
@@ -6472,15 +6471,15 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ), dau AS (
               SELECT day, count(*) AS dau FROM du GROUP BY day
-            ), days AS (SELECT DISTINCT day FROM du),
-            win AS (
-              SELECT DISTINCT d.day AS day, u.user_id
-              FROM days d JOIN du u
-                ON u.day <= d.day
-               AND datediff('day', CAST(u.day AS DATE),
-                     CAST(d.day AS DATE)) <= 6
+            ), contrib AS (
+              SELECT DISTINCT
+                     strftime(unnest(generate_series(CAST(day AS DATE),
+                       CAST(day AS DATE) + 6, INTERVAL 1 DAY)),
+                       '%Y-%m-%d') AS day,
+                     user_id
+              FROM du
             ), wau AS (
-              SELECT day, count(*) AS wau FROM win GROUP BY day
+              SELECT day, count(*) AS wau FROM contrib GROUP BY day
             )
             SELECT dau.day, dau, wau,
                    round(dau / CAST(wau AS DOUBLE), 6) AS stickiness
