@@ -33,6 +33,7 @@ from broadway_spark.operators import partitioning as P
 from broadway_spark.operators import similarity as S
 from broadway_spark.operators import skew as SK
 from broadway_spark.operators import temporal as TM
+from broadway_spark.operators.materialize import materialize
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2216,10 +2217,14 @@ def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("__tok")
     ).filter(F.length("__tok") > 0)
     freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__f"))
-    total = toks.count()
-    bits = F.length(F.expr(f"bin(CAST({total} AS BIGINT) DIV __f)"))
+    # The corpus total joins in as a broadcast 1-row aggregate (the
+    # repo-standard scalar pattern) instead of a driver-side count():
+    # one fewer full scan of the exploded token relation.
+    total = toks.agg(F.count(F.lit(1)).cast("bigint").alias("__total"))
+    bits = F.length(F.expr("bin(__total DIV __f)"))
     return (
         toks.join(freq, "__tok")
+        .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -2407,9 +2412,10 @@ def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("grams") > 0)
     )
     # Three consumers inside the prefix-filter operator (token-df
-    # count, prefix table, verify sides) — persist so the 10M-row
-    # gram explode + md5 runs once, not three times.
-    grams = grams.persist()
+    # count, prefix table, verify sides) — materialize so the 10M-row
+    # gram explode + md5 runs once, not three times (pluggable
+    # persist | staging-table strategy, released between suite queries).
+    grams = materialize(grams, "char_ngram_grams")
     return D.jaccard_pairs_prefix_filter(
         grams, "doc_id", "grams", 0.15, block_cols=["lang", "source"]
     )
@@ -2768,9 +2774,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CCNet prunes the same way at petabyte scale)."""
     docs = _t(spark, sf_dir, "documents")
     # sh feeds two consumers (df counts + the pruned join) and rare
-    # feeds three (sizes, both pair sides): persist so the shingle
-    # gather's window shuffle runs once, not per consumer.
-    sh = T.shingle_rows(docs, "doc_id", "text", 3).persist()
+    # feeds three (sizes, both pair sides): materialize so the shingle
+    # gather's window shuffle runs once, not per consumer (tracked for
+    # release between suite queries — no unbounded cache growth).
+    sh = materialize(T.shingle_rows(docs, "doc_id", "text", 3), "cont_sh")
     keep = (
         sh.groupBy("__sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -2779,7 +2786,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("__sh")
     )
-    rare = sh.join(keep, "__sh").persist()
+    rare = materialize(sh.join(keep, "__sh"), "cont_rare")
     sizes = rare.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
         rare.alias("l")
@@ -3833,7 +3840,9 @@ def q_s7_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError(f"{qname} did not drain in 120s")
     return spark.table(qname)
 
 
@@ -3889,7 +3898,9 @@ def q_s8_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError(f"{qname} did not drain in 120s")
     return spark.table(qname)
 
 
@@ -4033,13 +4044,20 @@ def q_dedup_body_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     same deterministic contract as dedup_exact.
 
     Scale shape: one per-row slice+hash expression, one hash-aggregate
-    keyed on the digest."""
+    keyed on the digest. Docs with ≤10 tokens have NO body — they get a
+    NULL fingerprint and are excluded, instead of all collapsing into
+    one md5('') mega-group of unrelated short docs. Slice length is
+    999990 so positions 11..1000000 match the oracle's inclusive-end
+    [11:1000000] exactly."""
     docs = _t(spark, sf_dir, "documents")
     body = F.expr(
-        "md5(array_join(slice(split(lower(text), ' '), 11, 1000000), ' '))"
+        "CASE WHEN size(split(lower(text), ' ')) > 10 THEN "
+        "md5(array_join(slice(split(lower(text), ' '), 11, 999990), ' ')) "
+        "END"
     )
     return (
         docs.select(body.alias("fp"), "doc_id")
+        .where(F.col("fp").isNotNull())
         .groupBy("fp")
         .agg(
             F.min("doc_id").alias("keeper_id"),
@@ -6488,10 +6506,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
             FROM (
               SELECT doc_id,
-                     md5(array_to_string(
-                       string_split(lower(text), ' ')[11:1000000], ' '))
-                       AS fp
+                     CASE WHEN len(string_split(lower(text), ' ')) > 10
+                          THEN md5(array_to_string(
+                            string_split(lower(text), ' ')[11:1000000], ' '))
+                     END AS fp
               FROM documents
             )
+            WHERE fp IS NOT NULL
             GROUP BY fp""",
     }

@@ -35,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from broadway_spark import get_spark  # noqa: E402
+from broadway_spark.operators import materialize as matz  # noqa: E402
 
 _NOISE = re.compile(
     r"#\d+L?"  # expression ids
@@ -80,6 +81,7 @@ def main() -> None:
             # Queries are independent: drop any DataFrames an operator
             # persisted (LSH shingle/prefix tables) so pass N+1 doesn't
             # run under pass N's accumulated storage memory.
+            matz.release_all()
             spark.catalog.clearCache()
     timings = {
         name: round(statistics.median(vals), 3) for name, vals in samples.items()

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from broadway_spark.functions.hashing import fingerprint
 from broadway_spark.functions.text import shingle_table
 from broadway_spark.functions.vectors import cosine_similarity
+from broadway_spark.operators.materialize import materialize
 
 
 def dedup_stream(
@@ -279,13 +280,15 @@ def minhash_lsh_pairs(
     the straggler, and exact-dup fingerprint dedup should run *before*
     LSH so identical texts never reach this operator.
     """
-    shingled = shingle_table(df, id_col, text_col, shingle_k).persist()
-    # Materialize the cache NOW: the downstream plan reads this subtree
-    # from three branches (signature build + both sides of the verify
-    # join), and broadcast exchanges execute eagerly in parallel — on a
-    # cold cache each branch would recompute the shingling. At cluster
-    # scale this persist would be a checkpoint to a staging table.
-    shingled.count()
+    # Materialize NOW: the downstream plan reads this subtree from
+    # three branches (signature build + both sides of the verify
+    # join), and broadcast exchanges execute eagerly in parallel — on
+    # a cold cache each branch would recompute the shingling. Strategy
+    # is pluggable (persist | parquet staging table, the 100 TB form)
+    # via spark.broadway.materialize.strategy.
+    shingled = materialize(
+        shingle_table(df, id_col, text_col, shingle_k), "lsh_shingles"
+    )
     sigs = _signature_from_shingles(shingled, num_hashes)
     rows_per_band = num_hashes // bands
     band_exprs = []
@@ -481,7 +484,12 @@ def embedding_near_duplicates_vectorized(
         norm = np.sqrt(np.einsum("ij,ij->i", m, m).astype(np.float64))
         denom = np.outer(norm, norm)
         with np.errstate(divide="ignore", invalid="ignore"):
-            cos = np.round(np.where(denom > 0, dot / denom, 0.0), 6)
+            raw = np.where(denom > 0, dot / denom, 0.0)
+        # 6dp round half-away-from-zero — same tie convention as the
+        # quantizer above and as SQL round(); np.round is half-even and
+        # would flip >= threshold inclusion on .5-representable ties.
+        scaled6 = raw * 1e6
+        cos = np.trunc(scaled6 + np.copysign(0.5, scaled6)) / 1e6
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = cos[iu, ju] >= threshold
         a, b = ids[iu[keep]], ids[ju[keep]]
@@ -729,10 +737,9 @@ def jaccard_pairs_prefix_filter(
     # Materialize: the prefix table feeds both sides of the candidate
     # self-join (Catalyst plans the subtree twice — df-count shuffle,
     # per-doc sort, prefix explode each re-run otherwise). Σ prefix
-    # lengths ≈ (1-t)·total tokens — small. At cluster scale this
-    # persist is a checkpoint to a staging table.
-    pref = pref.persist()
-    pref.count()
+    # lengths ≈ (1-t)·total tokens — small. Strategy pluggable
+    # (persist | staging table) via spark.broadway.materialize.strategy.
+    pref = materialize(pref, "ppjoin_prefix")
 
     left, right = pref.alias("l"), pref.alias("r")
     # PPJoin positional filter: J ≥ t needs overlap α = ⌈t/(1+t)·

@@ -60,6 +60,7 @@ def main():
 
     import __spark_entry__ as entrymod
     from broadway_spark import get_spark
+    from broadway_spark.operators import materialize as matz
 
     spark = get_spark("selfcheck")
     con = duck_con(sf_dir)
@@ -79,6 +80,10 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # Queries are independent: release operator-materialized
+            # frames so cached blocks never accumulate across the suite.
+            matz.release_all()
         if name not in oracles:
             print(f"SKIP {name}: no oracle ({len(s_rows)} rows, "
                   f"{time.time()-t0:.1f}s)")

