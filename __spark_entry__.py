@@ -2372,44 +2372,22 @@ def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams make every bucket quadratic; 16-grams span a 75k-term space
     where rare-prefix filtering actually bites).
 
-    Gram sets are MOD-SAMPLED (Broder: keep grams with md5 ≡ 0 mod 8)
-    and built by codegen explode → filter → collect_set — measured 3×
-    faster than transform/filter HOF lambdas, which are interpreted
-    and re-evaluated per plan subtree. The prefix-filter join is exact
-    over the sampled sets."""
+    Gram sets are MOD-SAMPLED (Broder: keep grams with hash ≡ 0 mod 8)
+    via ``D.char_ngram_gram_sets`` — sample_hash='md5' here because the
+    DuckDB twin must reproduce the sample bit-for-bit; the operator's
+    PRODUCTION default is the codegen'd xxhash64 sampler (same
+    statistics, no per-gram digest+hex cost — the round-4 bench's top
+    single cost). The prefix-filter join is exact over the sampled
+    sets."""
     docs = _t(spark, sf_dir, "documents")
-    # lower() is hoisted into its own select BELOW the explode: written
-    # in the same select as the Generate it lands in the post-Generate
-    # Project and re-lowercases the full document once per gram
-    # position (~500× per doc; measured 2× slower at sf0.1).
-    grams = (
-        docs.select(
-            "doc_id", "lang", "source", F.lower("text").alias("__lt")
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            "__lt",
-            F.explode(
-                F.expr("sequence(1, greatest(length(__lt) - 15, 0))")
-            ).alias("__i"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.expr("substring(__lt, __i, 16)").alias("__g"),
-        )
-        .filter(
-            F.expr(
-                "CAST(conv(substring(md5(__g), 1, 15), 16, 10) AS BIGINT)"
-                " % 8 = 0"
-            )
-        )
-        .groupBy("doc_id", "lang", "source")
-        .agg(F.collect_set("__g").alias("grams"))
-        .filter(F.size("grams") > 0)
+    grams = D.char_ngram_gram_sets(
+        docs,
+        "doc_id",
+        "text",
+        n=16,
+        mod=8,
+        sample_hash="md5",  # oracle-portable; production uses xxhash64
+        block_cols=("lang", "source"),
     )
     # Three consumers inside the prefix-filter operator (token-df
     # count, prefix table, verify sides) — materialize so the 10M-row
@@ -4067,6 +4045,356 @@ def q_dedup_body_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drain_handle_batch(name, pdf):
+    """handle_batch hook for the topology-drain gate query: billing
+    batches get their value doubled (a visible, oracle-exact per-batch
+    transform — 2x is lossless in IEEE754); other batchers identity.
+    Must return exactly the rows received (batch_processor_stage.ex
+    all-messages contract)."""
+    if name == "billing":
+        pdf = pdf.assign(value=pdf["value"] * 2.0)
+    return pdf
+
+
+def q_pipeline_topology_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE STREAMING ROUTER ON THE ORACLE GATE: a full Broadway
+    topology — file-stream source → transformer → handle_message
+    (failure diversion + flush mode + early/retry ack policies) →
+    route_by → batch_key → size- AND budget-chunking batchers →
+    handle_batch (applyInPandas, billing values doubled) →
+    handle_failed → parquet sinks + DLQ + ack log — drained with
+    Trigger.AvailableNow, then summarized: ack-log counts per
+    (batcher, outcome, trigger), per-sink row counts + decimal-exact
+    value sums, and DLQ counts per retry|terminal disposition. The
+    DuckDB twin recomputes every number from events.parquet with
+    window functions — reference drain-completeness semantics
+    test/broadway_test.exs:2467-2548; trigger labels batch_info.ex:40-41.
+
+    Determinism: the input is one parquet file, so availableNow is
+    exactly one micro-batch; chunk assignment orders by event_id
+    within (batcher, batch_key); every hook is deterministic.
+
+    Scale shape: the drain IS the production pipeline — one streaming
+    query, shuffles only at the per-batcher chunking window; the
+    summary reads back the sinks (scans + partial aggs)."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from broadway_spark import message as M
+    from broadway_spark.config import (
+        BatcherConfig,
+        SinkConfig,
+        TopologyConfig,
+    )
+    from broadway_spark.plans import Pipeline
+    from broadway_spark.sources import FileStreamSource
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        src = FileStreamSource("events", path, schema)
+    else:
+        src = FileStreamSource(
+            "events",
+            sf_dir,
+            schema,
+            options={"pathGlobFilter": "events.parquet"},
+        )
+    base = tempfile.mkdtemp(prefix="bw_drain_")
+
+    def d(sub: str) -> str:
+        return os.path.join(base, sub)
+
+    def handle_message(df):
+        df = FL.with_status(
+            df, F.col("event_type") == "error", "poison:error-event"
+        )
+        # B4 flush mode: signups bypass batch accumulation
+        df = df.withColumn(
+            "batch_mode",
+            F.when(F.col("event_type") == "signup", F.lit("flush")).otherwise(
+                F.col("batch_mode")
+            ),
+        )
+        # A3 ack_immediately on a deterministic slice of ok rows
+        df = M.ack_immediately(
+            df,
+            when=(F.col("event_type") != "error")
+            & (F.col("user_id") % 7 == 0),
+        )
+        # A4 configure_ack: some failures are redelivery-owned (no ack)
+        df = M.configure_ack(
+            df,
+            "retry",
+            when=(F.col("event_type") == "error")
+            & (F.col("user_id") % 5 == 0),
+        )
+        return df
+
+    cfg = TopologyConfig(
+        name=f"pipeline_drain_{_uuid.uuid4().hex[:8]}",
+        transformer=lambda df: df.drop("ts"),  # ts unused; dodge type drift
+        handle_message=handle_message,
+        route_by=F.when(F.col("event_type") == "purchase", F.lit("billing")),
+        batch_key_by=F.col("user_id") % 10,
+        order_by="event_id",
+        batchers={
+            "billing": BatcherConfig(batch_size=16),
+            "default": BatcherConfig(batch_size=("value", 200.0)),
+        },
+        sinks={
+            "billing": SinkConfig(path=d("sink_billing")),
+            "default": SinkConfig(path=d("sink_default")),
+        },
+        dlq=SinkConfig(path=d("dlq")),
+        ack_log=SinkConfig(path=d("ack")),
+        checkpoint_dir=d("ckpt"),
+        handle_batch=_drain_handle_batch,
+        handle_failed=lambda pdf: pdf,  # identity, exercises the hook path
+    )
+    q = Pipeline(cfg, src).start(spark, trigger="availableNow")
+    try:
+        if not q.awaitTermination(600):
+            raise RuntimeError("topology drain did not complete in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+
+    ack = spark.read.parquet(d("ack"))
+    # bsz = the chunk's row count carried on each ack row (BatchInfo
+    # size) — grouping on it makes BOTH chunking algorithms' actual
+    # chunk structure part of the hash (size batcher: ≤16; budget
+    # batcher: variable sizes from the running-weight fold). -1 for
+    # processor-stage acks (early/failed), which have no chunk.
+    ack_agg = (
+        ack.groupBy(
+            "batcher",
+            "outcome",
+            F.coalesce("trigger", F.lit("-")).alias("trigger"),
+            F.coalesce(F.col("batch_size").cast("bigint"), F.lit(-1)).alias(
+                "bsz"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("ack").alias("section"),
+            "batcher",
+            "outcome",
+            "trigger",
+            "bsz",
+            "n",
+            F.lit(None).cast("double").alias("sum_value"),
+        )
+    )
+
+    def sink_row(name: str):
+        return (
+            spark.read.parquet(d(f"sink_{name}"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                _dsum("value").alias("sum_value"),
+            )
+            .select(
+                F.lit("sink").alias("section"),
+                F.lit(name).alias("batcher"),
+                F.lit("rows").alias("outcome"),
+                F.lit("-").alias("trigger"),
+                F.lit(-1).cast("bigint").alias("bsz"),
+                "n",
+                "sum_value",
+            )
+        )
+
+    dlq_agg = (
+        spark.read.parquet(d("dlq"))
+        .groupBy("batcher", "dlq_disposition")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.lit("dlq").alias("section"),
+            "batcher",
+            F.col("dlq_disposition").alias("outcome"),
+            F.lit("-").alias("trigger"),
+            F.lit(-1).cast("bigint").alias("bsz"),
+            "n",
+            "sum_value",
+        )
+    )
+    return (
+        ack_agg.unionByName(sink_row("billing"))
+        .unionByName(sink_row("default"))
+        .unionByName(dlq_agg)
+    )
+
+
+def q_s9_stateful_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE STATEFUL BATCHER ON THE ORACLE GATE: cross-micro-batch
+    batch assembly with per-key timeout timers
+    (``applyInPandasWithState`` + ProcessingTimeTimeout,
+    streaming/stateful_batcher.py) — the faithful B2/B3 semantics
+    (batcher_stage.ex:80-89,108-221) — driven to a full drain and
+    hash-checked: per (batcher, outcome, trigger, batch_size) ack
+    counts, sink row counts + value sums, DLQ counts.
+
+    Determinism: the single-file input arrives as ONE micro-batch, so
+    the end state is timing-independent — per (batcher, batch_key):
+    floor(n_ok/size) full chunks flush 'size'; the remainder flushes
+    'flush' if the group saw a flush-mode row in that batch, else by
+    the per-key TIMER as 'timeout' (the wall clock decides WHEN, never
+    WHAT); failed rows pass through unbuffered. The DuckDB twin
+    computes the same distribution from group counts alone.
+
+    Scale shape: state is sharded by (batcher, batch_key) across the
+    state store — one key-group per task, Broadway's
+    one-batcher-process-per-key guarantee; nothing accumulates on the
+    driver."""
+    import os
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from broadway_spark.config import (
+        BatcherConfig,
+        SinkConfig,
+        TopologyConfig,
+    )
+    from broadway_spark.plans import Pipeline
+    from broadway_spark.sources import FileStreamSource
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    expected = spark.read.parquet(path).count()
+    if os.path.isdir(path):
+        src = FileStreamSource("events", path, schema)
+    else:
+        src = FileStreamSource(
+            "events",
+            sf_dir,
+            schema,
+            options={"pathGlobFilter": "events.parquet"},
+        )
+    base = tempfile.mkdtemp(prefix="bw_s9_")
+
+    def d(sub: str) -> str:
+        return os.path.join(base, sub)
+
+    cfg = TopologyConfig(
+        name=f"s9_drain_{_uuid.uuid4().hex[:8]}",
+        transformer=lambda df: df.drop("ts"),
+        handle_message=lambda df: FL.with_status(
+            df, F.col("event_type") == "error", "poison:error-event"
+        ).withColumn(
+            "batch_mode",
+            F.when(F.col("event_type") == "signup", F.lit("flush")).otherwise(
+                F.col("batch_mode")
+            ),
+        ),
+        route_by=F.when(F.col("event_type") == "purchase", F.lit("billing")),
+        batch_key_by=F.col("user_id") % 10,
+        order_by="event_id",
+        batchers={
+            "billing": BatcherConfig(batch_size=16, batch_timeout_ms=500),
+            "default": BatcherConfig(batch_size=25, batch_timeout_ms=500),
+        },
+        sinks={
+            "billing": SinkConfig(path=d("sink_billing")),
+            "default": SinkConfig(path=d("sink_default")),
+        },
+        dlq=SinkConfig(path=d("dlq")),
+        ack_log=SinkConfig(path=d("ack")),
+        checkpoint_dir=d("ckpt"),
+        state_partitions=8,
+    )
+    q = Pipeline(cfg, src).start_stateful(
+        spark, processing_time="250 milliseconds", impl="v1"
+    )
+    # Drain protocol: every input row acks exactly once (full chunks
+    # immediately, remainders via their key timers) — poll the ack log
+    # until all N arrive, then stop.
+    deadline = _time.time() + 240
+    acked = 0
+    try:
+        while _time.time() < deadline:
+            try:
+                acked = spark.read.parquet(d("ack")).count()
+            except Exception:
+                acked = 0
+            if acked >= expected:
+                break
+            _time.sleep(0.5)
+        if acked < expected:
+            raise RuntimeError(f"s9 drain incomplete: {acked}/{expected}")
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    ack = spark.read.parquet(d("ack"))
+    ack_agg = (
+        ack.groupBy(
+            "batcher",
+            "outcome",
+            F.col("trigger"),
+            F.col("batch_size").cast("bigint").alias("bsz"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("ack").alias("section"),
+            "batcher",
+            "outcome",
+            "trigger",
+            "bsz",
+            "n",
+            F.lit(None).cast("double").alias("sum_value"),
+        )
+    )
+
+    def sink_row(name: str):
+        return (
+            spark.read.parquet(d(f"sink_{name}"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                _dsum("value").alias("sum_value"),
+            )
+            .select(
+                F.lit("sink").alias("section"),
+                F.lit(name).alias("batcher"),
+                F.lit("rows").alias("outcome"),
+                F.lit("-").alias("trigger"),
+                F.lit(-1).cast("bigint").alias("bsz"),
+                "n",
+                "sum_value",
+            )
+        )
+
+    dlq_agg = (
+        spark.read.parquet(d("dlq"))
+        .groupBy("batcher")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.lit("dlq").alias("section"),
+            "batcher",
+            F.lit("failed").alias("outcome"),
+            F.lit("-").alias("trigger"),
+            F.lit(-1).cast("bigint").alias("bsz"),
+            "n",
+            "sum_value",
+        )
+    )
+    return (
+        ack_agg.unionByName(sink_row("billing"))
+        .unionByName(sink_row("default"))
+        .unionByName(dlq_agg)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Broadway pipeline in batch form — ingest events,
     transform, divert failures, route to batchers, chunk by key+size,
@@ -4242,6 +4570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hard_negatives": q_sample_hard_negatives,
         "evt_dau_wau": q_evt_dau_wau,
         "dedup_body_fingerprint": q_dedup_body_fingerprint,
+        "pipeline_topology_drain": q_pipeline_topology_drain,
+        "s9_stateful_drain": q_s9_stateful_drain,
     }
 
 
@@ -6514,4 +6844,146 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE fp IS NOT NULL
             GROUP BY fp""",
+        # The streaming router's full-topology drain, recomputed
+        # declaratively: routing, ack policies, size- and
+        # budget-chunking with trigger labels, handle_batch's billing
+        # value-doubling, DLQ dispositions.
+        "pipeline_topology_drain": """
+            WITH base AS (
+              SELECT event_id, user_id, event_type, value,
+                     event_type <> 'error' AS ok,
+                     CASE WHEN event_type = 'purchase' THEN 'billing'
+                          ELSE 'default' END AS batcher,
+                     CAST(user_id % 10 AS VARCHAR) AS batch_key,
+                     CASE WHEN event_type = 'signup' THEN 'flush'
+                          ELSE 'bulk' END AS batch_mode,
+                     CASE WHEN event_type <> 'error' AND user_id % 7 = 0
+                            THEN 'early'
+                          WHEN event_type = 'error' AND user_id % 5 = 0
+                            THEN 'retry'
+                          ELSE 'late' END AS ack_policy
+              FROM events
+            ),
+            billing AS (
+              SELECT b.*,
+                     CAST(floor((row_number() OVER (PARTITION BY batch_key
+                       ORDER BY event_id) - 1) / 16) AS BIGINT) AS chunk_id
+              FROM base b WHERE ok AND batcher = 'billing'
+            ),
+            billing_trig AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY batch_key, chunk_id)
+                       AS bsz,
+                     CASE WHEN batch_mode = 'flush' THEN 'flush'
+                          WHEN count(*) OVER (PARTITION BY batch_key,
+                            chunk_id) = 16 THEN 'size'
+                          ELSE 'timeout' END AS trig
+              FROM billing
+            ),
+            dflt AS (
+              SELECT b.*,
+                     CAST(floor((sum(value) OVER (PARTITION BY batch_key
+                       ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - value) / 200.0) AS BIGINT)
+                       AS chunk_id
+              FROM base b WHERE ok AND batcher = 'default'
+            ),
+            dflt_trig AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY batch_key, chunk_id)
+                       AS bsz,
+                     CASE WHEN batch_mode = 'flush' THEN 'flush'
+                          ELSE 'timeout' END AS trig
+              FROM dflt
+            ),
+            acks AS (
+              SELECT batcher, 'ok' AS outcome, 'early' AS trig,
+                     CAST(-1 AS BIGINT) AS bsz
+              FROM base WHERE ok AND ack_policy = 'early'
+              UNION ALL
+              SELECT batcher, 'failed', NULL, CAST(-1 AS BIGINT)
+              FROM base WHERE NOT ok AND ack_policy <> 'retry'
+              UNION ALL
+              SELECT batcher, 'ok', trig, bsz
+              FROM billing_trig WHERE ack_policy <> 'early'
+              UNION ALL
+              SELECT batcher, 'ok', trig, bsz
+              FROM dflt_trig WHERE ack_policy <> 'early'
+            )
+            SELECT 'ack' AS section, batcher, outcome,
+                   coalesce(trig, '-') AS "trigger", bsz,
+                   count(*) AS n, CAST(NULL AS DOUBLE) AS sum_value
+            FROM acks GROUP BY batcher, outcome, trig, bsz
+            UNION ALL
+            SELECT 'sink', 'billing', 'rows', '-', CAST(-1 AS BIGINT),
+                   count(*),
+                   CAST(SUM(CAST(value * 2 AS DECIMAL(18,2))) AS DOUBLE)
+            FROM base WHERE ok AND batcher = 'billing'
+            UNION ALL
+            SELECT 'sink', 'default', 'rows', '-', CAST(-1 AS BIGINT),
+                   count(*),
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            FROM base WHERE ok AND batcher = 'default'
+            UNION ALL
+            SELECT 'dlq', batcher,
+                   CASE WHEN ack_policy = 'retry' THEN 'retry'
+                        ELSE 'terminal' END AS disposition,
+                   '-', CAST(-1 AS BIGINT), count(*),
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            FROM base WHERE NOT ok
+            GROUP BY batcher, disposition""",
+        # Stateful-batcher drain end state from group counts alone:
+        # full chunks 'size'; remainder 'flush' if the group saw a
+        # flush-mode row, else 'timeout' (timer); failed pass through.
+        "s9_stateful_drain": """
+            WITH base AS (
+              SELECT event_id, user_id, event_type, value,
+                     event_type <> 'error' AS ok,
+                     CASE WHEN event_type = 'purchase' THEN 'billing'
+                          ELSE 'default' END AS batcher,
+                     CAST(user_id % 10 AS VARCHAR) AS batch_key,
+                     CASE WHEN event_type = 'signup' THEN 'flush'
+                          ELSE 'bulk' END AS batch_mode
+              FROM events
+            ),
+            grp AS (
+              SELECT batcher, batch_key,
+                     CASE WHEN batcher = 'billing' THEN 16 ELSE 25 END
+                       AS sz,
+                     count(*) FILTER (WHERE ok) AS n_ok,
+                     count(*) FILTER (WHERE NOT ok) AS n_failed,
+                     coalesce(bool_or(ok AND batch_mode = 'flush'),
+                       FALSE) AS has_flush
+              FROM base GROUP BY batcher, batch_key
+            ),
+            ackrows AS (
+              SELECT batcher, 'ok' AS outcome, 'size' AS trig,
+                     CAST(sz AS BIGINT) AS bsz,
+                     CAST((n_ok // sz) * sz AS BIGINT) AS cnt
+              FROM grp WHERE n_ok >= sz
+              UNION ALL
+              SELECT batcher, 'ok',
+                     CASE WHEN has_flush THEN 'flush' ELSE 'timeout' END,
+                     CAST(n_ok % sz AS BIGINT), CAST(n_ok % sz AS BIGINT)
+              FROM grp WHERE n_ok % sz > 0
+              UNION ALL
+              SELECT batcher, 'failed', 'flush',
+                     CAST(n_failed AS BIGINT), CAST(n_failed AS BIGINT)
+              FROM grp WHERE n_failed > 0
+            )
+            SELECT 'ack' AS section, batcher, outcome,
+                   trig AS "trigger", bsz,
+                   CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(NULL AS DOUBLE) AS sum_value
+            FROM ackrows GROUP BY batcher, outcome, trig, bsz
+            UNION ALL
+            SELECT 'sink', batcher, 'rows', '-', CAST(-1 AS BIGINT),
+                   count(*),
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            FROM base WHERE ok GROUP BY batcher
+            UNION ALL
+            SELECT 'dlq', batcher, 'failed', '-', CAST(-1 AS BIGINT),
+                   count(*),
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            FROM base WHERE NOT ok GROUP BY batcher""",
     }

@@ -148,6 +148,72 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def char_ngram_gram_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 16,
+    mod: int = 8,
+    sample_hash: str = "xxhash64",
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Mod-sampled character-n-gram sets per document (Broder
+    sampling: keep grams whose hash ≡ 0 mod ``mod``) — the input to
+    character-level Jaccard dedup at fingerprinting granularity.
+
+    ``sample_hash`` is the pluggable sampling hash:
+
+    - ``'xxhash64'`` (default): Spark's native codegen'd 64-bit hash —
+      the production path; one cheap JVM hash per gram instead of an
+      md5 digest + hex-string conv (the md5 form was the single
+      largest cost in the round-4 bench, 4.8 s of a 115 s suite).
+    - ``'md5'``: portable digest arithmetic a DuckDB oracle reproduces
+      bit-for-bit — the correctness-gate path. Both samplers keep a
+      ~1/mod gram subset with the same statistical properties; only
+      WHICH grams are kept differs.
+
+    Built by codegen explode → filter → collect_set (measured 3×
+    faster than transform/filter HOF lambdas, which are interpreted
+    and re-evaluated per plan subtree). lower() is hoisted into its
+    own select BELOW the explode: written in the same select as the
+    Generate it lands in the post-Generate Project and re-lowercases
+    the full document once per gram position (~500× per doc; measured
+    2× slower at sf0.1).
+    """
+    if sample_hash == "md5":
+        cond = F.expr(
+            f"CAST(conv(substring(md5(__g), 1, 15), 16, 10) AS BIGINT)"
+            f" % {mod} = 0"
+        )
+    elif sample_hash == "xxhash64":
+        cond = F.expr(f"pmod(xxhash64(__g), {mod}) = 0")
+    else:
+        raise ValueError(
+            f"unknown sample_hash {sample_hash!r} "
+            "(expected 'xxhash64' or 'md5')"
+        )
+    return (
+        df.select(id_col, *block_cols, F.lower(text_col).alias("__lt"))
+        .select(
+            id_col,
+            *block_cols,
+            "__lt",
+            F.explode(
+                F.expr(f"sequence(1, greatest(length(__lt) - {n - 1}, 0))")
+            ).alias("__i"),
+        )
+        .select(
+            id_col,
+            *block_cols,
+            F.expr(f"substring(__lt, __i, {n})").alias("__g"),
+        )
+        .filter(cond)
+        .groupBy(id_col, *block_cols)
+        .agg(F.collect_set("__g").alias("grams"))
+        .filter(F.size("grams") > 0)
+    )
+
+
 def _hash_expr(var: str, seed: int) -> str:
     """SQL text hashing lambda variable ``var`` with ``seed`` (portable)."""
     return (

@@ -17,18 +17,26 @@ from pyspark.sql import DataFrame, SparkSession
 class FileStreamSource:
     name: str
     path: str
-    schema_ddl: str
+    schema_ddl: str  # DDL string or a StructType (both accepted by .schema)
     format: str = "parquet"
     ack_data_column: str = "event_id"
     max_files_per_trigger: int | None = None
+    # extra reader options (e.g. pathGlobFilter to watch one file of a
+    # mixed directory)
+    options: dict | None = None
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
         reader = spark.readStream.format(self.format).schema(self.schema_ddl)
         if self.max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        for k, v in (self.options or {}).items():
+            reader = reader.option(k, v)
         return reader.load(self.path)
 
     def read_batch(self, spark: SparkSession) -> DataFrame:
         """Batch-mode twin — used for streaming/batch equivalence tests
         (SURVEY §5: every streaming result must equal its batch run)."""
-        return spark.read.format(self.format).schema(self.schema_ddl).load(self.path)
+        reader = spark.read.format(self.format).schema(self.schema_ddl)
+        for k, v in (self.options or {}).items():
+            reader = reader.option(k, v)
+        return reader.load(self.path)
