@@ -364,6 +364,12 @@ SIMHASH_SEED = 99
 NEARDUP_COS = 0.35
 ANN_K = 5
 ANN_NQUERY = 5
+# PQ config swept in-engine (BASELINE.md r5 notes): m=8/short=50 →
+# recall 0.76; m=16/short=100 → 0.92 — finer subspaces buy more than
+# extra codebook entries on this corpus.
+PQ_M = 16  # subspaces (dim 64 → 4 components each)
+PQ_CODES = 16  # codebook entries per subspace
+PQ_SHORTLIST = 100  # ADC candidates re-ranked with the exact cosine
 
 
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,6 +408,63 @@ def q_sim_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_NQUERY)
     return S.ann_bruteforce_topk(emb, queries, "vec_id", "embedding", k=ANN_K)
+
+
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank (Jégou TPAMI'11):
+    integer-exact subspace codebooks extend emb_quantize_int8's
+    micro-unit machinery; ADC shortlist then exact-cosine top-k. See
+    operators/similarity.py::ann_pq_topk for the determinism contract
+    and 100 TB shape (n·m one-byte-ish codes ≈ 32× compression; no
+    cross join; shortlist bounds exact work)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQUERY)
+    return S.ann_pq_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=ANN_K,
+        m=PQ_M,
+        dim=64,
+        num_codes=PQ_CODES,
+        shortlist=PQ_SHORTLIST,
+    )
+
+
+def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ recall measured in-engine against the exact brute-force
+    top-k (the same audit pattern as dedup_lsh_recall): recall =
+    |PQ∩BF| / |BF|. The SRP-LSH path measured 0.48 at 4 planes /
+    5 probes; the PQ+re-rank path must beat it (shortlist 50 ≫ k)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQUERY)
+    bf = S.ann_bruteforce_topk(emb, queries, "vec_id", "embedding", k=ANN_K)
+    pq = S.ann_pq_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=ANN_K,
+        m=PQ_M,
+        dim=64,
+        num_codes=PQ_CODES,
+        shortlist=PQ_SHORTLIST,
+    )
+    found = bf.select("query_id", "neighbor_id").join(
+        pq.select("query_id", "neighbor_id").withColumn("__f", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return found.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.coalesce(F.col("__f"), F.lit(0)))
+        .cast("long")
+        .alias("n_found"),
+        F.round(
+            F.sum(F.coalesce(F.col("__f"), F.lit(0))) / F.count(F.lit(1)), 6
+        ).alias("recall"),
+    )
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4231,6 +4294,20 @@ def q_pipeline_topology_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT character-level doc-in-doc containment pairs — the
+    missing member of the dedup family (winnow fingerprints and
+    df-capped set containment approximate it; this is exact): min-hash
+    probe gram → inverted-index equi-join → contains() verification,
+    no false negatives by construction (any substring's every 32-gram
+    occurs in its container). Property-tested against brute force;
+    the DuckDB twin computes probe-independent ground truth directly.
+    See operators/dedup.py::substring_containment_pairs for the 100 TB
+    plan shape (linear index build, skew-resistant probe choice)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.substring_containment_pairs(docs, "doc_id", "text", k=32)
+
+
 def q_s9_stateful_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE STATEFUL BATCHER ON THE ORACLE GATE: cross-micro-batch
     batch assembly with per-key timeout timers
@@ -4572,6 +4649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_body_fingerprint": q_dedup_body_fingerprint,
         "pipeline_topology_drain": q_pipeline_topology_drain,
         "s9_stateful_drain": q_s9_stateful_drain,
+        "sim_ann_pq": q_sim_ann_pq,
+        "sim_pq_recall": q_sim_pq_recall,
+        "dedup_substring": q_dedup_substring,
     }
 
 
@@ -4755,6 +4835,102 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
              ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
   FROM scored
 ) WHERE rank <= {ANN_K}
+"""
+
+
+def _ann_pq_core() -> str:
+    """Shared CTE block computing the PQ top-k (scored → ranked)."""
+    cos = V.cosine_similarity_sql("c.embedding", "q.embedding")
+    sub = 64 // PQ_M
+    return f"""
+mic AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x * 1000000) AS BIGINT)) AS vm
+  FROM embeddings
+),
+vrows AS (
+  SELECT vec_id, i - 1 AS pos, vm[i] AS val, (i - 1) // {sub} AS m
+  FROM mic CROSS JOIN generate_series(1, 64) t(i)
+),
+crows AS (
+  SELECT vec_id AS code, pos, m, val AS cm FROM vrows
+  WHERE vec_id < {PQ_CODES}
+),
+cd AS (
+  SELECT v.vec_id, v.m, c.code,
+         SUM((v.val - c.cm) * (v.val - c.cm)) AS d
+  FROM vrows v JOIN crows c ON v.pos = c.pos
+  GROUP BY v.vec_id, v.m, c.code
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+               ORDER BY d, code) AS rk
+    FROM cd
+  ) WHERE rk = 1
+),
+qtab AS (
+  SELECT vec_id AS qid, m, code, d AS qd FROM cd
+  WHERE vec_id < {ANN_NQUERY}
+),
+approx AS (
+  SELECT qt.qid AS query_id, c.vec_id AS neighbor_id, SUM(qt.qd) AS ad
+  FROM codes c JOIN qtab qt ON c.m = qt.m AND c.code = qt.code
+  WHERE qt.qid <> c.vec_id
+  GROUP BY qt.qid, c.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY ad ASC, neighbor_id ASC) AS srank
+    FROM approx
+  ) WHERE srank <= {PQ_SHORTLIST}
+),
+pq_scored AS (
+  SELECT s.query_id, s.neighbor_id, round({cos}, 6) AS cos_sim
+  FROM short s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
+),
+pq_topk AS (
+  SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+    FROM pq_scored
+  ) WHERE rank <= {ANN_K}
+)"""
+
+
+def _ann_pq_oracle() -> str:
+    return f"""
+WITH {_ann_pq_core()}
+SELECT query_id, neighbor_id, cos_sim, rank FROM pq_topk
+"""
+
+
+def _pq_recall_oracle() -> str:
+    cos = V.cosine_similarity_sql("c.embedding", "q.embedding")
+    return f"""
+WITH {_ann_pq_core()},
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round({cos}, 6) DESC, c.vec_id ASC) AS rank
+    FROM embeddings c CROSS JOIN
+         (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id < {ANN_NQUERY}) q
+    WHERE q.vec_id <> c.vec_id
+  ) WHERE rank <= {ANN_K}
+)
+SELECT count(*) AS n_true,
+       CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_found,
+       round(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM bf LEFT JOIN pq_topk p
+  ON bf.query_id = p.query_id AND bf.neighbor_id = p.neighbor_id
 """
 
 
@@ -5045,6 +5221,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(),
         "dedup_embedding": _embedding_neardup_oracle(),
         "sim_ann_bruteforce": _ann_oracle(),
+        "sim_ann_pq": _ann_pq_oracle(),
+        "sim_pq_recall": _pq_recall_oracle(),
+        # Ground truth directly (probe-independent): the quadratic
+        # contains() join is the ORACLE's luxury at sf0.01; the engine
+        # side is the indexed linear plan.
+        "dedup_substring": """
+            SELECT a.doc_id AS contained_id, b.doc_id AS container_id
+            FROM documents a JOIN documents b
+              ON a.doc_id <> b.doc_id
+             AND len(a.text) <= len(b.text)
+             AND (len(a.text) < len(b.text) OR a.doc_id < b.doc_id)
+             AND contains(b.text, a.text)
+            WHERE len(a.text) >= 32""",
         "text_stats": f"""
             SELECT doc_id,
                    {T.token_count_sql('text')} AS n_tokens,
@@ -6537,12 +6726,40 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, {T.word_shingles_sql('text', MINHASH_K)} AS sh
               FROM documents
             ),
+            -- exact pairs via prefix-filter candidate generation
+            -- (Bayardo WWW'07, same bound the Spark operator uses):
+            -- a J>=t pair must share a token in its rarity-ordered
+            -- prefix of length n - ceil(t*n) + 1, and t*|A|<=|B|<=|A|/t.
+            -- Exact (no false negatives), ~quadratic-free — replaces
+            -- the all-pairs join that dominated the oracle wall.
+            dd AS (SELECT doc_id, sh, len(sh) AS n FROM d),
+            tok AS (SELECT doc_id, n, unnest(sh) AS t FROM dd),
+            tdf AS (SELECT t, count(*) AS dfc FROM tok GROUP BY t),
+            ordered AS (
+              SELECT tok.doc_id, tok.n, tok.t,
+                     row_number() OVER (PARTITION BY tok.doc_id
+                       ORDER BY tdf.dfc, tok.t) AS pos
+              FROM tok JOIN tdf USING (t)
+            ),
+            pref AS (
+              SELECT * FROM ordered
+              WHERE pos <= n - ceil({MINHASH_THRESHOLD} * n) + 1
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM pref l JOIN pref r
+                ON l.t = r.t AND l.doc_id < r.doc_id
+              WHERE r.n >= {MINHASH_THRESHOLD} * l.n
+                AND l.n >= {MINHASH_THRESHOLD} * r.n
+            ),
             exact AS (
-              SELECT l.doc_id AS id_a, r.doc_id AS id_b
-              FROM d l JOIN d r ON l.doc_id < r.doc_id
-              WHERE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+              SELECT id_a, id_b
+              FROM cand
+              JOIN dd a ON a.doc_id = cand.id_a
+              JOIN dd b ON b.doc_id = cand.id_b
+              WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                           / CAST(len(list_distinct(
-                              list_concat(l.sh, r.sh))) AS DOUBLE), 6)
+                              list_concat(a.sh, b.sh))) AS DOUBLE), 6)
                     >= {MINHASH_THRESHOLD}
             )
             SELECT count(*) AS n_true,

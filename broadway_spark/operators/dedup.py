@@ -394,6 +394,112 @@ def minhash_lsh_pairs(
     return scored.filter(F.col("jaccard") >= F.lit(threshold))
 
 
+def substring_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 32,
+    probe_hash: str = "xxhash64",
+) -> DataFrame:
+    """EXACT character-level doc-in-doc dedup: every pair (a, b) where
+    a's FULL text occurs verbatim as a contiguous substring of b's
+    text — the containment relationship winnow fingerprints and
+    df-capped set containment only approximate.
+
+    No false negatives, by construction: if A ⊆ B then EVERY k-char
+    gram of A (in particular A's chosen probe gram) occurs in B, so
+    the probe-gram equi-join generates every true pair as a candidate;
+    ``contains(B, A)`` then verifies exactly. Docs shorter than ``k``
+    characters have no gram and are excluded (documented contract —
+    at fingerprinting granularity sub-k docs aren't dedup targets).
+
+    Probe selection (the skew lever, NOT a correctness lever): the
+    gram minimizing ``(hash(gram), gram)``. A fixed-position probe
+    (e.g. the 32-char prefix) would hash every boilerplate-headed doc
+    into ONE index bucket and go quadratic; the min-hash gram is
+    uniform over each doc's gram space (the winnowing idea). Any probe
+    works for correctness since the verify is exact — so production
+    uses codegen'd xxhash64 while an oracle can mirror results without
+    reproducing the probe at all (ground truth is probe-independent).
+
+    Plan shape (scale-first): index side = distinct (gram, doc) rows —
+    one explode + distinct shuffle, linear in corpus size (the
+    standard inverted-index build); probe side = one gram argmin per
+    doc (explode + partial-agg min, no extra shuffle class); candidate
+    generation = equi-join on the gram; verification = one contains()
+    per candidate. Residual skew (a 32-gram shared by thousands of
+    docs) is AQE skew-join territory; raising ``k`` thins buckets.
+
+    Canonical direction: len(a) < len(b), or id_a < id_b on equal
+    lengths (equal-text pairs emit once). Returns
+    (contained_id, container_id).
+    """
+    if probe_hash == "xxhash64":
+        hx = "xxhash64(__g)"
+    elif probe_hash == "md5":
+        hx = "CAST(conv(substring(md5(__g), 1, 15), 16, 10) AS BIGINT)"
+    else:
+        raise ValueError(
+            f"unknown probe_hash {probe_hash!r} (expected 'xxhash64' or 'md5')"
+        )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).alias("__len"),
+    ).filter(F.col("__len") >= k)
+    grams = base.select(
+        "__id",
+        "__t",
+        F.explode(
+            F.expr(f"sequence(1, greatest(length(__t) - {k - 1}, 0))")
+        ).alias("__i"),
+    ).select("__id", F.expr(f"substring(__t, __i, {k})").alias("__g"))
+    index = grams.select(
+        F.col("__id").alias("container_id"), "__g"
+    ).distinct()
+    probes = (
+        grams.select(
+            "__id",
+            F.struct(F.expr(hx).alias("__h"), F.col("__g").alias("__g")).alias(
+                "__s"
+            ),
+        )
+        .groupBy("__id")
+        .agg(F.min("__s").alias("__s"))
+        .select(F.col("__id").alias("contained_id"), F.col("__s.__g").alias("__g"))
+    )
+    cand = (
+        probes.join(index, "__g")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+    )
+    a = base.select(
+        F.col("__id").alias("contained_id"),
+        F.col("__t").alias("__ta"),
+        F.col("__len").alias("__la"),
+    )
+    b = base.select(
+        F.col("__id").alias("container_id"),
+        F.col("__t").alias("__tb"),
+        F.col("__len").alias("__lb"),
+    )
+    return (
+        cand.join(a, "contained_id")
+        .join(b, "container_id")
+        .filter(
+            (
+                (F.col("__la") < F.col("__lb"))
+                | (
+                    (F.col("__la") == F.col("__lb"))
+                    & (F.col("contained_id") < F.col("container_id"))
+                )
+            )
+            & F.expr("contains(__tb, __ta)")
+        )
+        .select("contained_id", "container_id")
+    )
+
+
 def simhash(text_col_name: str, bits: int = 32, seed: int = 99) -> Column:
     """SimHash signature (BIGINT, ``bits`` wide) over whitespace tokens.
 

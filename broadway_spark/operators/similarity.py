@@ -289,6 +289,133 @@ def ann_lsh_topk(
     )
 
 
+def ann_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    num_codes: int = 16,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Product-quantization ANN with exact re-rank (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+    public algorithm).
+
+    The vector splits into ``m`` subspaces of ``dim/m`` components;
+    each subvector is encoded as its nearest of ``num_codes`` codebook
+    entries (asymmetric distance computation): a corpus vector becomes
+    ``m`` small codes, and scoring a query against the whole corpus is
+    ``m`` table lookups per vector instead of ``dim`` multiplies. The
+    ``shortlist`` best ADC candidates are then re-ranked with the
+    EXACT cosine, so approximation error only costs recall when a true
+    neighbor falls outside the shortlist — at shortlist >> k recall
+    approaches 1 (measured in-engine by the ``sim_pq_recall`` gate
+    query; the SRP-LSH path measured 0.48).
+
+    Determinism contract (oracle-exact, like ``kmeans_clusters``):
+    vectors quantize to integer micro-units up front, every subspace
+    distance and every ADC sum is exact BIGINT math, argmin ties break
+    on the lower code, shortlist ties on the lower id, and the re-rank
+    uses the engine-standard 6dp-rounded cosine with an id tiebreak.
+    Codebook = the subvectors of the ``num_codes`` lowest-id corpus
+    vectors (the same deterministic "sampled centroids" convention as
+    the IVF coarse quantizer; a k-means-refined codebook would feed in
+    identically).
+
+    Scale shape: everything is ROW form + codegen. Encoding is one
+    broadcast join against m·num_codes·(dim/m) codebook rows and one
+    (id, m) partial-agg shuffle — the corpus is scanned once and
+    stored as n·m code rows (the compressed index; 8 codes ≈ 8 bytes
+    versus 256 bytes of floats). Per query batch: the distance tables
+    (q·m·num_codes rows) broadcast; the ADC is one equi-join + one
+    (query, id) partial-agg shuffle. No cross join anywhere; the
+    shortlist bounds the exact-cosine work to shortlist·q pairs.
+    Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    sub = dim // m
+    micro = (
+        f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), "
+        f"x -> CAST(floor(x * 1000000) AS BIGINT))"
+    )
+
+    def _rows(side: DataFrame, alias: str) -> DataFrame:
+        return side.select(
+            F.col(id_col).alias(alias),
+            F.posexplode(F.expr(micro)).alias("__pos", "__vm"),
+        ).withColumn("__m", F.expr(f"__pos DIV {sub}"))
+
+    vrows = _rows(corpus, "__vid")
+    crows = _rows(corpus.filter(F.col(id_col) < num_codes), "__code").select(
+        "__code", "__pos", "__m", F.col("__vm").alias("__cm")
+    )
+
+    def _subspace_dists(rows: DataFrame, ida: str) -> DataFrame:
+        diff = F.col("__vm") - F.col("__cm")
+        return (
+            rows.join(F.broadcast(crows), ["__pos", "__m"])
+            .groupBy(ida, "__m", "__code")
+            .agg(F.sum(diff * diff).alias("__d"))
+        )
+
+    # corpus encoding: per (vector, subspace) the argmin code
+    codes = (
+        _subspace_dists(vrows, "__vid")
+        .groupBy("__vid", "__m")
+        .agg(F.min(F.struct("__d", "__code")).alias("__best"))
+        .select("__vid", "__m", F.col("__best.__code").alias("__code"))
+    )
+    # query ADC tables: distance from each query subvector to each code
+    qtable = _subspace_dists(_rows(queries, "__qid"), "__qid").select(
+        F.col("__qid"), "__m", "__code", F.col("__d").alias("__qd")
+    )
+    approx = (
+        codes.join(F.broadcast(qtable), ["__m", "__code"])
+        .filter(F.col("__qid") != F.col("__vid"))
+        .groupBy("__qid", "__vid")
+        .agg(F.sum("__qd").alias("__approx"))
+    )
+    wshort = Window.partitionBy("__qid").orderBy(
+        F.col("__approx").asc(), F.col("__vid").asc()
+    )
+    short = (
+        approx.withColumn("__srank", F.row_number().over(wshort))
+        .filter(F.col("__srank") <= shortlist)
+        .select("__qid", "__vid")
+    )
+    # exact-cosine re-rank of the shortlist
+    q = queries.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+        l2_norm(vec_col).alias("__cn"),
+    )
+    scored = (
+        short.join(F.broadcast(q), "__qid")
+        .join(c, "__vid")
+        .withColumn("cos_sim", F.round(_cos_from_parts(), 6))
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("cos_sim").desc(), F.col("__vid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__vid").alias("neighbor_id"),
+            "cos_sim",
+            "rank",
+        )
+    )
+
+
 def kmeans_clusters(
     df: DataFrame,
     id_col: str,
