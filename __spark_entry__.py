@@ -4294,6 +4294,75 @@ def q_pipeline_topology_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s10_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas ON THE ORACLE GATE: unbounded exact
+    streaming dedup (streaming/stateful_dedup.py — per-key ValueState
+    in RocksDB, first occurrence wins, state never expires) drained
+    over the events file and hash-checked against the batch
+    first-occurrence oracle. With s7/s8 (scan, windowed aggs), s9
+    (applyInPandasWithState timers) and the router drain, every
+    streaming state backend the engine uses is now oracle-verified.
+
+    Determinism: one input file → first occurrence per key = the min
+    event_id row, independent of micro-batch decomposition (the
+    processor keeps the order_by-first row across batches).
+
+    Scale shape: state = one boolean per distinct key, sharded by the
+    key hash across executors' RocksDB stores — corpus-lifetime dedup
+    whose capacity scales with cluster disk, not heap."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from broadway_spark.streaming.stateful_dedup import (
+        streaming_exact_dedup,
+        use_rocksdb_state,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    stream = (
+        reader.parquet(path)
+        if os.path.isdir(path)
+        else reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    )
+    slim = stream.select("user_id", "event_id", "event_type", "value")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    use_rocksdb_state(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # tiny key space
+    ckpt = tempfile.mkdtemp(prefix="bw_s10_")
+    qname = f"s10_stream_dedup_{_uuid.uuid4().hex[:8]}"
+    try:
+        deduped = streaming_exact_dedup(
+            slim, ["user_id"], order_by="event_id"
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+            raise RuntimeError(f"{qname} did not drain in 240s")
+    finally:
+        if prev_provider is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return spark.table(qname)
+
+
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT character-level doc-in-doc containment pairs — the
     missing member of the dedup family (winnow fingerprints and
@@ -4652,6 +4721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_pq": q_sim_ann_pq,
         "sim_pq_recall": q_sim_pq_recall,
         "dedup_substring": q_dedup_substring,
+        "s10_stream_dedup": q_s10_stream_dedup,
     }
 
 
@@ -5234,6 +5304,13 @@ def oracle_sql() -> dict[str, str]:
              AND (len(a.text) < len(b.text) OR a.doc_id < b.doc_id)
              AND contains(b.text, a.text)
             WHERE len(a.text) >= 32""",
+        "s10_stream_dedup": """
+            SELECT user_id, event_id, event_type, value FROM (
+              SELECT user_id, event_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY event_id) AS rk
+              FROM events
+            ) WHERE rk = 1""",
         "text_stats": f"""
             SELECT doc_id,
                    {T.token_count_sql('text')} AS n_tokens,

@@ -98,11 +98,17 @@ def streaming_exact_dedup(
     out_ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema
     )
+    # timeMode 'none' when no TTL: TTL state needs the processing-time
+    # clock, but with it the query schedules wall-clock work and an
+    # availableNow drain never reaches AVAILABLE_NOW termination (it
+    # kept running empty micro-batches — observed 300+ state versions
+    # on a one-file input). Without TTL there are no timers, so 'none'
+    # both terminates and skips per-batch timer scans.
     return df.groupBy(*key_cols).transformWithStateInPandas(
         statefulProcessor=DedupProcessor(order_by, ttl_ms),
         outputStructType=out_ddl,
         outputMode="append",
-        timeMode="processingTime",
+        timeMode="none" if ttl_ms is None else "processingTime",
     )
 
 

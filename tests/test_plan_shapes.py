@@ -375,6 +375,7 @@ def test_no_unguarded_cartesian_in_any_query(spark):
         "sim_ann_bruteforce",
         "sim_range_search",
         "sim_ann_ivf",
+        "sim_pq_recall",  # embeds the brute-force ground truth
         "dedup_embedding",
         # 1-row scalar-threshold broadcasts
         "text_tfidf",
