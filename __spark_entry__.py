@@ -4363,6 +4363,72 @@ def q_s10_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def q_s11_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED WINDOWED STATEFUL AGGS ON THE ORACLE GATE: the
+    streaming MinHash-LSH near-dedup (operators/dedup.py::
+    streaming_near_dedup — per-row signatures, per (window, band)
+    min-id arbitration, survivors won ALL their bands; two chained
+    watermark-bounded windowed aggregations, Spark's supported
+    multi-stateful-operator shape) drained availableNow over events
+    (props as the text, hour windows) and hash-checked against a
+    declarative DuckDB twin of both aggregation layers.
+
+    Determinism: the emitted set is exactly the windows the final
+    watermark (max ts − 1 h) closed — the twin applies the same
+    cutoff as a scalar predicate; arbitration is min-id, batch-split
+    independent (the r4 redesign).
+
+    Scale shape: state is O(distinct (window, band)) + O(window
+    survivors), expired by the watermark — never the corpus."""
+    import os
+    import uuid as _uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    stream = (
+        reader.parquet(path)
+        if os.path.isdir(path)
+        else reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    )
+    ts_type = {f.name: f.dataType.simpleString() for f in schema.fields}.get(
+        "ts"
+    )
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    kept = D.streaming_near_dedup(
+        stream,
+        "event_id",
+        "props",
+        "ts",
+        watermark_delay="1 hour",
+        window_duration="1 hour",
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        shingle_k=MINHASH_K,
+    )
+    qname = f"s11_stream_near_dedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        kept.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise RuntimeError(f"{qname} did not drain in 240s")
+    return spark.table(qname).select(
+        "event_id",
+        F.date_format("win_start", "yyyy-MM-dd HH:00").alias("bucket"),
+    )
+
+
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT character-level doc-in-doc containment pairs — the
     missing member of the dedup family (winnow fingerprints and
@@ -4722,6 +4788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_recall": q_sim_pq_recall,
         "dedup_substring": q_dedup_substring,
         "s10_stream_dedup": q_s10_stream_dedup,
+        "s11_stream_near_dedup": q_s11_stream_near_dedup,
     }
 
 
@@ -4905,6 +4972,64 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
              ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
   FROM scored
 ) WHERE rank <= {ANN_K}
+"""
+
+
+def _stream_neardedup_oracle() -> str:
+    """DuckDB twin of the s11 windowed streaming near-dedup drain:
+    same md5 affine MinHash family over props tokens, per
+    (hour-window, band) min-id arbitration, survivors won ALL bands;
+    emitted windows are those the availableNow drain's final watermark
+    (max ts - delay) has closed — mirrored as a scalar cutoff."""
+    tok = "string_split(lower(props), ' ')"
+    parts = ", ".join(f"{tok}[i + {j}]" for j in range(MINHASH_K))
+    sh = (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({tok}) - {MINHASH_K - 1}, 1)), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+    h0 = "CAST(concat('0x', substr(md5(concat('0', ':', s)), 1, 8)) AS BIGINT)"
+    base = f"list_transform(sh, s -> {h0})"
+    mins = ", ".join(
+        f"list_aggregate(list_transform(bh, h -> "
+        f"(CAST({D.MINHASH_A[i]} AS BIGINT) * h + {D.MINHASH_B[i]}) % {D.MINHASH_P}"
+        f"), 'min')"
+        for i in range(MINHASH_NUM)
+    )
+    rows_per_band = MINHASH_NUM // MINHASH_BANDS
+    band_rows = []
+    for b in range(MINHASH_BANDS):
+        elems = ", ".join(
+            f"CAST(sig[{b * rows_per_band + j + 1}] AS VARCHAR)"
+            for j in range(rows_per_band)
+        )
+        band_rows.append(f"concat_ws('-', '{b}', {elems})")
+    bands_list = ", ".join(band_rows)
+    return f"""
+WITH ev AS (
+  SELECT event_id AS id, date_trunc('hour', ts) AS win_start, {sh} AS sh
+  FROM events
+), sigs AS (
+  SELECT id, win_start, list_value({bands_list}) AS bands FROM (
+    SELECT id, win_start, list_value({mins}) AS sig FROM (
+      SELECT id, win_start, {base} AS bh FROM ev
+    )
+  )
+), banded AS (
+  SELECT id, win_start, unnest(bands) AS band FROM sigs
+), winners AS (
+  SELECT win_start, band, min(id) AS id FROM banded
+  GROUP BY win_start, band
+), won AS (
+  SELECT win_start, id, count(*) AS n_won FROM winners
+  GROUP BY win_start, id
+)
+SELECT id AS event_id,
+       strftime(win_start, '%Y-%m-%d %H:00') AS bucket
+FROM won
+WHERE n_won = {MINHASH_BANDS}
+  AND win_start + INTERVAL 1 HOUR
+      <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
 """
 
 
@@ -5311,6 +5436,7 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY event_id) AS rk
               FROM events
             ) WHERE rk = 1""",
+        "s11_stream_near_dedup": _stream_neardedup_oracle(),
         "text_stats": f"""
             SELECT doc_id,
                    {T.token_count_sql('text')} AS n_tokens,
