@@ -4363,6 +4363,108 @@ def q_s10_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+F2_N = 2000  # events through the rate-limited drain
+F2_ALLOWED = 512  # admission cap per trigger
+
+
+def q_f2_rate_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE RATE LIMITER + CUSTOM PYTHON DATA SOURCE ON THE ORACLE
+    GATE: the spool source (PySpark DataSourceStreamReader with
+    driver-side admission in latestOffset, reference token bucket
+    rate_limiter.ex:44-106) drains the first F2_N events at
+    F2_ALLOWED rows per trigger, through the full router to an ack
+    log. The gate checks the ADMISSION CONTRACT itself: per
+    micro-batch exactly min(allowed, remaining) rows, in spool order —
+    (batch_id, n, min/max event_id, decimal-exact value sum)
+    hash-checked against a row-bucketing DuckDB twin.
+
+    Driven with a ProcessingTime trigger (admission is per
+    latestOffset call; an availableNow drain memoizes one target
+    offset and plans a single batch, bypassing the per-trigger cap —
+    measured, which is itself the documented contract difference).
+    Determinism: spool files replay in write order; admission is a
+    pure function of (backlog, allowed); batch numbering is
+    0..ceil(N/allowed)-1 because empty triggers plan no batch.
+
+    Scale shape: admission is driver-side (the only correct place —
+    per-task admission can't bound a global rate); payload rows flow
+    executor-side; the ack log is the per-batch evidence."""
+    import tempfile
+
+    from broadway_spark.config import SinkConfig, TopologyConfig
+    from broadway_spark.plans import Pipeline
+    from broadway_spark.sources import SpoolSource
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(F2_N)
+    )
+    records = [
+        {
+            "event_id": r["event_id"],
+            "event_type": r["event_type"],
+            "value": r["value"],
+        }
+        for r in ev.collect()  # test-harness materialization, not a hot path
+    ]
+    base = tempfile.mkdtemp(prefix="bw_f2_")
+    src = SpoolSource(
+        name="f2spool",
+        path=f"{base}/spool",
+        schema_ddl="event_id long, event_type string, value double",
+        ack_data_column="event_id",
+        allowed_per_trigger=F2_ALLOWED,
+    )
+    src.push_messages(records, "000_backlog.jsonl")
+    cfg = TopologyConfig(
+        name="f2-rate-drain",
+        order_by="event_id",
+        ack_log=SinkConfig(path=f"{base}/ack"),
+        checkpoint_dir=f"{base}/ckpt",
+    )
+    import time as _time
+
+    n_expected = len(records)
+    q = Pipeline(cfg, src).start(
+        spark, trigger="processingTime", processing_time="200 milliseconds"
+    )
+    try:
+        deadline = _time.time() + 240
+        acked = 0
+        while _time.time() < deadline:
+            try:
+                acked = spark.read.parquet(f"{base}/ack").count()
+            except Exception:
+                acked = 0
+            if acked >= n_expected:
+                break
+            _time.sleep(0.5)
+        if acked < n_expected:
+            raise RuntimeError(
+                f"f2 drain incomplete: {acked}/{n_expected}"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    ack = spark.read.parquet(f"{base}/ack")
+    # join values back by event_id for the per-batch decimal sum
+    ids = ack.select(
+        "batch_id", F.col("ack_data").cast("long").alias("event_id")
+    )
+    return (
+        ids.join(ev, "event_id")
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            _dsum("value").alias("sum_value"),
+        )
+    )
+
+
 def q_s11_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED WINDOWED STATEFUL AGGS ON THE ORACLE GATE: the
     streaming MinHash-LSH near-dedup (operators/dedup.py::
@@ -4789,6 +4891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "s10_stream_dedup": q_s10_stream_dedup,
         "s11_stream_near_dedup": q_s11_stream_near_dedup,
+        "f2_rate_drain": q_f2_rate_drain,
     }
 
 
@@ -5437,6 +5540,20 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ) WHERE rk = 1""",
         "s11_stream_near_dedup": _stream_neardedup_oracle(),
+        # Admission bucketing as pure math: batch i gets spool-order
+        # rows [i*allowed, (i+1)*allowed).
+        "f2_rate_drain": f"""
+            WITH ev AS (
+              SELECT event_id, value,
+                     row_number() OVER (ORDER BY event_id) - 1 AS rn
+              FROM (SELECT * FROM events ORDER BY event_id LIMIT {F2_N})
+            )
+            SELECT CAST(rn // {F2_ALLOWED} AS BIGINT) AS batch_id,
+                   count(*) AS n,
+                   min(event_id) AS min_id, max(event_id) AS max_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_value
+            FROM ev GROUP BY 1""",
         "text_stats": f"""
             SELECT doc_id,
                    {T.token_count_sql('text')} AS n_tokens,
