@@ -4363,6 +4363,137 @@ def q_s10_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a streaming DataFrame with ts normalized to
+    TIMESTAMP (the same drift handling as the batch-side ``_t``)."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    stream = (
+        reader.parquet(path)
+        if os.path.isdir(path)
+        else reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    )
+    ts_type = {f.name: f.dataType.simpleString() for f in schema.fields}.get(
+        "ts"
+    )
+    if ts_type == "bigint":
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def q_s12_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM JOIN ON THE ORACLE GATE: purchases joined to the
+    same user's clicks within the preceding hour — the canonical
+    watermarked event-time range join (both sides watermarked 1 h,
+    time-bounded condition so state is evictable). Inner-join matches
+    emit as they arrive (the watermark bounds STATE, not emission), so
+    a full availableNow drain yields exactly the batch join — the
+    DuckDB twin is the plain time-range join.
+
+    Scale shape: the join shuffles both sides on user_id; the range
+    condition bounds per-key state to one hour of events — this is the
+    standard attribution-join plan at any scale."""
+    import uuid as _uuid
+
+    ev = _events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))
+        ).alias("gap_micros"),
+    )
+    qname = f"s12_stream_join_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise RuntimeError(f"{qname} did not drain in 240s")
+    return spark.table(qname)
+
+
+def q_s13_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SESSION WINDOWS ON THE ORACLE GATE: the native
+    ``session_window`` aggregation (dynamic-gap session state, the
+    streaming twin of w3_sessions) drained availableNow; append mode
+    emits the sessions the final watermark (max ts − 1 h) closed —
+    a session is closed once no event can extend it, i.e. its end
+    (last event + gap) is at or below the watermark. The DuckDB twin
+    sessionizes with the lag/cumulative-flag formulation and applies
+    the same cutoff.
+
+    Scale shape: session state is per (user, open-session), merged by
+    the state store and expired by the watermark — the canonical
+    streaming sessionization at any scale."""
+    import uuid as _uuid
+
+    ev = _events_stream(spark, sf_dir)
+    sess = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    qname = f"s13_stream_sessions_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise RuntimeError(f"{qname} did not drain in 240s")
+    return spark.table(qname)
+
+
 F2_N = 2000  # events through the rate-limited drain
 F2_ALLOWED = 512  # admission cap per trigger
 
@@ -4892,6 +5023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_stream_dedup": q_s10_stream_dedup,
         "s11_stream_near_dedup": q_s11_stream_near_dedup,
         "f2_rate_drain": q_f2_rate_drain,
+        "s12_stream_join": q_s12_stream_join,
+        "s13_stream_sessions": q_s13_stream_sessions,
     }
 
 
@@ -5554,6 +5687,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS sum_value
             FROM ev GROUP BY 1""",
+        # Inner stream-stream join emission == the batch join.
+        "s12_stream_join": """
+            SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                   p.user_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_micros
+            FROM events p JOIN events c
+              ON p.user_id = c.user_id
+             AND c.ts >= p.ts - INTERVAL 1 HOUR
+             AND c.ts <= p.ts
+            WHERE p.event_type = 'purchase'
+              AND c.event_type = 'click'""",
+        # Batch sessionization + the drain's final-watermark cutoff:
+        # a session is emitted iff its end (last event + gap) is at or
+        # below max(ts) - delay.
+        "s13_stream_sessions": f"""
+            WITH o AS (
+              SELECT user_id, ts, value, event_id,
+                     CASE WHEN lag(ts) OVER win IS NULL
+                          OR ts - lag(ts) OVER win
+                             > INTERVAL {SESSION_GAP_MIN} MINUTES
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts, value,
+                     SUM(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            ), g AS (
+              SELECT user_id, min(ts) AS t0, max(ts) AS t1,
+                     count(*) AS n_events,
+                     {_dsum_sql('value')} AS sum_value
+              FROM s GROUP BY user_id, sid
+            )
+            SELECT user_id, epoch_us(t0) AS session_start_us,
+                   n_events, sum_value
+            FROM g
+            WHERE t1 + INTERVAL {SESSION_GAP_MIN} MINUTES
+                  <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)""",
         "text_stats": f"""
             SELECT doc_id,
                    {T.token_count_sql('text')} AS n_tokens,
