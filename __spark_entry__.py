@@ -4174,6 +4174,15 @@ def q_pipeline_topology_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = FL.with_status(
             df, F.col("event_type") == "error", "poison:error-event"
         )
+        # Integer budget weight (cents): a float running sum's chunk
+        # boundary can flip by one row between engines at scale
+        # (different summation trees → one ulp → floor() flip; seen at
+        # sf0.1), while a BIGINT prefix sum is order-independent and
+        # exact everywhere. Integer weights are also the realistic
+        # production form (byte budgets).
+        df = df.withColumn(
+            "w_cents", F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+        )
         # B4 flush mode: signups bypass batch accumulation
         df = df.withColumn(
             "batch_mode",
@@ -4205,7 +4214,7 @@ def q_pipeline_topology_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by="event_id",
         batchers={
             "billing": BatcherConfig(batch_size=16),
-            "default": BatcherConfig(batch_size=("value", 200.0)),
+            "default": BatcherConfig(batch_size=("w_cents", 20000.0)),
         },
         sinks={
             "billing": SinkConfig(path=d("sink_billing")),
@@ -7562,6 +7571,7 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT event_id, user_id, event_type, value,
                      event_type <> 'error' AS ok,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS w_cents,
                      CASE WHEN event_type = 'purchase' THEN 'billing'
                           ELSE 'default' END AS batcher,
                      CAST(user_id % 10 AS VARCHAR) AS batch_key,
@@ -7592,9 +7602,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             dflt AS (
               SELECT b.*,
-                     CAST(floor((sum(value) OVER (PARTITION BY batch_key
+                     CAST(floor((sum(w_cents) OVER (PARTITION BY batch_key
                        ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
-                       AND CURRENT ROW) - value) / 200.0) AS BIGINT)
+                       AND CURRENT ROW) - w_cents) / 20000.0) AS BIGINT)
                        AS chunk_id
               FROM base b WHERE ok AND batcher = 'default'
             ),
