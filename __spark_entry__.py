@@ -861,6 +861,74 @@ def q_aj1_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_aj2_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness TOLERANCE (the pandas/polars/kdb
+    knob): each purchase gets the most recent prior click only if it
+    is at most 2 hours old — older matches null out, the purchase row
+    survives. Same one-shuffle zero-join plan as aj1; the tolerance is
+    a post-window predicate."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    joined = TM.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        order_col="event_id",
+        tolerance="2 hours",
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("event_id_right").alias("click_id"),
+        F.col("value_right").alias("click_value"),
+        (F.unix_micros("ts") - F.unix_micros("matched_ts")).alias("gap_us"),
+    )
+
+
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for context-window pipelines: split every doc
+    into 32-token windows on a 24-token stride (8-token overlap) — the
+    standard RAG/pretraining chunker — emitting per chunk its index,
+    token count, and an md5 content fingerprint (the chunk-level dedup
+    key). Trailing stubs under 8 tokens are dropped (the previous
+    window already covers them); every doc keeps at least one chunk.
+
+    Scale shape: one split + one sequence-explode + a per-chunk slice —
+    all codegen, no shuffle at all until a consumer aggregates; chunk
+    count ≈ tokens/stride per doc, linear in corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("__tk")
+    )
+    chunks = toks.select(
+        "doc_id",
+        "__tk",
+        F.posexplode(
+            F.expr(
+                "sequence(1, greatest(size(__tk) - 8 + 1, 1), 24)"
+            )
+        ).alias("chunk_idx", "__start"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.expr("slice(__tk, __start, 32)").alias("__chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("__chunk").alias("n_tokens"),
+        F.expr("md5(array_join(__chunk, ' '))").alias("chunk_fp"),
+    ).filter(F.col("n_tokens") >= 8)
+
+
 def q_w3_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute-gap activity sessions per user via the
     native (streaming-capable) session_window aggregation."""
@@ -5034,6 +5102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_rate_drain": q_f2_rate_drain,
         "s12_stream_join": q_s12_stream_join,
         "s13_stream_sessions": q_s13_stream_sessions,
+        "aj2_asof_tolerance": q_aj2_asof_tolerance,
+        "text_chunk_windows": q_text_chunk_windows,
     }
 
 
@@ -5776,6 +5846,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id AS purchase_id, user_id, click_id, click_value,
                    epoch_us(ts) - epoch_us(m_ts) AS gap_us
             FROM w WHERE is_l = 1""",
+        # aj1 + the tolerance predicate: stale matches null out, the
+        # left row survives.
+        "aj2_asof_tolerance": """
+            WITH u AS (
+              SELECT user_id, ts, 1 AS is_l, CAST(-1 AS BIGINT) AS ord,
+                     event_id,
+                     CAST(NULL AS BIGINT) AS r_event_id,
+                     CAST(NULL AS DOUBLE) AS r_value
+              FROM events WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT user_id, ts, 0, event_id,
+                     CAST(NULL AS BIGINT), event_id, value
+              FROM events WHERE event_type = 'click'
+            ), w AS (
+              SELECT user_id, ts, is_l, event_id,
+                     last_value(r_event_id IGNORE NULLS) OVER win AS click_id,
+                     last_value(r_value IGNORE NULLS) OVER win AS click_value,
+                     last_value(CASE WHEN is_l = 0 THEN ts END IGNORE NULLS)
+                       OVER win AS m_ts
+              FROM u
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_l, ord
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+            ), f AS (
+              SELECT user_id, ts, is_l, event_id,
+                     CASE WHEN m_ts >= ts - INTERVAL 2 HOURS
+                          THEN click_id END AS click_id,
+                     CASE WHEN m_ts >= ts - INTERVAL 2 HOURS
+                          THEN click_value END AS click_value,
+                     CASE WHEN m_ts >= ts - INTERVAL 2 HOURS
+                          THEN m_ts END AS m_ts
+              FROM w
+            )
+            SELECT event_id AS purchase_id, user_id, click_id, click_value,
+                   epoch_us(ts) - epoch_us(m_ts) AS gap_us
+            FROM f WHERE is_l = 1""",
+        "text_chunk_windows": """
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS tk
+              FROM documents
+            ), st AS (
+              SELECT doc_id, tk, i,
+                     CAST((i - 1) // 24 AS INT) AS chunk_idx
+              FROM toks,
+                   unnest(generate_series(1,
+                     greatest(len(tk) - 8 + 1, 1), 24)) AS t(i)
+            ), ch AS (
+              SELECT doc_id, chunk_idx, tk[i : i + 31] AS chunk
+              FROM st
+            )
+            SELECT doc_id, chunk_idx,
+                   CAST(len(chunk) AS INT) AS n_tokens,
+                   md5(array_to_string(chunk, ' ')) AS chunk_fp
+            FROM ch WHERE len(chunk) >= 8""",
         "w3_sessions": f"""
             WITH o AS (
               SELECT user_id, ts, value, event_id,

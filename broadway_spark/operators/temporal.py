@@ -44,6 +44,7 @@ def asof_join(
     right_cols: list[str],
     order_col: str,
     suffix: str = "_right",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Backward (inclusive) as-of join: for every left row, attach the
     ``right_cols`` of the most recent right row with the same key and
@@ -52,6 +53,13 @@ def asof_join(
     Ties on the timestamp are broken deterministically: right rows sort
     before left rows at equal ts (inclusive semantics), and among right
     rows the one with the greatest ``order_col`` wins.
+
+    ``tolerance`` (a Spark interval string, e.g. ``"2 hours"``) bounds
+    the staleness, matching the pandas/polars/kdb ``tolerance`` knob: a
+    match older than ``left_ts - tolerance`` is nulled out (the left
+    row still emits — an as-of join never drops left rows). The filter
+    is a post-window per-row predicate, so the plan shape (one shuffle,
+    one sort, zero joins) is unchanged.
 
     Implementation: tag + union both sides, then one window per right
     column — ``last(col, ignorenulls=True)`` over rows from the
@@ -96,12 +104,24 @@ def asof_join(
             F.when(F.col("__is_l") == 0, F.col("__ts")), ignorenulls=True
         ).over(w).alias("__matched_ts"),
     )
-    return (
+    out = (
         filled.filter(F.col("__is_l") == 1)
         .drop("__is_l")
         .withColumnRenamed("__ts", left_ts)
         .withColumnRenamed("__matched_ts", "matched_ts")
     )
+    if tolerance is not None:
+        fresh = F.col("matched_ts") >= F.col(left_ts) - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        for c in right_cols:
+            out = out.withColumn(
+                c + suffix, F.when(fresh, F.col(c + suffix))
+            )
+        out = out.withColumn(
+            "matched_ts", F.when(fresh, F.col("matched_ts"))
+        )
+    return out
 
 
 def follow_within(

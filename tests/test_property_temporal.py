@@ -60,3 +60,62 @@ def test_asof_join_matches_brute_force(spark, left, right):
         ).collect()
     }
     assert got == _brute_force(left, right)
+
+
+def _brute_force_tolerance(left, right, tol):
+    out = set()
+    for lk, lts, lid in left:
+        cands = [(rts, rid) for rk, rts, rid in right if rk == lk and rts <= lts]
+        if cands:
+            best_ts = max(c[0] for c in cands)
+            best_id = max(c[1] for c in cands if c[0] == best_ts)
+            if best_ts >= lts - tol:
+                out.add((lk, lts, lid, best_id, best_ts))
+            else:
+                out.add((lk, lts, lid, None, None))
+        else:
+            out.add((lk, lts, lid, None, None))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(_ROW, min_size=1, max_size=10, unique=True),
+    right=st.lists(_ROW, min_size=0, max_size=10, unique=True),
+    tol=st.integers(min_value=0, max_value=6),
+)
+def test_asof_tolerance_matches_brute_force(spark, left, right, tol):
+    """The staleness tolerance nulls too-old matches and keeps the left
+    row — equal to the brute-force lookup with the same cutoff."""
+    from pyspark.sql import functions as F
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for k, t, i in left], "k long, s long, lid long"
+    ).select("k", F.timestamp_seconds("s").alias("ts"), "lid")
+    rdf = spark.createDataFrame(
+        [(k, t, i) for k, t, i in right], "k long, s long, rid long"
+    ).select("k", F.timestamp_seconds("s").alias("ts"), "rid")
+    got = {
+        (
+            r["k"],
+            int(r["ts"].timestamp()),
+            r["lid"],
+            r["rid_right"],
+            None if r["matched_ts"] is None else int(r["matched_ts"].timestamp()),
+        )
+        for r in asof_join(
+            ldf,
+            rdf,
+            on=["k"],
+            left_ts="ts",
+            right_ts="ts",
+            right_cols=["rid"],
+            order_col="rid",
+            tolerance=f"{tol} seconds",
+        ).collect()
+    }
+    assert got == _brute_force_tolerance(left, right, tol)
