@@ -156,6 +156,50 @@ def configure_ack(df: DataFrame, on_failure: str, when: Column | None = None) ->
     )
 
 
+def put_batcher(
+    df: DataFrame, batcher: Column | str, when: Column | None = None
+) -> DataFrame:
+    """Message.put_batcher/2 (message.ex:94-112): route rows to a
+    named batcher. The column form of the topology-level ``route_by``;
+    use it inside ``handle_message`` for conditional routing.
+    Validation against the configured batcher set happens at routing
+    time in the plan (unknown batcher → status failure, mirroring
+    processor_stage.ex:213-220)."""
+    b = F.lit(batcher) if isinstance(batcher, str) else batcher
+    cond = when if when is not None else F.lit(True)
+    return df.withColumn(
+        "batcher", F.when(cond, b).otherwise(F.col("batcher"))
+    )
+
+
+def put_batch_key(
+    df: DataFrame, key: Column | str, when: Column | None = None
+) -> DataFrame:
+    """Message.put_batch_key/2 (message.ex:114-129): per-row grouping
+    key for batch assembly (the column form of ``batch_key_by``)."""
+    k = F.col(key) if isinstance(key, str) else key
+    cond = when if when is not None else F.lit(True)
+    return df.withColumn(
+        "batch_key",
+        F.when(cond, k.cast("string")).otherwise(F.col("batch_key")),
+    )
+
+
+def put_batch_mode(
+    df: DataFrame, mode: str, when: Column | None = None
+) -> DataFrame:
+    """Message.put_batch_mode/2 (message.ex:131-144): 'bulk' (default,
+    accumulate) or 'flush' (deliver everything buffered immediately).
+    Rejects unknown modes like the reference's guard."""
+    if mode not in (BATCH_MODE_BULK, BATCH_MODE_FLUSH):
+        raise ValueError(f"unknown batch_mode: {mode!r}")
+    cond = when if when is not None else F.lit(True)
+    return df.withColumn(
+        "batch_mode",
+        F.when(cond, F.lit(mode)).otherwise(F.col("batch_mode")),
+    )
+
+
 def payload_columns(df: DataFrame) -> list[str]:
     """The non-envelope (payload) columns of an enveloped DataFrame."""
     return [c for c in df.columns if c not in ENVELOPE_COLS]

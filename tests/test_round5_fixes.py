@@ -69,3 +69,30 @@ def test_body_fingerprint_excludes_short_docs(spark, tmp_path):
     # short docs 1/2 excluded; 3 and 4 share the same body -> one group
     assert len(out) == 1
     assert out[0]["keeper_id"] == 3 and out[0]["n_copies"] == 2
+
+
+def test_put_routing_annotation_helpers(spark, tmp_path):
+    """The reference's per-row routing annotations (put_batcher /
+    put_batch_key / put_batch_mode, message.ex:94-144) as column
+    helpers — conditional forms leave other rows untouched, and the
+    batch-mode guard rejects unknown modes."""
+    from broadway_spark import message as M
+
+    df = M.normalize(
+        spark.range(4).withColumnRenamed("id", "event_id"),
+        source_name="t",
+        ack_ref="t#x",
+        ack_data=F.col("event_id").cast("string"),
+    )
+    out = M.put_batcher(df, "hot", when=F.col("event_id") % 2 == 0)
+    out = M.put_batch_key(out, F.col("event_id") % 2)
+    out = M.put_batch_mode(out, "flush", when=F.col("event_id") == 3)
+    rows = {
+        r["event_id"]: (r["batcher"], r["batch_key"], r["batch_mode"])
+        for r in out.collect()
+    }
+    assert rows[0] == ("hot", "0", "bulk")
+    assert rows[1] == ("default", "1", "bulk")
+    assert rows[3] == ("default", "1", "flush")
+    with pytest.raises(ValueError, match="unknown batch_mode"):
+        M.put_batch_mode(df, "sometimes")
