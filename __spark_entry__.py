@@ -929,6 +929,64 @@ def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_tokens") >= 8)
 
 
+def q_pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplication report: chunk every doc (the
+    text_chunk_windows table), fingerprint-dedup the CHUNKS across the
+    corpus, then report per doc how many of its chunks are corpus-wide
+    duplicates and whether the doc is the keeper of any — the signal
+    behind boilerplate stripping at chunk granularity (doc-level dedup
+    misses a shared paragraph inside otherwise-unique docs).
+
+    Scale shape: chunker is shuffle-free; dedup is one hash-aggregate
+    on the chunk fingerprint; the report is one more partial agg keyed
+    by doc. Nothing quadratic anywhere."""
+    chunks = q_text_chunk_windows(spark, sf_dir)
+    fp_stats = chunks.groupBy("chunk_fp").agg(
+        F.count(F.lit(1)).alias("__copies"),
+        F.min(
+            F.struct(F.col("doc_id").alias("d"), F.col("chunk_idx").alias("i"))
+        ).alias("__keeper"),
+    )
+    joined = chunks.join(F.broadcast(fp_stats), "chunk_fp")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("__copies") > 1).cast("int")).alias("n_dup_chunks"),
+        F.sum(
+            (
+                (F.col("__copies") > 1)
+                & (F.col("__keeper.d") == F.col("doc_id"))
+                & (F.col("__keeper.i") == F.col("chunk_idx"))
+            ).cast("int")
+        ).alias("n_kept_dups"),
+    )
+
+
+def q_sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sampling by hash — THE shuffle-free
+    sampler: a doc is in the p=1/8 sample iff an md5-derived uniform
+    of its id falls under the threshold. Reproducible across runs,
+    engines, and partitionings (unlike rand()-based .sample()), and
+    composable (disjoint seeds → independent samples). The others in
+    the sample_* family need rank windows; this one is a pure per-row
+    predicate the scan can evaluate — the right default for 100 TB
+    corpus subsampling.
+
+    Output: the sampled ids + a population/sample summary row check
+    (n, sum of token counts) per lang."""
+    docs = _t(spark, sf_dir, "documents")
+    u = F.expr(
+        "CAST(conv(substring(md5(concat('bern7:', CAST(doc_id AS STRING))),"
+        " 1, 8), 16, 10) AS BIGINT)"
+    )
+    picked = docs.filter((u % 8) == 0)
+    return picked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(T.token_count("text")).cast("bigint").alias("tokens_sampled"),
+        F.min("doc_id").alias("first_id"),
+        F.max("doc_id").alias("last_id"),
+    )
+
+
 def q_w3_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute-gap activity sessions per user via the
     native (streaming-capable) session_window aggregation."""
@@ -5104,6 +5162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s13_stream_sessions": q_s13_stream_sessions,
         "aj2_asof_tolerance": q_aj2_asof_tolerance,
         "text_chunk_windows": q_text_chunk_windows,
+        "pipeline_chunk_dedup": q_pipeline_chunk_dedup,
+        "sample_bernoulli_hash": q_sample_bernoulli_hash,
     }
 
 
@@ -5900,6 +5960,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(chunk) AS INT) AS n_tokens,
                    md5(array_to_string(chunk, ' ')) AS chunk_fp
             FROM ch WHERE len(chunk) >= 8""",
+        "pipeline_chunk_dedup": """
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS tk
+              FROM documents
+            ), st AS (
+              SELECT doc_id, tk, i,
+                     CAST((i - 1) // 24 AS INT) AS chunk_idx
+              FROM toks,
+                   unnest(generate_series(1,
+                     greatest(len(tk) - 8 + 1, 1), 24)) AS t(i)
+            ), ch AS (
+              SELECT doc_id, chunk_idx,
+                     md5(array_to_string(tk[i : i + 31], ' ')) AS chunk_fp
+              FROM st WHERE len(tk[i : i + 31]) >= 8
+            ), fp AS (
+              SELECT chunk_fp, count(*) AS copies,
+                     min(struct_pack(d := doc_id, i := chunk_idx)) AS keeper
+              FROM ch GROUP BY chunk_fp
+            )
+            SELECT c.doc_id, count(*) AS n_chunks,
+                   CAST(SUM(CASE WHEN fp.copies > 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_dup_chunks,
+                   CAST(SUM(CASE WHEN fp.copies > 1
+                            AND (fp.keeper).d = c.doc_id
+                            AND (fp.keeper).i = c.chunk_idx
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_dups
+            FROM ch c JOIN fp USING (chunk_fp)
+            GROUP BY c.doc_id""",
+        "sample_bernoulli_hash": f"""
+            SELECT lang, count(*) AS n_sampled,
+                   CAST(SUM({T.token_count_sql('text')}) AS BIGINT)
+                     AS tokens_sampled,
+                   min(doc_id) AS first_id, max(doc_id) AS last_id
+            FROM documents
+            WHERE CAST(concat('0x', substr(md5(concat('bern7:',
+                    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8 = 0
+            GROUP BY lang""",
         "w3_sessions": f"""
             WITH o AS (
               SELECT user_id, ts, value, event_id,
