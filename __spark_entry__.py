@@ -947,7 +947,10 @@ def q_pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("doc_id").alias("d"), F.col("chunk_idx").alias("i"))
         ).alias("__keeper"),
     )
-    joined = chunks.join(F.broadcast(fp_stats), "chunk_fp")
+    # NO broadcast hint: fp_stats has one row per DISTINCT chunk — a
+    # corpus-sized side at 100 TB. Shuffle hash join on the
+    # fingerprint (AQE may still broadcast at small SF on its own).
+    joined = chunks.join(fp_stats, "chunk_fp")
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum((F.col("__copies") > 1).cast("int")).alias("n_dup_chunks"),
