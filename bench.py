@@ -88,6 +88,16 @@ def main() -> None:
     }
     total = round(sum(timings.values()), 3)
 
+    # Machine-readable drains decomposition (r5 verdict item 5): the
+    # streaming-drain queries carry ~4-6 s of fixed trigger/state
+    # machinery each, independent of data volume. Emit their count and
+    # a drains-excluded total so the cross-round per-query trend is
+    # parseable without prose.
+    drains = getattr(entrymod, "STREAMING_DRAINS", frozenset())
+    drain_names = sorted(n for n in timings if n in drains)
+    drains_total = round(sum(timings[n] for n in drain_names), 3)
+    value_excl_drains = round(total - drains_total, 3)
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
         "metric": "declared_query_suite_wall_time",
@@ -96,6 +106,10 @@ def main() -> None:
         "queries": timings,
         "plans": plans,
         "sf": sf_val,
+        "n_drains": len(drain_names),
+        "drains_total": drains_total,
+        "value_excl_drains": value_excl_drains,
+        "drain_queries": drain_names,
     }
     # Full per-query detail: printed FIRST and persisted to a file, so
     # the driver's bounded stdout tail only has to hold the compact
@@ -118,6 +132,9 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "n_drains": len(drain_names),
+                "drains_total": drains_total,
+                "value_excl_drains": value_excl_drains,
                 "queries": slowest,
                 "queries_file": "bench_detail.json",
             }

@@ -878,6 +878,13 @@ def jaccard_pairs_prefix_filter(
     6 places — the same contract as the all-pairs formulation.
     """
     blocks = block_cols or []
+    # Acceptance is round(J, 6) >= t, so a pair with true J in
+    # [t - 5e-7, t) can round UP into the result set; candidate
+    # generation must therefore use the slightly looser t' = t - 5e-7
+    # in every bound (prefix length, length ratio, positional alpha) or
+    # such a pair could be pruned before verify — a false negative the
+    # exact verify can't recover. Verify keeps the original t.
+    t_gen = threshold - 5e-7
     base = docs.select(
         F.col(id_col).alias("__id"), *blocks, F.col(tokens_col).alias("__toks")
     ).withColumn("__n", F.size("__toks"))
@@ -892,7 +899,7 @@ def jaccard_pairs_prefix_filter(
         .agg(F.sort_array(F.collect_list(F.struct("__df", "__tok"))).alias("__ord"))
     )
     plen = (
-        F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + F.lit(1)
+        F.col("__n") - F.ceil(F.lit(t_gen) * F.col("__n")) + F.lit(1)
     ).cast("int")
     pref = ordered.select(
         "__id",
@@ -921,7 +928,7 @@ def jaccard_pairs_prefix_filter(
     # filtering per matched row before the distinct is sound. The tiny
     # epsilon keeps float ceil from over-pruning at exact-integer α.
     alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold))
+        F.lit(t_gen / (1.0 + t_gen))
         * (F.col("l.__n") + F.col("r.__n"))
         - F.lit(1e-9)
     )
@@ -936,8 +943,8 @@ def jaccard_pairs_prefix_filter(
         (F.col("l.__tok") == F.col("r.__tok"))
         & (F.col("l.__id") < F.col("r.__id"))
         # length filter: J ≥ t forces t·|A| ≤ |B| and t·|B| ≤ |A|
-        & (F.col("r.__n") >= F.lit(threshold) * F.col("l.__n"))
-        & (F.col("l.__n") >= F.lit(threshold) * F.col("r.__n"))
+        & (F.col("r.__n") >= F.lit(t_gen) * F.col("l.__n"))
+        & (F.col("l.__n") >= F.lit(t_gen) * F.col("r.__n"))
         & (overlap_ub >= alpha)
     )
     for c in blocks:

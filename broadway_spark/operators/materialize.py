@@ -36,8 +36,12 @@ STAGING_DIR_CONF = "spark.broadway.materialize.stagingDir"
 # Persisted frames / staged dirs awaiting cleanup. A suite driver
 # calls release_all() between queries; leaving them tracked is safe
 # (worst case: the old behavior, cache blocks held until session end).
+# _STAGED_DIRS holds temp parents we created; _STAGED_PATHS holds every
+# per-call stage table (including ones under a user-configured
+# stagingDir) so a long suite run doesn't accumulate stage tables.
 _PERSISTED: list[DataFrame] = []
 _STAGED_DIRS: list[str] = []
+_STAGED_PATHS: list[str] = []
 
 
 def materialize(
@@ -58,6 +62,7 @@ def materialize(
             _STAGED_DIRS.append(staging_dir)
         path = str(Path(staging_dir) / f"{name}_{uuid.uuid4().hex[:12]}")
         df.write.mode("overwrite").parquet(path)
+        _STAGED_PATHS.append(path)
         return spark.read.parquet(path)
     if strategy != "persist":
         raise ValueError(
@@ -82,5 +87,7 @@ def release_all() -> None:
             df.unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
+    while _STAGED_PATHS:
+        shutil.rmtree(_STAGED_PATHS.pop(), ignore_errors=True)
     while _STAGED_DIRS:
         shutil.rmtree(_STAGED_DIRS.pop(), ignore_errors=True)
