@@ -422,12 +422,14 @@ def substring_containment_pairs(
     uses codegen'd xxhash64 while an oracle can mirror results without
     reproducing the probe at all (ground truth is probe-independent).
 
-    Plan shape (scale-first): index side = distinct (gram, doc) rows —
-    one explode + distinct shuffle, linear in corpus size (the
-    standard inverted-index build); probe side = one gram argmin per
-    doc (explode + partial-agg min, no extra shuffle class); candidate
-    generation = equi-join on the gram; verification = one contains()
-    per candidate. Residual skew (a 32-gram shared by thousands of
+    Plan shape (scale-first): index side = distinct (xxhash64(gram),
+    doc) rows — one explode + distinct shuffle over 8-byte keys (not
+    k-char strings), linear in corpus size (the standard inverted-
+    index build); probe side = one gram argmin per doc (explode +
+    partial-agg min, no extra shuffle class); candidate generation =
+    equi-join on the gram hash; verification = one contains() per
+    candidate (which also absorbs any hash-collision false
+    candidates). Residual skew (a 32-gram shared by thousands of
     docs) is AQE skew-join territory; raising ``k`` thins buckets.
 
     Canonical direction: len(a) < len(b), or id_a < id_b on equal
@@ -454,8 +456,16 @@ def substring_containment_pairs(
             F.expr(f"sequence(1, greatest(length(__t) - {k - 1}, 0))")
         ).alias("__i"),
     ).select("__id", F.expr(f"substring(__t, __i, {k})").alias("__g"))
+    # Index + candidate join key is xxhash64(gram) — 8 bytes instead of
+    # the k-char gram string, cutting the distinct/join shuffle bytes
+    # ~4x at k=32. Semantics-preserving: a hash collision only adds a
+    # false candidate, which the exact contains() verify removes (the
+    # verify is already the cheap stage). The PROBE hash stays
+    # pluggable (it picks WHICH gram, not correctness); the JOIN hash
+    # is always xxhash64 — when probe_hash is xxhash64 the min-struct's
+    # __h is reused directly as the key.
     index = grams.select(
-        F.col("__id").alias("container_id"), "__g"
+        F.col("__id").alias("container_id"), F.xxhash64("__g").alias("__gh")
     ).distinct()
     probes = (
         grams.select(
@@ -466,10 +476,17 @@ def substring_containment_pairs(
         )
         .groupBy("__id")
         .agg(F.min("__s").alias("__s"))
-        .select(F.col("__id").alias("contained_id"), F.col("__s.__g").alias("__g"))
+        .select(
+            F.col("__id").alias("contained_id"),
+            (
+                F.col("__s.__h")
+                if probe_hash == "xxhash64"
+                else F.xxhash64("__s.__g")
+            ).alias("__gh"),
+        )
     )
     cand = (
-        probes.join(index, "__g")
+        probes.join(index, "__gh")
         .filter(F.col("contained_id") != F.col("container_id"))
         .select("contained_id", "container_id")
     )

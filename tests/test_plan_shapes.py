@@ -398,3 +398,36 @@ def test_no_unguarded_cartesian_in_any_query(spark):
         if flags:
             offenders[name] = flags
     assert not offenders, f"forbidden join shapes: {offenders}"
+
+
+def test_substring_index_shuffles_hash_not_gram(spark):
+    """dedup_substring: the inverted-index distinct and the candidate
+    equi-join must key on xxhash64(gram) (8 bytes), never the raw
+    k-char gram string — at 100 TB the index shuffle carries one row
+    per character position of the corpus, so a 32-char string key is
+    a 4x byte tax over the hash. The exact contains() verify absorbs
+    hash-collision false candidates, so this is semantics-free. Skew
+    lever: raising k thins gram buckets; the join itself stays a
+    hash/sort-merge equi-join, which AQE's skew-join handling can
+    split (never a cartesian/BNLJ)."""
+    import re
+
+    plan = _plan(entry.q_dedup_substring(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan, "index join key must be hashed"
+    # No exchange may carry the raw gram string (__g#N); the hashed
+    # key __gh#N is fine. (\b keeps __gh from matching __g.)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert not re.search(r"__g#\d", keys), (
+            f"raw gram string in shuffle key: {m.group(0)[:120]}"
+        )
+    # Broadcast exchanges (probe side at small SF) must also ship the
+    # hash, not gram strings: every broadcast mode input here is a
+    # bigint/struct, never the raw __g string column — cheap proxy:
+    # the string gram column name must not appear in any broadcast row.
+    for m in re.finditer(r"BroadcastExchange [^\n]*", plan):
+        assert not re.search(r"__g#\d", m.group(0)), (
+            f"raw gram string broadcast: {m.group(0)[:120]}"
+        )
