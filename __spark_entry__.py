@@ -370,6 +370,12 @@ ANN_NQUERY = 5
 PQ_M = 16  # subspaces (dim 64 → 4 components each)
 PQ_CODES = 16  # codebook entries per subspace
 PQ_SHORTLIST = 100  # ADC candidates re-ranked with the exact cosine
+# Lloyd rounds refining the sampled codebook (r6): per-subspace integer
+# k-means, mirrored CTE-for-CTE in the oracle. Swept in-engine
+# (BASELINE.md r6 notes): recall at sf0.01 0.92/1.0/1.0/1.0 for
+# 0/1/2/3 rounds; at sf0.1 0.84/0.88/0.92/0.96 — 3 rounds clears the
+# 0.95 bar at 10x the gate scale for ~0.5 s extra warm wall.
+PQ_TRAIN_ITERS = 3
 
 
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,6 +435,7 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         num_codes=PQ_CODES,
         shortlist=PQ_SHORTLIST,
+        train_iters=PQ_TRAIN_ITERS,
     )
 
 
@@ -451,6 +458,7 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         num_codes=PQ_CODES,
         shortlist=PQ_SHORTLIST,
+        train_iters=PQ_TRAIN_ITERS,
     )
     found = bf.select("query_id", "neighbor_id").join(
         pq.select("query_id", "neighbor_id").withColumn("__f", F.lit(1)),
@@ -5434,9 +5442,39 @@ WHERE n_won = {MINHASH_BANDS}
 
 
 def _ann_pq_core() -> str:
-    """Shared CTE block computing the PQ top-k (scored → ranked)."""
+    """Shared CTE block computing the PQ top-k (scored → ranked).
+
+    Mirrors operators/similarity.py::ann_pq_topk CTE-for-dataframe,
+    including the PQ_TRAIN_ITERS per-subspace Lloyd rounds refining
+    the sampled codebook: assignment = exact-BIGINT argmin (lower code
+    wins ties), update = element-wise floor(CAST(sum AS DOUBLE)/count)
+    — the same parity convention as the emb_kmeans oracle."""
     cos = V.cosine_similarity_sql("c.embedding", "q.embedding")
     sub = 64 // PQ_M
+    train = ""
+    prev = "crows0"
+    for i in range(1, PQ_TRAIN_ITERS + 1):
+        train += f"""
+pqd{i} AS (
+  SELECT v.vec_id, v.m, c.code,
+         SUM((v.val - c.cm) * (v.val - c.cm)) AS d
+  FROM vrows v JOIN {prev} c ON v.pos = c.pos
+  GROUP BY v.vec_id, v.m, c.code
+),
+pqa{i} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+               ORDER BY d, code) AS rk
+    FROM pqd{i}) WHERE rk = 1
+),
+pqc{i} AS (
+  SELECT a.code, v.pos, v.m,
+         CAST(floor(CAST(SUM(v.val) AS DOUBLE) / count(*)) AS BIGINT)
+           AS cm
+  FROM vrows v JOIN pqa{i} a ON v.vec_id = a.vec_id AND v.m = a.m
+  GROUP BY a.code, v.pos, v.m
+),"""
+        prev = f"pqc{i}"
     return f"""
 mic AS (
   SELECT vec_id,
@@ -5448,14 +5486,14 @@ vrows AS (
   SELECT vec_id, i - 1 AS pos, vm[i] AS val, (i - 1) // {sub} AS m
   FROM mic CROSS JOIN generate_series(1, 64) t(i)
 ),
-crows AS (
+crows0 AS (
   SELECT vec_id AS code, pos, m, val AS cm FROM vrows
   WHERE vec_id < {PQ_CODES}
-),
+),{train}
 cd AS (
   SELECT v.vec_id, v.m, c.code,
          SUM((v.val - c.cm) * (v.val - c.cm)) AS d
-  FROM vrows v JOIN crows c ON v.pos = c.pos
+  FROM vrows v JOIN {prev} c ON v.pos = c.pos
   GROUP BY v.vec_id, v.m, c.code
 ),
 codes AS (

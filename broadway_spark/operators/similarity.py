@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from broadway_spark.functions.vectors import cosine_similarity, dot_product, l2_norm
+from broadway_spark.operators.materialize import materialize
 
 
 def _cos_from_parts() -> F.Column:
@@ -299,6 +300,7 @@ def ann_pq_topk(
     dim: int = 64,
     num_codes: int = 16,
     shortlist: int = 50,
+    train_iters: int = 2,
 ) -> DataFrame:
     """Product-quantization ANN with exact re-rank (Jégou et al.,
     "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
@@ -320,10 +322,18 @@ def ann_pq_topk(
     distance and every ADC sum is exact BIGINT math, argmin ties break
     on the lower code, shortlist ties on the lower id, and the re-rank
     uses the engine-standard 6dp-rounded cosine with an id tiebreak.
-    Codebook = the subvectors of the ``num_codes`` lowest-id corpus
-    vectors (the same deterministic "sampled centroids" convention as
-    the IVF coarse quantizer; a k-means-refined codebook would feed in
-    identically).
+    Codebook init = the subvectors of the ``num_codes`` lowest-id
+    corpus vectors (the deterministic "sampled centroids" convention
+    shared with the IVF coarse quantizer), then refined by
+    ``train_iters`` rounds of per-subspace Lloyd's k-means in the same
+    exact-integer arithmetic as ``kmeans_clusters`` (assignment =
+    BIGINT argmin with a lower-code tiebreak; update = element-wise
+    floor(sum/count), exact while |sum| < 2^53 — ~9e9 members per
+    code at micro-unit magnitude; a code left with no members in some
+    subspace drops out of that subspace's codebook, identically in
+    both engines). Training moved the in-engine ``sim_pq_recall``
+    audit from 0.92 (sampled codebooks) to the shipped figure — see
+    BASELINE.md's sweep table.
 
     Scale shape: everything is ROW form + codegen. Encoding is one
     broadcast join against m·num_codes·(dim/m) codebook rows and one
@@ -352,23 +362,52 @@ def ann_pq_topk(
         "__code", "__pos", "__m", F.col("__vm").alias("__cm")
     )
 
-    def _subspace_dists(rows: DataFrame, ida: str) -> DataFrame:
+    def _subspace_dists(rows: DataFrame, ida: str, codebook: DataFrame) -> DataFrame:
         diff = F.col("__vm") - F.col("__cm")
         return (
-            rows.join(F.broadcast(crows), ["__pos", "__m"])
+            rows.join(F.broadcast(codebook), ["__pos", "__m"])
             .groupBy(ida, "__m", "__code")
             .agg(F.sum(diff * diff).alias("__d"))
         )
 
+    # Lloyd refinement, per subspace (all m subspaces train in the same
+    # two dataframes per round): assignment = exact-BIGINT argmin with
+    # the lower-code tiebreak; update = element-wise floor(sum/count).
+    # Each round is one broadcast join (m·num_codes·sub codebook rows —
+    # ~1k, always broadcastable) + two partial-agg shuffles, the
+    # canonical distributed Lloyd's at n·m assignment rows.
+    for _ in range(train_iters):
+        t_assign = (
+            _subspace_dists(vrows, "__vid", crows)
+            .groupBy("__vid", "__m")
+            .agg(F.min(F.struct("__d", "__code")).alias("__best"))
+            .select("__vid", "__m", F.col("__best.__code").alias("__code"))
+        )
+        crows = (
+            vrows.join(t_assign, ["__vid", "__m"])
+            .groupBy("__m", "__code", "__pos")
+            .agg(
+                F.floor(F.sum("__vm") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("__cm")
+            )
+        )
+
+    # The trained codebook feeds BOTH corpus encoding and the query ADC
+    # tables — materialize it so the train_iters-deep subtree (2 rounds
+    # = 4 shuffles over n·m rows) executes once, not once per consumer.
+    if train_iters > 0:
+        crows = materialize(crows, "pq_codebook")
+
     # corpus encoding: per (vector, subspace) the argmin code
     codes = (
-        _subspace_dists(vrows, "__vid")
+        _subspace_dists(vrows, "__vid", crows)
         .groupBy("__vid", "__m")
         .agg(F.min(F.struct("__d", "__code")).alias("__best"))
         .select("__vid", "__m", F.col("__best.__code").alias("__code"))
     )
     # query ADC tables: distance from each query subvector to each code
-    qtable = _subspace_dists(_rows(queries, "__qid"), "__qid").select(
+    qtable = _subspace_dists(_rows(queries, "__qid"), "__qid", crows).select(
         F.col("__qid"), "__m", "__code", F.col("__d").alias("__qd")
     )
     approx = (
