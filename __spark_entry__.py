@@ -5007,6 +5007,812 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------
+# TPC-DS-style multi-channel relational shapes (r6 verdict item 6):
+# the TPC-H surface is saturated; these add the warehouse shapes a DS
+# user hits next — channel UNION ALL with returns netting (q5/q77
+# style), a grouping-sets report over the union (one Expand, one
+# shuffle), and the returns-cohort-vs-peer-average pattern (q1 style,
+# integer-exact threshold). Channels derive from l_shipmode since the
+# TPC-H-ish schema has one fact table.
+
+
+def _channel() -> F.Column:
+    return (
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("web")
+        )
+        .when(F.col("o_orderpriority") == "3-MEDIUM", F.lit("catalog"))
+        .otherwise(F.lit("store"))
+    )
+
+
+_CHANNEL_SQL = (
+    "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'web' "
+    "WHEN o_orderpriority = '3-MEDIUM' THEN 'catalog' "
+    "ELSE 'store' END"
+)
+
+
+def _channel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DS-q5-style channel union: slim (channel, year, sales,
+    returns) fact rows — the sales branch carries the discounted price
+    in ``sales`` (returns 0), the returns branch vice versa; the
+    channel comes from the order's priority band via ONE join placed
+    AFTER the union (two column-pruned fact scans — the channel-union
+    cost — but a single orders scan and a single shuffle join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    zero = F.lit(0).cast("decimal(18,2)")
+    sales = li.filter(F.col("l_returnflag") != "R").select(
+        "l_orderkey",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        _dp().alias("sales"),
+        zero.alias("returns"),
+    )
+    returns = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        zero.alias("sales"),
+        _dp().alias("returns"),
+    )
+    return (
+        sales.unionByName(returns)
+        .join(
+            orders.select("o_orderkey", _channel().alias("channel")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("channel", "ship_year", "sales", "returns")
+    )
+
+
+_CHANNEL_UNION_SQL = f"""
+              SELECT {_CHANNEL_SQL} AS channel, u.ship_year, u.sales,
+                     u.returns
+              FROM (
+                SELECT l_orderkey,
+                       CAST(year(l_shipdate) AS INT) AS ship_year,
+                       {_DP_SQL} AS sales,
+                       CAST(0 AS DECIMAL(18,2)) AS returns
+                FROM lineitem WHERE l_returnflag <> 'R'
+                UNION ALL
+                SELECT l_orderkey, CAST(year(l_shipdate) AS INT),
+                       CAST(0 AS DECIMAL(18,2)), {_DP_SQL}
+                FROM lineitem WHERE l_returnflag = 'R'
+              ) u JOIN orders ON u.l_orderkey = o_orderkey"""
+
+
+def q_ds1_channel_netting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS-q77-style per-channel sales/returns netting over the channel
+    union: per (channel, ship_year) the sales total, returns total,
+    and net — each a decimal-exact sum, subtracted before the single
+    end-rounding (the h9_profit convention).
+
+    Scale shape: two column-pruned fact scans (the union branches, with
+    the returnflag filter pushed to each scan) feeding ONE partial-agg
+    shuffle on (channel, year) — ~20 groups, map-side combined; no
+    joins, nothing driver-side."""
+    u = _channel_union(spark, sf_dir)
+    return u.groupBy("channel", "ship_year").agg(
+        F.round(F.sum("sales").cast("double"), 2).alias("sales_amt"),
+        F.round(F.sum("returns").cast("double"), 2).alias("returns_amt"),
+        F.round(
+            F.sum(F.col("sales") - F.col("returns")).cast("double"), 2
+        ).alias("net_amt"),
+    )
+
+
+def q_ds2_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS-q5-style grouping-sets report over the channel union: ROLLUP
+    (channel, ship_year) — per-(channel, year) rows, per-channel
+    subtotals, and the grand total, NULL groups labeled 'ALL' (the
+    r1_rollup convention).
+
+    Scale shape: the union feeds ONE Expand (3 grouping sets) and one
+    partial-agg shuffle — never one scan per grouping set; asserted in
+    test_plan_shapes."""
+    u = _channel_union(spark, sf_dir)
+    return (
+        u.rollup("channel", "ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("sales").cast("double"), 2).alias("sales_amt"),
+            F.round(F.sum("returns").cast("double"), 2).alias("returns_amt"),
+            F.round(
+                F.sum(F.col("sales") - F.col("returns")).cast("double"), 2
+            ).alias("net_amt"),
+        )
+        .select(
+            F.coalesce("channel", F.lit("ALL")).alias("channel"),
+            F.coalesce(F.col("ship_year").cast("string"), F.lit("ALL")).alias(
+                "ship_year"
+            ),
+            "n",
+            "sales_amt",
+            "returns_amt",
+            "net_amt",
+        )
+    )
+
+
+def q_ds3_returns_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS-q1-style returns cohort: customers whose total returned value
+    exceeds 1.2x their nation's per-customer average return value.
+    The threshold is INTEGER-EXACT — per-customer return totals become
+    BIGINT 100ths-of-cents units (the decimal product at scale 4 is
+    integral after *10000), and ``ret > 1.2 * (tot / n)`` is compared
+    as ``10 * ret * n > 12 * tot`` so no float division or ulp
+    boundary exists in either engine (the budget-chunking lesson).
+
+    Scale shape: returns-filtered fact scan → join orders on orderkey
+    (both shuffle on the key) → per-customer partial agg → one window
+    over nation (count + sum) → broadcast nation-name join. The
+    customer dimension joins BEFORE the window so the window keys on
+    the small nation id."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    units = (_dp() * F.lit(10000).cast("decimal(18,0)")).cast("bigint")
+    per_cust = (
+        li.select("l_orderkey", units.alias("__u"))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("__u").alias("ret_units"))
+        .join(
+            cust.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    w = Window.partitionBy("c_nationkey")
+    flagged = (
+        per_cust.withColumn("__n", F.count(F.lit(1)).over(w))
+        .withColumn("__tot", F.sum("ret_units").over(w))
+        .filter(
+            F.col("ret_units") * F.col("__n") * F.lit(10)
+            > F.col("__tot") * F.lit(12)
+        )
+    )
+    return (
+        flagged.join(
+            F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("n_name").alias("nation"),
+            "ret_units",
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# Checkpoint-restart equivalence drains (s14–s17, r6): kill a stateful
+# streaming pipeline MID-DRAIN, resume from the checkpoint, finish, and
+# hash-check that the result equals an uninterrupted run — the one
+# 100 TB claim (executor/driver loss mid-pipeline) that previously
+# rested on pytest alone. Reference crash/restart isolation semantics:
+# test/broadway_test.exs:2070-2348.
+#
+# Determinism under an arbitrary kill point:
+# - input staged as RESTART_M single-file micro-batches holding
+#   contiguous (ts, event_id)-ordered ranges (ntile split — mirrored in
+#   SQL by the s14 twin), maxFilesPerTrigger=1, mtime-ordered so event
+#   time only moves forward (no late data → watermark results equal
+#   the batch run);
+# - every sink idempotent (each micro-batch overwrites its own
+#   batch_id partition) so the replayed in-flight batch lands once;
+# - hashed results restricted to kill-point-invariant facts: s14 hashes
+#   the full per-(file, key) chunk structure — deterministic because
+#   the staged file_idx is baked into each ROW and folded into
+#   batch_key, so chunk groups are a data property (Spark's file
+#   source may pack several pending files into the first post-restart
+#   batch; keying on arrival would be packing-dependent); s15
+#   (cross-batch stateful
+#   buffers + wall-clock timers) hashes delivery totals + the
+#   exactly-once invariant (total acks == distinct acks == N), since
+#   WHICH trigger flushed a chunk is timing-dependent by design while
+#   WHAT was delivered is not; s16/s17 converge to their non-restart
+#   twins' results (final-watermark cutoff / inner-join completeness
+#   are batch-split-independent) and reuse those oracles verbatim.
+
+RESTART_M = 4  # staged micro-batch files per restart drain
+
+
+def _stage_event_files(spark: SparkSession, sf_dir: str, m: int = RESTART_M):
+    """Stage events.parquet as ``m`` single parquet files holding
+    contiguous (ts, event_id)-ordered row ranges (``ntile`` split — the
+    SQL-expressible assignment the s14 twin mirrors), named and
+    mtime-ordered so Spark's file source processes them oldest-first,
+    one per micro-batch. Returns (watch_dir, schema, n_rows)."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    # file_idx is BAKED INTO the rows, not implied by arrival: Spark's
+    # file source may pack several pending files into the first batch
+    # after a restart (observed ~1/10 runs), so any chunk structure
+    # keyed on "the micro-batch" would be packing-dependent. Keying on
+    # the persisted file_idx instead (s14 folds it into batch_key)
+    # makes the hashed chunk structure a pure data property.
+    tiled = ev.withColumn(
+        "file_idx", F.ntile(m).over(Window.orderBy("ts", "event_id")) - 1
+    )
+    base = tempfile.mkdtemp(prefix="bw_restart_")
+    watch = os.path.join(base, "src")
+    os.makedirs(watch)
+    t0 = _time.time() - 7200
+    for i in range(m):
+        stage = os.path.join(base, f"_stage{i}")
+        tiled.filter(F.col("file_idx") == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(watch, f"ev{i:03d}.parquet")
+        _shutil.move(part, dst)
+        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+    schema = spark.read.parquet(watch).schema
+    return watch, schema, n
+
+
+def _progress_rows(p) -> int:
+    """numInputRows from a StreamingQueryProgress across PySpark's
+    dict/object/json representations."""
+    if p is None:
+        return 0
+    d = p if isinstance(p, dict) else None
+    if d is None and hasattr(p, "asDict"):
+        d = p.asDict()
+    if d is None:
+        import json as _json
+
+        d = _json.loads(p.json)
+    return int(d.get("numInputRows") or 0)
+
+
+def _kill_mid_drain(q, deadline_s: int = 120) -> int:
+    """Stop a streaming query as soon as ≥1 micro-batch WITH ROWS has
+    committed — the simulated executor/driver loss. The kill point is
+    deliberately racy (more batches may commit first); the drains hash
+    only kill-point-invariant results. Returns committed-with-rows
+    batch count at the stop."""
+    import time as _time
+
+    deadline = _time.time() + deadline_s
+    seen = 0
+    while _time.time() < deadline:
+        seen = sum(1 for p in q.recentProgress if _progress_rows(p) > 0)
+        if seen >= 1:
+            break
+        _time.sleep(0.1)
+    q.stop()
+    q.awaitTermination(60)
+    if seen < 1:
+        raise RuntimeError("restart drain: no batch committed before kill")
+    return seen
+
+
+def _ack_invariant_rows(ack: DataFrame) -> DataFrame:
+    """The exactly-once invariant as hashable rows: total ack rows and
+    distinct ack_data — equal to each other (and to the oracle's
+    ackable-row count) iff no ack was lost or duplicated across the
+    kill+resume."""
+    inv = ack.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("ack_data").alias("n_distinct"),
+    )
+    return inv.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("ack_rows").alias("outcome"),
+                    F.col("n_rows").alias("n"),
+                ),
+                F.struct(
+                    F.lit("ack_distinct").alias("outcome"),
+                    F.col("n_distinct").alias("n"),
+                ),
+            )
+        ).alias("e")
+    ).select(
+        F.lit("invariant").alias("section"),
+        F.lit("all").alias("batcher"),
+        F.col("e.outcome").alias("outcome"),
+        F.lit("-").alias("trigger"),
+        F.lit(-1).cast("bigint").alias("bsz"),
+        F.col("e.n").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+
+
+def q_s14_restart_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT-RESTART EQUIVALENCE, stateless router: the full r5
+    topology (failure diversion, flush mode, early/retry ack policies,
+    size + budget chunking, handle_batch, handle_failed, DLQ, ack log)
+    over RESTART_M staged micro-batches, killed after the first
+    committed batch, resumed from the checkpoint, drained — then
+    hash-checked against the window-function twin extended with the
+    ntile file split, PLUS the exactly-once invariant rows. Idempotent
+    sinks make the replayed in-flight batch land exactly once, and the
+    staged file_idx folded into batch_key makes the hashed chunk
+    structure independent of how the engine packs files into
+    micro-batches across the kill/resume."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from broadway_spark import message as M
+    from broadway_spark.config import (
+        BatcherConfig,
+        SinkConfig,
+        TopologyConfig,
+    )
+    from broadway_spark.plans import Pipeline
+    from broadway_spark.sources import FileStreamSource
+
+    watch, schema, _n = _stage_event_files(spark, sf_dir)
+    src = FileStreamSource("events", watch, schema, max_files_per_trigger=1)
+    base = tempfile.mkdtemp(prefix="bw_s14_")
+
+    def d(sub: str) -> str:
+        return os.path.join(base, sub)
+
+    def handle_message(df):
+        df = FL.with_status(
+            df, F.col("event_type") == "error", "poison:error-event"
+        )
+        df = df.withColumn(
+            "w_cents", F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+        )
+        df = df.withColumn(
+            "batch_mode",
+            F.when(F.col("event_type") == "signup", F.lit("flush")).otherwise(
+                F.col("batch_mode")
+            ),
+        )
+        df = M.ack_immediately(
+            df,
+            when=(F.col("event_type") != "error")
+            & (F.col("user_id") % 7 == 0),
+        )
+        df = M.configure_ack(
+            df,
+            "retry",
+            when=(F.col("event_type") == "error")
+            & (F.col("user_id") % 5 == 0),
+        )
+        return df
+
+    cfg = TopologyConfig(
+        name=f"s14_restart_{_uuid.uuid4().hex[:8]}",
+        transformer=lambda df: df.drop("ts"),
+        handle_message=handle_message,
+        route_by=F.when(F.col("event_type") == "purchase", F.lit("billing")),
+        # batch_key folds in the persisted file_idx so the chunk
+        # structure is per (file, user-bucket) BY CONSTRUCTION —
+        # identical no matter how the engine packs pending files into
+        # micro-batches across the kill/resume (the oracle twin
+        # partitions its chunk windows the same way).
+        batch_key_by=F.concat_ws(
+            "_",
+            (F.col("user_id") % 10).cast("string"),
+            F.col("file_idx").cast("string"),
+        ),
+        order_by="event_id",
+        batchers={
+            "billing": BatcherConfig(batch_size=16),
+            "default": BatcherConfig(batch_size=("w_cents", 20000.0)),
+        },
+        sinks={
+            "billing": SinkConfig(path=d("sink_billing"), idempotent=True),
+            "default": SinkConfig(path=d("sink_default"), idempotent=True),
+        },
+        dlq=SinkConfig(path=d("dlq"), idempotent=True),
+        ack_log=SinkConfig(path=d("ack"), idempotent=True),
+        checkpoint_dir=d("ckpt"),
+        handle_batch=_drain_handle_batch,
+        handle_failed=lambda pdf: pdf,
+    )
+    # Phase 1: run at a 1 s cadence (one file per trigger), kill after
+    # the first committed batch — mid-stream, files outstanding.
+    q = Pipeline(cfg, src).start(
+        spark, trigger="processingTime", processing_time="1 second"
+    )
+    _kill_mid_drain(q)
+    # Phase 2: resume from the checkpoint and drain what remains.
+    q2 = Pipeline(cfg, src).start(spark, trigger="availableNow")
+    try:
+        if not q2.awaitTermination(600):
+            raise RuntimeError("s14 resume did not complete in 600s")
+    finally:
+        if q2.isActive:
+            q2.stop()
+
+    ack = spark.read.parquet(d("ack"))
+    ack_agg = (
+        ack.groupBy(
+            "batcher",
+            "outcome",
+            F.coalesce("trigger", F.lit("-")).alias("trigger"),
+            F.coalesce(F.col("batch_size").cast("bigint"), F.lit(-1)).alias(
+                "bsz"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("ack").alias("section"),
+            "batcher",
+            "outcome",
+            "trigger",
+            "bsz",
+            "n",
+            F.lit(None).cast("double").alias("sum_value"),
+        )
+    )
+
+    def sink_row(name: str):
+        return (
+            spark.read.parquet(d(f"sink_{name}"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                _dsum("value").alias("sum_value"),
+            )
+            .select(
+                F.lit("sink").alias("section"),
+                F.lit(name).alias("batcher"),
+                F.lit("rows").alias("outcome"),
+                F.lit("-").alias("trigger"),
+                F.lit(-1).cast("bigint").alias("bsz"),
+                "n",
+                "sum_value",
+            )
+        )
+
+    dlq_agg = (
+        spark.read.parquet(d("dlq"))
+        .groupBy("batcher", "dlq_disposition")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.lit("dlq").alias("section"),
+            "batcher",
+            F.col("dlq_disposition").alias("outcome"),
+            F.lit("-").alias("trigger"),
+            F.lit(-1).cast("bigint").alias("bsz"),
+            "n",
+            "sum_value",
+        )
+    )
+    return (
+        ack_agg.unionByName(sink_row("billing"))
+        .unionByName(sink_row("default"))
+        .unionByName(dlq_agg)
+        .unionByName(_ack_invariant_rows(ack))
+    )
+
+
+def q_s15_restart_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT-RESTART EQUIVALENCE, stateful batcher
+    (applyInPandasWithState buffers + per-key timeout timers): the s9
+    topology over RESTART_M staged micro-batches, killed after the
+    first committed batch — buffered remainders resident in the state
+    store — resumed from the checkpoint, drained to all-N acks. Hashes
+    delivery totals (per-batcher ack outcomes, sink counts + exact
+    value sums, DLQ) plus the exactly-once invariant: WHICH trigger
+    flushes a chunk is wall-clock-dependent across batch boundaries by
+    design (B3), WHAT is delivered is not — lost state would strand
+    buffered rows below N, replayed flushes would break the distinct
+    count."""
+    import os
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from broadway_spark.config import (
+        BatcherConfig,
+        SinkConfig,
+        TopologyConfig,
+    )
+    from broadway_spark.plans import Pipeline
+    from broadway_spark.sources import FileStreamSource
+
+    watch, schema, expected = _stage_event_files(spark, sf_dir)
+    src = FileStreamSource("events", watch, schema, max_files_per_trigger=1)
+    base = tempfile.mkdtemp(prefix="bw_s15_")
+
+    def d(sub: str) -> str:
+        return os.path.join(base, sub)
+
+    cfg = TopologyConfig(
+        name=f"s15_restart_{_uuid.uuid4().hex[:8]}",
+        transformer=lambda df: df.drop("ts"),
+        handle_message=lambda df: FL.with_status(
+            df, F.col("event_type") == "error", "poison:error-event"
+        ).withColumn(
+            "batch_mode",
+            F.when(F.col("event_type") == "signup", F.lit("flush")).otherwise(
+                F.col("batch_mode")
+            ),
+        ),
+        route_by=F.when(F.col("event_type") == "purchase", F.lit("billing")),
+        batch_key_by=F.col("user_id") % 10,
+        order_by="event_id",
+        batchers={
+            "billing": BatcherConfig(batch_size=16, batch_timeout_ms=500),
+            "default": BatcherConfig(batch_size=25, batch_timeout_ms=500),
+        },
+        sinks={
+            "billing": SinkConfig(path=d("sink_billing"), idempotent=True),
+            "default": SinkConfig(path=d("sink_default"), idempotent=True),
+        },
+        dlq=SinkConfig(path=d("dlq"), idempotent=True),
+        ack_log=SinkConfig(path=d("ack"), idempotent=True),
+        checkpoint_dir=d("ckpt"),
+        state_partitions=8,
+    )
+    # Phase 1: kill after the first committed batch (state store holds
+    # per-key remainders; later files unread).
+    q = Pipeline(cfg, src).start_stateful(
+        spark, processing_time="250 milliseconds", impl="v1"
+    )
+    _kill_mid_drain(q)
+    # Phase 2: resume from the checkpoint; the restored buffers absorb
+    # the remaining files; timers flush the final remainders. Drain =
+    # every one of the N rows acked exactly once.
+    q2 = Pipeline(cfg, src).start_stateful(
+        spark, processing_time="250 milliseconds", impl="v1"
+    )
+    deadline = _time.time() + 240
+    acked = 0
+    try:
+        while _time.time() < deadline:
+            try:
+                acked = spark.read.parquet(d("ack")).count()
+            except Exception:
+                acked = 0
+            if acked >= expected:
+                break
+            _time.sleep(0.5)
+        if acked < expected:
+            raise RuntimeError(
+                f"s15 resume incomplete: {acked}/{expected} acks"
+            )
+    finally:
+        q2.stop()
+        q2.awaitTermination(60)
+
+    ack = spark.read.parquet(d("ack"))
+    ack_agg = (
+        ack.groupBy("batcher", "outcome")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("ack").alias("section"),
+            "batcher",
+            "outcome",
+            F.lit("-").alias("trigger"),
+            F.lit(-1).cast("bigint").alias("bsz"),
+            "n",
+            F.lit(None).cast("double").alias("sum_value"),
+        )
+    )
+
+    def sink_row(name: str):
+        return (
+            spark.read.parquet(d(f"sink_{name}"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                _dsum("value").alias("sum_value"),
+            )
+            .select(
+                F.lit("sink").alias("section"),
+                F.lit(name).alias("batcher"),
+                F.lit("rows").alias("outcome"),
+                F.lit("-").alias("trigger"),
+                F.lit(-1).cast("bigint").alias("bsz"),
+                "n",
+                "sum_value",
+            )
+        )
+
+    dlq_agg = (
+        spark.read.parquet(d("dlq"))
+        .groupBy("batcher")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.lit("dlq").alias("section"),
+            "batcher",
+            F.lit("failed").alias("outcome"),
+            F.lit("-").alias("trigger"),
+            F.lit(-1).cast("bigint").alias("bsz"),
+            "n",
+            "sum_value",
+        )
+    )
+    return (
+        ack_agg.unionByName(sink_row("billing"))
+        .unionByName(sink_row("default"))
+        .unionByName(dlq_agg)
+        .unionByName(_ack_invariant_rows(ack))
+    )
+
+
+def _staged_events_stream(spark: SparkSession, watch: str, schema):
+    """Streaming read of the staged event files, one file per trigger,
+    ts normalized to TIMESTAMP (the _events_stream drift handling)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    ts_type = {f.name: f.dataType.simpleString() for f in schema.fields}.get(
+        "ts"
+    )
+    if ts_type == "bigint":
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _idempotent_parquet_writer(path: str):
+    """foreachBatch writer: each micro-batch overwrites its own
+    batch_id partition — the standard exactly-once replay recipe."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return write
+
+
+def q_s16_restart_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT-RESTART EQUIVALENCE, chained windowed stateful aggs:
+    the s11 streaming MinHash-LSH near-dedup killed after the first
+    committed batch (partial window aggregates + band-arbitration
+    state in the store), resumed, drained availableNow. Emitted set =
+    windows closed by the FINAL watermark — batch-split- and
+    kill-point-independent, so the s11 oracle applies verbatim; lost
+    state would corrupt the restored partial aggregates and break the
+    hash."""
+    import os
+    import tempfile
+
+    watch, schema, _n = _stage_event_files(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="bw_s16_")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+
+    def build():
+        return D.streaming_near_dedup(
+            _staged_events_stream(spark, watch, schema),
+            "event_id",
+            "props",
+            "ts",
+            watermark_delay="1 hour",
+            window_duration="1 hour",
+            num_hashes=MINHASH_NUM,
+            bands=MINHASH_BANDS,
+            shingle_k=MINHASH_K,
+        )
+
+    writer = _idempotent_parquet_writer(sink)
+    q = (
+        build()
+        .writeStream.foreachBatch(writer)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    _kill_mid_drain(q)
+    q2 = (
+        build()
+        .writeStream.foreachBatch(writer)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q2.awaitTermination(600):
+            raise RuntimeError("s16 resume did not complete in 600s")
+    finally:
+        if q2.isActive:
+            q2.stop()
+    return spark.read.parquet(sink).select(
+        "event_id",
+        F.date_format("win_start", "yyyy-MM-dd HH:00").alias("bucket"),
+    )
+
+
+def q_s17_restart_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT-RESTART EQUIVALENCE, stream-stream join: the s12
+    purchases-to-clicks range join killed after the first committed
+    batch (both sides' join buffers in the state store), resumed,
+    drained availableNow. In-order staged arrival means no late data,
+    so the emitted matches equal the batch join regardless of the kill
+    point — the s12 oracle applies verbatim; lost buffer state would
+    drop cross-file matches and break the hash."""
+    import os
+    import tempfile
+
+    watch, schema, _n = _stage_event_files(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="bw_s17_")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+
+    def build():
+        ev = _staged_events_stream(spark, watch, schema)
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        return purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        ).select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            (
+                F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))
+            ).alias("gap_micros"),
+        )
+
+    writer = _idempotent_parquet_writer(sink)
+    q = (
+        build()
+        .writeStream.foreachBatch(writer)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    _kill_mid_drain(q)
+    q2 = (
+        build()
+        .writeStream.foreachBatch(writer)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q2.awaitTermination(600):
+            raise RuntimeError("s17 resume did not complete in 600s")
+    finally:
+        if q2.isActive:
+            q2.stop()
+    return spark.read.parquet(sink).select(
+        "purchase_id", "click_id", "user_id", "gap_micros"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan": q_s1_scan,
@@ -5178,6 +5984,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_windows": q_text_chunk_windows,
         "pipeline_chunk_dedup": q_pipeline_chunk_dedup,
         "sample_bernoulli_hash": q_sample_bernoulli_hash,
+        "s14_restart_topology": q_s14_restart_topology,
+        "s15_restart_stateful": q_s15_restart_stateful,
+        "s16_restart_near_dedup": q_s16_restart_near_dedup,
+        "s17_restart_join": q_s17_restart_join,
+        "ds1_channel_netting": q_ds1_channel_netting,
+        "ds2_channel_rollup": q_ds2_channel_rollup,
+        "ds3_returns_cohort": q_ds3_returns_cohort,
     }
 
 
@@ -5196,6 +6009,10 @@ STREAMING_DRAINS = frozenset(
         "f2_rate_drain",
         "s12_stream_join",
         "s13_stream_sessions",
+        "s14_restart_topology",
+        "s15_restart_stateful",
+        "s16_restart_near_dedup",
+        "s17_restart_join",
     }
 )
 
@@ -5577,8 +6394,158 @@ WHERE round({cos}, 6) >= {NEARDUP_COS}
 """
 
 
+def _restart_topology_oracle() -> str:
+    """s14 twin: the pipeline_topology_drain window-function oracle
+    extended with the ntile file split (chunking is per micro-batch =
+    per staged file) plus the exactly-once invariant rows."""
+    return f"""
+            WITH ordered AS (
+              SELECT *, ntile({RESTART_M}) OVER (ORDER BY ts, event_id) - 1
+                       AS file_idx
+              FROM events
+            ),
+            base AS (
+              SELECT event_id, file_idx, user_id, event_type, value,
+                     event_type <> 'error' AS ok,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS w_cents,
+                     CASE WHEN event_type = 'purchase' THEN 'billing'
+                          ELSE 'default' END AS batcher,
+                     CAST(user_id % 10 AS VARCHAR) AS batch_key,
+                     CASE WHEN event_type = 'signup' THEN 'flush'
+                          ELSE 'bulk' END AS batch_mode,
+                     CASE WHEN event_type <> 'error' AND user_id % 7 = 0
+                            THEN 'early'
+                          WHEN event_type = 'error' AND user_id % 5 = 0
+                            THEN 'retry'
+                          ELSE 'late' END AS ack_policy
+              FROM ordered
+            ),
+            billing AS (
+              SELECT b.*,
+                     CAST(floor((row_number() OVER (PARTITION BY file_idx,
+                       batch_key ORDER BY event_id) - 1) / 16) AS BIGINT)
+                       AS chunk_id
+              FROM base b WHERE ok AND batcher = 'billing'
+            ),
+            billing_trig AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY file_idx, batch_key,
+                       chunk_id) AS bsz,
+                     CASE WHEN batch_mode = 'flush' THEN 'flush'
+                          WHEN count(*) OVER (PARTITION BY file_idx,
+                            batch_key, chunk_id) = 16 THEN 'size'
+                          ELSE 'timeout' END AS trig
+              FROM billing
+            ),
+            dflt AS (
+              SELECT b.*,
+                     CAST(floor((sum(w_cents) OVER (PARTITION BY file_idx,
+                       batch_key ORDER BY event_id ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) - w_cents) / 20000.0)
+                       AS BIGINT) AS chunk_id
+              FROM base b WHERE ok AND batcher = 'default'
+            ),
+            dflt_trig AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY file_idx, batch_key,
+                       chunk_id) AS bsz,
+                     CASE WHEN batch_mode = 'flush' THEN 'flush'
+                          ELSE 'timeout' END AS trig
+              FROM dflt
+            ),
+            acks AS (
+              SELECT batcher, 'ok' AS outcome, 'early' AS trig,
+                     CAST(-1 AS BIGINT) AS bsz
+              FROM base WHERE ok AND ack_policy = 'early'
+              UNION ALL
+              SELECT batcher, 'failed', NULL, CAST(-1 AS BIGINT)
+              FROM base WHERE NOT ok AND ack_policy <> 'retry'
+              UNION ALL
+              SELECT batcher, 'ok', trig, bsz
+              FROM billing_trig WHERE ack_policy <> 'early'
+              UNION ALL
+              SELECT batcher, 'ok', trig, bsz
+              FROM dflt_trig WHERE ack_policy <> 'early'
+            )
+            SELECT 'ack' AS section, batcher, outcome,
+                   coalesce(trig, '-') AS "trigger", bsz,
+                   count(*) AS n, CAST(NULL AS DOUBLE) AS sum_value
+            FROM acks GROUP BY batcher, outcome, trig, bsz
+            UNION ALL
+            SELECT 'sink', 'billing', 'rows', '-', CAST(-1 AS BIGINT),
+                   count(*),
+                   CAST(SUM(CAST(value * 2 AS DECIMAL(18,2))) AS DOUBLE)
+            FROM base WHERE ok AND batcher = 'billing'
+            UNION ALL
+            SELECT 'sink', 'default', 'rows', '-', CAST(-1 AS BIGINT),
+                   count(*),
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            FROM base WHERE ok AND batcher = 'default'
+            UNION ALL
+            SELECT 'dlq', batcher,
+                   CASE WHEN ack_policy = 'retry' THEN 'retry'
+                        ELSE 'terminal' END AS disposition,
+                   '-', CAST(-1 AS BIGINT), count(*),
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            FROM base WHERE NOT ok
+            GROUP BY batcher, disposition
+            UNION ALL
+            SELECT 'invariant', 'all', 'ack_rows', '-',
+                   CAST(-1 AS BIGINT), count(*), CAST(NULL AS DOUBLE)
+            FROM base WHERE ok OR ack_policy <> 'retry'
+            UNION ALL
+            SELECT 'invariant', 'all', 'ack_distinct', '-',
+                   CAST(-1 AS BIGINT), count(*), CAST(NULL AS DOUBLE)
+            FROM base WHERE ok OR ack_policy <> 'retry'"""
+
+
+def _restart_stateful_oracle() -> str:
+    """s15 twin: batch-split-invariant delivery totals — per-batcher
+    ack outcomes, sink counts + exact value sums, DLQ, and the
+    exactly-once invariant (total acks = distinct acks = N). WHICH
+    timer/size/flush trigger flushed a chunk is wall-clock-dependent
+    across micro-batch boundaries (B3 semantics), so unlike the s9
+    single-batch twin it is deliberately NOT part of this hash."""
+    return """
+            WITH base AS (
+              SELECT event_id, user_id, event_type, value,
+                     event_type <> 'error' AS ok,
+                     CASE WHEN event_type = 'purchase' THEN 'billing'
+                          ELSE 'default' END AS batcher
+              FROM events
+            )
+            SELECT 'ack' AS section, batcher,
+                   CASE WHEN ok THEN 'ok' ELSE 'failed' END AS outcome,
+                   '-' AS "trigger", CAST(-1 AS BIGINT) AS bsz,
+                   count(*) AS n, CAST(NULL AS DOUBLE) AS sum_value
+            FROM base GROUP BY batcher, ok
+            UNION ALL
+            SELECT 'sink', 'billing', 'rows', '-', CAST(-1 AS BIGINT),
+                   count(*),
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            FROM base WHERE ok AND batcher = 'billing'
+            UNION ALL
+            SELECT 'sink', 'default', 'rows', '-', CAST(-1 AS BIGINT),
+                   count(*),
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            FROM base WHERE ok AND batcher = 'default'
+            UNION ALL
+            SELECT 'dlq', batcher, 'failed', '-', CAST(-1 AS BIGINT),
+                   count(*),
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            FROM base WHERE NOT ok GROUP BY batcher
+            UNION ALL
+            SELECT 'invariant', 'all', 'ack_rows', '-',
+                   CAST(-1 AS BIGINT), count(*), CAST(NULL AS DOUBLE)
+            FROM base
+            UNION ALL
+            SELECT 'invariant', 'all', 'ack_distinct', '-',
+                   CAST(-1 AS BIGINT), count(*), CAST(NULL AS DOUBLE)
+            FROM base"""
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "s1_scan": f"""
             SELECT count(*) AS n_events, {_dsum_sql('value')} AS sum_value,
                    min(event_id) AS min_id, max(event_id) AS max_id
@@ -7994,3 +8961,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
             FROM base WHERE NOT ok GROUP BY batcher""",
     }
+    # Restart-equivalence twins (s14–s17): the kill+resume drains must
+    # converge to the SAME logical result as an uninterrupted run, so
+    # s16/s17 share their non-restart queries' oracles verbatim; s14
+    # gets the file-split-aware router twin and s15 the batch-split-
+    # invariant totals twin (built beside the other drain oracles).
+    sql["s14_restart_topology"] = _restart_topology_oracle()
+    sql["s15_restart_stateful"] = _restart_stateful_oracle()
+    sql["s16_restart_near_dedup"] = sql["s11_stream_near_dedup"]
+    sql["s17_restart_join"] = sql["s12_stream_join"]
+    sql["ds1_channel_netting"] = f"""
+            SELECT channel, ship_year,
+                   round(CAST(SUM(sales) AS DOUBLE), 2) AS sales_amt,
+                   round(CAST(SUM(returns) AS DOUBLE), 2) AS returns_amt,
+                   round(CAST(SUM(sales - returns) AS DOUBLE), 2) AS net_amt
+            FROM ({_CHANNEL_UNION_SQL})
+            GROUP BY channel, ship_year"""
+    sql["ds2_channel_rollup"] = f"""
+            SELECT coalesce(channel, 'ALL') AS channel,
+                   coalesce(CAST(ship_year AS VARCHAR), 'ALL') AS ship_year,
+                   count(*) AS n,
+                   round(CAST(SUM(sales) AS DOUBLE), 2) AS sales_amt,
+                   round(CAST(SUM(returns) AS DOUBLE), 2) AS returns_amt,
+                   round(CAST(SUM(sales - returns) AS DOUBLE), 2) AS net_amt
+            FROM ({_CHANNEL_UNION_SQL})
+            GROUP BY ROLLUP(channel, ship_year)"""
+    sql["ds3_returns_cohort"] = f"""
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     SUM(CAST(({_DP_SQL}) * 10000 AS BIGINT)) AS ret_units
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+              GROUP BY o_custkey
+            ),
+            withnat AS (
+              SELECT p.o_custkey AS custkey, c.c_nationkey, p.ret_units
+              FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+            ),
+            stats AS (
+              SELECT *, count(*) OVER (PARTITION BY c_nationkey) AS n,
+                     SUM(ret_units) OVER (PARTITION BY c_nationkey) AS tot
+              FROM withnat
+            )
+            SELECT custkey, n_name AS nation, ret_units
+            FROM stats JOIN nation ON c_nationkey = n_nationkey
+            WHERE ret_units * n * 10 > tot * 12"""
+    return sql

@@ -431,3 +431,15 @@ def test_substring_index_shuffles_hash_not_gram(spark):
         assert not re.search(r"__g#\d", m.group(0)), (
             f"raw gram string broadcast: {m.group(0)[:120]}"
         )
+
+
+def test_ds2_rollup_single_expand_one_shuffle(spark):
+    """ds2_channel_rollup: the 3 grouping sets must come from ONE
+    Expand feeding one partial-agg shuffle — never one fact scan per
+    grouping set (the DS-report scale contract)."""
+    plan = _plan(entry.q_ds2_channel_rollup(spark, SF))
+    assert plan.count("Expand") == 1, "expected exactly one Expand"
+    # two fact scans are the channel union's sales/returns branches;
+    # a third would mean a per-grouping-set re-scan
+    assert plan.count("FileScan parquet") <= 3  # 2x lineitem + 1 orders
+    assert "partial_" in plan or "HashAggregate" in plan
