@@ -5813,6 +5813,86 @@ def q_s17_restart_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s18_restart_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT-RESTART EQUIVALENCE, transformWithStateInPandas:
+    the s10 unbounded exact streaming dedup (RocksDB ValueState)
+    killed after the first committed batch — seen-key state resident
+    in the store — resumed, drained availableNow. The staged files are
+    contiguous (ts, event_id) ranges and event_id is monotone in that
+    order, so first-occurrence-wins over in-order arrival equals the
+    batch min-event_id keeper regardless of the kill point: the s10
+    oracle applies verbatim. Lost ValueState would re-admit already
+    seen keys (extra rows); a replayed batch without its state commit
+    re-emits exactly its own keeper rows into its own idempotent
+    batch_id partition. Completes the restart matrix across every
+    state backend the engine uses (foreachBatch router, applyInPandas-
+    WithState, windowed aggs, stream-stream join, TWS/RocksDB)."""
+    import os
+    import tempfile
+
+    from broadway_spark.streaming.stateful_dedup import (
+        streaming_exact_dedup,
+        use_rocksdb_state,
+    )
+
+    watch, schema, _n = _stage_event_files(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="bw_s18_")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    use_rocksdb_state(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # tiny key space
+    writer = _idempotent_parquet_writer(sink)
+    try:
+
+        def build():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(watch)
+            )
+            slim = stream.select("user_id", "event_id", "event_type", "value")
+            return streaming_exact_dedup(slim, ["user_id"], order_by="event_id")
+
+        q = (
+            build()
+            .writeStream.foreachBatch(writer)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        _kill_mid_drain(q)
+        q2 = (
+            build()
+            .writeStream.foreachBatch(writer)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q2.awaitTermination(600):
+                raise RuntimeError("s18 resume did not complete in 600s")
+        finally:
+            if q2.isActive:
+                q2.stop()
+    finally:
+        if prev_provider is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return spark.read.parquet(sink).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan": q_s1_scan,
@@ -5991,6 +6071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds1_channel_netting": q_ds1_channel_netting,
         "ds2_channel_rollup": q_ds2_channel_rollup,
         "ds3_returns_cohort": q_ds3_returns_cohort,
+        "s18_restart_stream_dedup": q_s18_restart_stream_dedup,
     }
 
 
@@ -6013,6 +6094,7 @@ STREAMING_DRAINS = frozenset(
         "s15_restart_stateful",
         "s16_restart_near_dedup",
         "s17_restart_join",
+        "s18_restart_stream_dedup",
     }
 )
 
@@ -8970,6 +9052,7 @@ def oracle_sql() -> dict[str, str]:
     sql["s15_restart_stateful"] = _restart_stateful_oracle()
     sql["s16_restart_near_dedup"] = sql["s11_stream_near_dedup"]
     sql["s17_restart_join"] = sql["s12_stream_join"]
+    sql["s18_restart_stream_dedup"] = sql["s10_stream_dedup"]
     sql["ds1_channel_netting"] = f"""
             SELECT channel, ship_year,
                    round(CAST(SUM(sales) AS DOUBLE), 2) AS sales_amt,
