@@ -5135,6 +5135,54 @@ def q_ds2_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ds4_top_channel_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS-q67-style top-N per group: the 3 best years per channel by
+    net amount over the channel union. Ordering is total (rounded net
+    DESC, then year), so the row_number cut is engine-independent.
+
+    Scale shape: the union's one partial-agg shuffle down to ~20
+    (channel, year) rows, then a window over 3 channel partitions —
+    the post-aggregate window touches group rows, never fact rows."""
+    agg = q_ds1_channel_netting(spark, sf_dir)
+    w = Window.partitionBy("channel").orderBy(
+        F.col("net_amt").desc(), F.col("ship_year").asc()
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("channel", "ship_year", "net_amt", "rk")
+    )
+
+
+def q_ds5_channel_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS-q75-style year-over-year movement per channel: each
+    (channel, year) net beside the previous present year's net and the
+    exact delta — all three carried as DECIMAL until the final
+    round-to-double, so the subtraction is engine-order-independent
+    (no ratio, no float division; the q75 netting semantics without
+    its float hazards).
+
+    Scale shape: one partial-agg shuffle to ~20 group rows, one lag
+    window over 3 channel partitions."""
+    u = _channel_union(spark, sf_dir)
+    agg = u.groupBy("channel", "ship_year").agg(
+        F.sum(F.col("sales") - F.col("returns")).alias("__net")
+    )
+    w = Window.partitionBy("channel").orderBy("ship_year")
+    return (
+        agg.withColumn("__prev", F.lag("__net").over(w))
+        .select(
+            "channel",
+            "ship_year",
+            F.round(F.col("__net").cast("double"), 2).alias("net_amt"),
+            F.round(F.col("__prev").cast("double"), 2).alias("prev_net_amt"),
+            F.round(
+                (F.col("__net") - F.col("__prev")).cast("double"), 2
+            ).alias("delta_amt"),
+        )
+    )
+
+
 def q_ds3_returns_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DS-q1-style returns cohort: customers whose total returned value
     exceeds 1.2x their nation's per-customer average return value.
@@ -5220,6 +5268,12 @@ def q_ds3_returns_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RESTART_M = 4  # staged micro-batch files per restart drain
 
+# Staging is deterministic in (sf_dir, m) and the staged dir is
+# read-only to the drains (checkpoints/sinks are per-call tempdirs),
+# so one staging serves every restart query and every bench pass in
+# the process — ~2-3 s saved per drain invocation.
+_STAGE_CACHE: dict = {}
+
 
 def _stage_event_files(spark: SparkSession, sf_dir: str, m: int = RESTART_M):
     """Stage events.parquet as ``m`` single parquet files holding
@@ -5232,6 +5286,10 @@ def _stage_event_files(spark: SparkSession, sf_dir: str, m: int = RESTART_M):
     import shutil as _shutil
     import tempfile
     import time as _time
+
+    cached = _STAGE_CACHE.get((sf_dir, m))
+    if cached is not None and os.path.isdir(cached[0]):
+        return cached
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -5259,6 +5317,7 @@ def _stage_event_files(spark: SparkSession, sf_dir: str, m: int = RESTART_M):
         _shutil.move(part, dst)
         os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
     schema = spark.read.parquet(watch).schema
+    _STAGE_CACHE[(sf_dir, m)] = (watch, schema, n)
     return watch, schema, n
 
 
@@ -6071,6 +6130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds1_channel_netting": q_ds1_channel_netting,
         "ds2_channel_rollup": q_ds2_channel_rollup,
         "ds3_returns_cohort": q_ds3_returns_cohort,
+        "ds4_top_channel_years": q_ds4_top_channel_years,
+        "ds5_channel_yoy": q_ds5_channel_yoy,
         "s18_restart_stream_dedup": q_s18_restart_stream_dedup,
     }
 
@@ -9089,4 +9150,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT custkey, n_name AS nation, ret_units
             FROM stats JOIN nation ON c_nationkey = n_nationkey
             WHERE ret_units * n * 10 > tot * 12"""
+    sql["ds4_top_channel_years"] = f"""
+            WITH agg AS (
+              SELECT channel, ship_year,
+                     round(CAST(SUM(sales - returns) AS DOUBLE), 2)
+                       AS net_amt
+              FROM ({_CHANNEL_UNION_SQL})
+              GROUP BY channel, ship_year
+            )
+            SELECT channel, ship_year, net_amt, rk FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY channel
+                       ORDER BY net_amt DESC, ship_year) AS INT) AS rk
+              FROM agg
+            ) WHERE rk <= 3"""
+    sql["ds5_channel_yoy"] = f"""
+            WITH agg AS (
+              SELECT channel, ship_year,
+                     SUM(sales - returns) AS net
+              FROM ({_CHANNEL_UNION_SQL})
+              GROUP BY channel, ship_year
+            ),
+            lagged AS (
+              SELECT channel, ship_year, net,
+                     lag(net) OVER (PARTITION BY channel
+                       ORDER BY ship_year) AS prev
+              FROM agg
+            )
+            SELECT channel, ship_year,
+                   round(CAST(net AS DOUBLE), 2) AS net_amt,
+                   round(CAST(prev AS DOUBLE), 2) AS prev_net_amt,
+                   round(CAST(net - prev AS DOUBLE), 2) AS delta_amt
+            FROM lagged"""
     return sql
