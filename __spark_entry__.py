@@ -5872,6 +5872,109 @@ def q_s17_restart_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f3_restart_spool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT-RESTART EQUIVALENCE, custom Python data source: the
+    f2 spool drain (DataSourceStreamReader with driver-side admission
+    in latestOffset) killed after the first committed batch and
+    resumed from the checkpoint. Spark's offset WAL + the spool's
+    committed-offset resume mean every batch is a contiguous
+    `allowed`-sized range of the spool in order, replay included — so
+    re-indexing batches by their min event_id rank yields EXACTLY the
+    uninterrupted run's bucket table, and f2's row-bucketing oracle
+    applies with the same batch numbering. This is the restart proof
+    for OUR source code path (initialOffset/latestOffset/commit),
+    not Spark's built-in file source. The idempotent ack log makes
+    the replayed in-flight batch land once; a lost or re-planned
+    offset would shift a bucket boundary and break the hash."""
+    import os
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from broadway_spark.config import SinkConfig, TopologyConfig
+    from broadway_spark.plans import Pipeline
+    from broadway_spark.sources import SpoolSource
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(F2_N)
+    )
+    records = [
+        {
+            "event_id": r["event_id"],
+            "event_type": r["event_type"],
+            "value": r["value"],
+        }
+        for r in ev.collect()  # test-harness materialization, not a hot path
+    ]
+    base = tempfile.mkdtemp(prefix="bw_f3_")
+    src = SpoolSource(
+        name=f"f3spool_{_uuid.uuid4().hex[:8]}",
+        path=f"{base}/spool",
+        schema_ddl="event_id long, event_type string, value double",
+        ack_data_column="event_id",
+        allowed_per_trigger=F2_ALLOWED,
+    )
+    src.push_messages(records, "000_backlog.jsonl")
+    cfg = TopologyConfig(
+        name=f"f3-restart-{_uuid.uuid4().hex[:8]}",
+        order_by="event_id",
+        ack_log=SinkConfig(path=f"{base}/ack", idempotent=True),
+        checkpoint_dir=f"{base}/ckpt",
+    )
+    n_expected = len(records)
+    q = Pipeline(cfg, src).start(
+        spark, trigger="processingTime", processing_time="200 milliseconds"
+    )
+    _kill_mid_drain(q)
+    q2 = Pipeline(cfg, src).start(
+        spark, trigger="processingTime", processing_time="200 milliseconds"
+    )
+    try:
+        deadline = _time.time() + 240
+        acked = 0
+        while _time.time() < deadline:
+            try:
+                acked = spark.read.parquet(f"{base}/ack").count()
+            except Exception:
+                acked = 0
+            if acked >= n_expected:
+                break
+            _time.sleep(0.5)
+        if acked < n_expected:
+            raise RuntimeError(f"f3 resume incomplete: {acked}/{n_expected}")
+    finally:
+        q2.stop()
+        q2.awaitTermination(60)
+    ack = spark.read.parquet(f"{base}/ack")
+    ids = ack.select(
+        F.col("batch_id").alias("__bid"),
+        F.col("ack_data").cast("long").alias("event_id"),
+    )
+    per_batch = (
+        ids.join(ev, "event_id")
+        .groupBy("__bid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            _dsum("value").alias("sum_value"),
+        )
+    )
+    # Re-index by spool order: physical batch ids differ across the
+    # kill/resume but the covered ranges do not.
+    w = Window.orderBy("min_id")
+    return per_batch.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("batch_id"),
+        "n",
+        "min_id",
+        "max_id",
+        "sum_value",
+    )
+
+
 def q_s18_restart_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHECKPOINT-RESTART EQUIVALENCE, transformWithStateInPandas:
     the s10 unbounded exact streaming dedup (RocksDB ValueState)
@@ -6133,6 +6236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds4_top_channel_years": q_ds4_top_channel_years,
         "ds5_channel_yoy": q_ds5_channel_yoy,
         "s18_restart_stream_dedup": q_s18_restart_stream_dedup,
+        "f3_restart_spool": q_f3_restart_spool,
     }
 
 
@@ -6156,6 +6260,7 @@ STREAMING_DRAINS = frozenset(
         "s16_restart_near_dedup",
         "s17_restart_join",
         "s18_restart_stream_dedup",
+        "f3_restart_spool",
     }
 )
 
@@ -9114,6 +9219,9 @@ def oracle_sql() -> dict[str, str]:
     sql["s16_restart_near_dedup"] = sql["s11_stream_near_dedup"]
     sql["s17_restart_join"] = sql["s12_stream_join"]
     sql["s18_restart_stream_dedup"] = sql["s10_stream_dedup"]
+    # f3: same bucket table as f2 — restart-normalized batch numbering
+    # (rank of min event_id) equals the uninterrupted numbering.
+    sql["f3_restart_spool"] = sql["f2_rate_drain"]
     sql["ds1_channel_netting"] = f"""
             SELECT channel, ship_year,
                    round(CAST(SUM(sales) AS DOUBLE), 2) AS sales_amt,
