@@ -82,6 +82,27 @@ HEADLINERS = {
         "numpy — vectorized, and still oracle-exact because the "
         "matmul is integer."
     ),
+    "dedup_substring": (
+        "Exact doc-in-doc containment (r6 form): the inverted index "
+        "distincts and joins on xxhash64(gram) — every exchange "
+        "carries 8-byte keys, never k-char gram strings (~4× fewer "
+        "key bytes); the contains() verify absorbs hash collisions, "
+        "so the hash key is semantics-free."
+    ),
+    "sim_ann_pq": (
+        "PQ ANN with TRAINED codebooks (r6): each Lloyd round is one "
+        "broadcast of the m·num_codes codebook rows plus two "
+        "partial-agg shuffles over n·m subvector rows; the trained "
+        "codebook materializes once and feeds both corpus encoding "
+        "and the query ADC tables; the shortlist bounds exact-cosine "
+        "work. Integer micro-unit math end to end — oracle-exact."
+    ),
+    "ds2_channel_rollup": (
+        "DS-style grouping-sets report: the channel union's two "
+        "column-pruned fact scans feed ONE Expand (3 grouping sets) "
+        "and one partial-agg shuffle — never one scan per grouping "
+        "set; the post-union orders join runs once."
+    ),
 }
 
 
