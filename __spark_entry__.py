@@ -5237,6 +5237,185 @@ def q_ds3_returns_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# L4/L5 on the hash gate (r6): the last two operators whose external
+# verification rested on pytest alone — topology introspection and the
+# 13-event telemetry catalogue — become hash-checked registry rows.
+
+
+def q_l4_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 INTROSPECTION ON THE ORACLE GATE: Broadway.topology/1 parity
+    (broadway.ex:1184-1276) — a representative pipeline's compiled
+    topology (producer / processor / batcher layers with effective
+    settings, including the rate limiter, a tuple budget batch_size,
+    and carried-down partition_by) flattened to rows and hash-checked
+    against a literal twin. Every setting is config-pinned (no
+    machine-dependent defaults), so the surface is deterministic; the
+    pipeline is never started (introspection is a pure function of the
+    config, as in the reference)."""
+    from broadway_spark.config import (
+        BatcherConfig,
+        ProcessorConfig,
+        RateLimit,
+        SinkConfig,
+        TopologyConfig,
+    )
+    from broadway_spark.plans import Pipeline
+    from broadway_spark.sources import FileStreamSource
+
+    src = FileStreamSource(
+        "events", f"{sf_dir}/events.parquet", "event_id long"
+    )
+    cfg = TopologyConfig(
+        name="l4-fixed",
+        processors=ProcessorConfig(
+            concurrency=8, max_demand=10, partition_by="user_id"
+        ),
+        rate_limit=RateLimit(allowed_messages=500, interval_ms=1000),
+        order_by="event_id",
+        batchers={
+            "billing": BatcherConfig(
+                batch_size=16,
+                batch_timeout_ms=250,
+                concurrency=2,
+                partition_by="user_id",
+            ),
+            "default": BatcherConfig(
+                batch_size=("w_cents", 20000.0), batch_timeout_ms=500
+            ),
+        },
+        sinks={
+            "billing": SinkConfig(path="sink_billing"),
+            "default": SinkConfig(path="sink_default"),
+        },
+        checkpoint_dir="unused-ckpt",
+    )
+    topo = Pipeline(cfg, src).topology()
+    rows = []
+    p = topo["producers"][0]
+    rl = p["rate_limit"]
+    rows.append(("producer", p["name"], "kind", p["kind"]))
+    rows.append(
+        (
+            "producer",
+            p["name"],
+            "rate_limit",
+            f"{rl['allowed_messages']}/{rl['interval_ms']}ms",
+        )
+    )
+    pr = topo["processors"][0]
+    rows.append(("processor", "-", "concurrency", str(pr["concurrency"])))
+    rows.append(("processor", "-", "max_demand", str(pr["max_demand"])))
+    rows.append(("processor", "-", "partition_by", str(pr["partition_by"])))
+    for b in topo["batchers"]:
+        rows.append(("batcher", b["name"], "batch_size", str(b["batch_size"])))
+        rows.append(
+            ("batcher", b["name"], "batch_timeout_ms", str(b["batch_timeout_ms"]))
+        )
+        rows.append(("batcher", b["name"], "concurrency", str(b["concurrency"])))
+        rows.append(
+            ("batcher", b["name"], "partition_by", str(b["partition_by"]))
+        )
+        rows.append(("batcher", b["name"], "sink", str(b["sink"])))
+    return spark.createDataFrame(
+        rows, "layer string, name string, setting string, value string"
+    )
+
+
+def q_l5_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 TELEMETRY ON THE ORACLE GATE: one availableNow drain of the
+    events file through a two-batcher topology with handle_failed,
+    recorded by SpanRecorder — then the span catalogue's per-event
+    counts plus the load-bearing metadata (processor message/failed
+    counts, batcher routed totals) hash-checked against a DuckDB twin
+    that recomputes the metadata from events.parquet. One input file =
+    one micro-batch, so every count is deterministic (the 12
+    always-emitted events of the 13-event catalogue;
+    handle_failed:exception fires only when the hook raises —
+    pytest-covered, broadway.ex:802-846)."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from broadway_spark.config import (
+        BatcherConfig,
+        SinkConfig,
+        TopologyConfig,
+    )
+    from broadway_spark.plans import Pipeline
+    from broadway_spark.sources import FileStreamSource
+    from broadway_spark.streaming.spans import SpanRecorder
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        src = FileStreamSource("events", path, schema)
+    else:
+        src = FileStreamSource(
+            "events",
+            sf_dir,
+            schema,
+            options={"pathGlobFilter": "events.parquet"},
+        )
+    base = tempfile.mkdtemp(prefix="bw_l5_")
+    rec = SpanRecorder()
+    cfg = TopologyConfig(
+        name=f"l5_spans_{_uuid.uuid4().hex[:8]}",
+        transformer=lambda df: df.drop("ts"),
+        handle_message=lambda df: FL.with_status(
+            df, F.col("event_type") == "error", "poison:error-event"
+        ),
+        route_by=F.when(F.col("event_type") == "purchase", F.lit("billing")),
+        batch_key_by=F.col("user_id") % 10,
+        order_by="event_id",
+        batchers={
+            "billing": BatcherConfig(batch_size=16),
+            "default": BatcherConfig(batch_size=25),
+        },
+        sinks={
+            "billing": SinkConfig(path="x", format="noop"),
+            "default": SinkConfig(path="x", format="noop"),
+        },
+        dlq=SinkConfig(path=os.path.join(base, "dlq")),
+        handle_failed=lambda pdf: pdf,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        telemetry=rec,
+    )
+    Pipeline(cfg, src).run_to_completion(spark, timeout_s=240)
+
+    rows = [
+        ("span", ev, len(rec.events(ev)))
+        for ev in SpanRecorder.CATALOGUE
+        if ev != "handle_failed:exception"
+    ]
+    rows.append(
+        (
+            "meta",
+            "processor_messages",
+            rec.events("processor:stop")[0].metadata["messages"],
+        )
+    )
+    rows.append(
+        (
+            "meta",
+            "processor_failed",
+            rec.events("processor:stop")[0].metadata["failed"],
+        )
+    )
+    rows.append(
+        (
+            "meta",
+            "batcher_start_messages",
+            sum(
+                s.metadata.get("messages", 0)
+                for s in rec.events("batcher:start")
+            ),
+        )
+    )
+    return spark.createDataFrame(rows, "kind string, name string, n long")
+
+
+# ------------------------------------------------------------------
 # Checkpoint-restart equivalence drains (s14–s17, r6): kill a stateful
 # streaming pipeline MID-DRAIN, resume from the checkpoint, finish, and
 # hash-check that the result equals an uninterrupted run — the one
@@ -6237,6 +6416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds5_channel_yoy": q_ds5_channel_yoy,
         "s18_restart_stream_dedup": q_s18_restart_stream_dedup,
         "f3_restart_spool": q_f3_restart_spool,
+        "l4_topology": q_l4_topology,
+        "l5_spans": q_l5_spans,
     }
 
 
@@ -9222,6 +9403,48 @@ def oracle_sql() -> dict[str, str]:
     # f3: same bucket table as f2 — restart-normalized batch numbering
     # (rank of min event_id) equals the uninterrupted numbering.
     sql["f3_restart_spool"] = sql["f2_rate_drain"]
+    sql["l4_topology"] = """
+            SELECT 'producer' AS layer, 'events' AS name,
+                   'kind' AS setting, 'FileStreamSource' AS value
+            UNION ALL SELECT 'producer','events','rate_limit','500/1000ms'
+            UNION ALL SELECT 'processor','-','concurrency','8'
+            UNION ALL SELECT 'processor','-','max_demand','10'
+            UNION ALL SELECT 'processor','-','partition_by','user_id'
+            UNION ALL SELECT 'batcher','billing','batch_size','16'
+            UNION ALL SELECT 'batcher','billing','batch_timeout_ms','250'
+            UNION ALL SELECT 'batcher','billing','concurrency','2'
+            UNION ALL SELECT 'batcher','billing','partition_by','user_id'
+            UNION ALL SELECT 'batcher','billing','sink','sink_billing'
+            UNION ALL SELECT 'batcher','default','batch_size',
+                             '(''w_cents'', 20000.0)'
+            UNION ALL SELECT 'batcher','default','batch_timeout_ms','500'
+            UNION ALL SELECT 'batcher','default','concurrency','1'
+            UNION ALL SELECT 'batcher','default','partition_by','None'
+            UNION ALL SELECT 'batcher','default','sink','sink_default'"""
+    # l5: the 12 always-emitted span counts are structural constants of
+    # a one-micro-batch drain; the metadata rows recompute from events.
+    sql["l5_spans"] = """
+            SELECT 'span' AS kind, 'topology:init' AS name,
+                   CAST(1 AS BIGINT) AS n
+            UNION ALL SELECT 'span','processor:start',1
+            UNION ALL SELECT 'span','processor:stop',1
+            UNION ALL SELECT 'span','processor:message:start',1
+            UNION ALL SELECT 'span','processor:message:stop',1
+            UNION ALL SELECT 'span','processor:message:exception',1
+            UNION ALL SELECT 'span','batch_processor:start',2
+            UNION ALL SELECT 'span','batch_processor:stop',2
+            UNION ALL SELECT 'span','handle_failed:start',1
+            UNION ALL SELECT 'span','handle_failed:stop',1
+            UNION ALL SELECT 'span','batcher:start',2
+            UNION ALL SELECT 'span','batcher:stop',2
+            UNION ALL SELECT 'meta','processor_messages',
+                             (SELECT count(*) FROM events)
+            UNION ALL SELECT 'meta','processor_failed',
+                             (SELECT count(*) FROM events
+                              WHERE event_type = 'error')
+            UNION ALL SELECT 'meta','batcher_start_messages',
+                             (SELECT count(*) FROM events
+                              WHERE event_type <> 'error')"""
     sql["ds1_channel_netting"] = f"""
             SELECT channel, ship_year,
                    round(CAST(SUM(sales) AS DOUBLE), 2) AS sales_amt,
