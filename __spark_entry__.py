@@ -4536,6 +4536,29 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _pinned_state_partitions(spark: SparkSession, n: int = 8):
+    """Pin spark.sql.shuffle.partitions around a streaming-query start
+    (the query captures the conf then; restore after). Stateful gate
+    drains carry a per-partition state-store init/commit cost PER
+    micro-batch that dwarfs the data at gate scale — measured on the
+    r6 restart joins: 32→8 partitions took s17 18.6→4.3 s and s16
+    11.6→4.7 s at sf0.1. At 100 TB the same knob sizes state shards
+    to the cluster (state_partitions in TopologyConfig); 8 matches the
+    gate's tiny key space, the convention s9/s10/s15/s18 already use."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return _cm()
+
+
 def q_s12_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM JOIN ON THE ORACLE GATE: purchases joined to the
     same user's clicks within the preceding hour — the canonical
@@ -4583,13 +4606,14 @@ def q_s12_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gap_micros"),
     )
     qname = f"s12_stream_join_{_uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _pinned_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     if not q.awaitTermination(240):
         q.stop()
         raise RuntimeError(f"{qname} did not drain in 240s")
@@ -4630,13 +4654,14 @@ def q_s13_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qname = f"s13_stream_sessions_{_uuid.uuid4().hex[:8]}"
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _pinned_state_partitions(spark):
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     if not q.awaitTermination(240):
         q.stop()
         raise RuntimeError(f"{qname} did not drain in 240s")
@@ -4795,13 +4820,14 @@ def q_s11_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_k=MINHASH_K,
     )
     qname = f"s11_stream_near_dedup_{_uuid.uuid4().hex[:8]}"
-    q = (
-        kept.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _pinned_state_partitions(spark):
+        q = (
+            kept.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     if not q.awaitTermination(240):
         q.stop()
         raise RuntimeError(f"{qname} did not drain in 240s")
@@ -5944,23 +5970,25 @@ def q_s16_restart_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     writer = _idempotent_parquet_writer(sink)
-    q = (
-        build()
-        .writeStream.foreachBatch(writer)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime="1 second")
-        .start()
-    )
+    with _pinned_state_partitions(spark):
+        q = (
+            build()
+            .writeStream.foreachBatch(writer)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
     _kill_mid_drain(q)
-    q2 = (
-        build()
-        .writeStream.foreachBatch(writer)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _pinned_state_partitions(spark):
+        q2 = (
+            build()
+            .writeStream.foreachBatch(writer)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
     try:
         if not q2.awaitTermination(600):
             raise RuntimeError("s16 resume did not complete in 600s")
@@ -6023,23 +6051,25 @@ def q_s17_restart_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     writer = _idempotent_parquet_writer(sink)
-    q = (
-        build()
-        .writeStream.foreachBatch(writer)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime="1 second")
-        .start()
-    )
+    with _pinned_state_partitions(spark):
+        q = (
+            build()
+            .writeStream.foreachBatch(writer)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
     _kill_mid_drain(q)
-    q2 = (
-        build()
-        .writeStream.foreachBatch(writer)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _pinned_state_partitions(spark):
+        q2 = (
+            build()
+            .writeStream.foreachBatch(writer)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
     try:
         if not q2.awaitTermination(600):
             raise RuntimeError("s17 resume did not complete in 600s")
