@@ -5686,12 +5686,17 @@ def q_s14_restart_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Phase 1: run at a 1 s cadence (one file per trigger), kill after
     # the first committed batch — mid-stream, files outstanding.
-    q = Pipeline(cfg, src).start(
-        spark, trigger="processingTime", processing_time="1 second"
-    )
+    # Both phases pin 8 shuffle partitions: the router's chunking
+    # windows shuffle per batcher per micro-batch, and at gate scale
+    # 32-task overhead dominates (measured 13.7 -> 8.7 s warm).
+    with _pinned_state_partitions(spark):
+        q = Pipeline(cfg, src).start(
+            spark, trigger="processingTime", processing_time="1 second"
+        )
     _kill_mid_drain(q)
     # Phase 2: resume from the checkpoint and drain what remains.
-    q2 = Pipeline(cfg, src).start(spark, trigger="availableNow")
+    with _pinned_state_partitions(spark):
+        q2 = Pipeline(cfg, src).start(spark, trigger="availableNow")
     try:
         if not q2.awaitTermination(600):
             raise RuntimeError("s14 resume did not complete in 600s")
@@ -6134,13 +6139,15 @@ def q_f3_restart_spool(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=f"{base}/ckpt",
     )
     n_expected = len(records)
-    q = Pipeline(cfg, src).start(
-        spark, trigger="processingTime", processing_time="200 milliseconds"
-    )
+    with _pinned_state_partitions(spark):
+        q = Pipeline(cfg, src).start(
+            spark, trigger="processingTime", processing_time="200 milliseconds"
+        )
     _kill_mid_drain(q)
-    q2 = Pipeline(cfg, src).start(
-        spark, trigger="processingTime", processing_time="200 milliseconds"
-    )
+    with _pinned_state_partitions(spark):
+        q2 = Pipeline(cfg, src).start(
+            spark, trigger="processingTime", processing_time="200 milliseconds"
+        )
     try:
         deadline = _time.time() + 240
         acked = 0
