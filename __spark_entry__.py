@@ -476,6 +476,100 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_kwargs() -> dict:
+    """One shared config for the IVF-PQ pair (query + recall audit):
+    the IVF coarse knobs from sim_ann_ivf and the PQ knobs from
+    sim_ann_pq, unchanged — the point of the composition is measuring
+    what cell pruning costs at the SAME code budget."""
+    return dict(
+        k=ANN_K,
+        m=PQ_M,
+        dim=64,
+        num_codes=PQ_CODES,
+        shortlist=PQ_SHORTLIST,
+        train_iters=PQ_TRAIN_ITERS,
+        num_centroids=IVF_NCENT,
+        nprobe=IVF_NPROBE,
+    )
+
+
+def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the production composition (FAISS-style inverted
+    lists of PQ codes, by_residual=false): coarse cells prune the
+    candidate set ~IVF_NCENT/IVF_NPROBE-fold BEFORE any ADC work, the
+    compressed code index scores only probed-cell candidates, exact
+    cosine re-ranks the shortlist. See
+    operators/similarity.py::ann_ivfpq_topk for the 100 TB shape;
+    recall vs brute force is audited by sim_ivfpq_recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQUERY)
+    return S.ann_ivfpq_topk(
+        emb, queries, "vec_id", "embedding", **_ivfpq_kwargs()
+    )
+
+
+def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ recall measured in-engine against the exact brute-force
+    top-k (the sim_pq_recall audit pattern). The delta vs
+    sim_pq_recall's figure is exactly the cost of probing
+    IVF_NPROBE of IVF_NCENT cells — the recall/candidate-volume trade
+    a production deployment tunes with nprobe."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQUERY)
+    bf = S.ann_bruteforce_topk(emb, queries, "vec_id", "embedding", k=ANN_K)
+    ivfpq = S.ann_ivfpq_topk(
+        emb, queries, "vec_id", "embedding", **_ivfpq_kwargs()
+    )
+    found = bf.select("query_id", "neighbor_id").join(
+        ivfpq.select("query_id", "neighbor_id").withColumn("__f", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return found.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.coalesce(F.col("__f"), F.lit(0)))
+        .cast("long")
+        .alias("n_found"),
+        F.round(
+            F.sum(F.coalesce(F.col("__f"), F.lit(0))) / F.count(F.lit(1)), 6
+        ).alias("recall"),
+    )
+
+
+def q_text_surprisal_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BIGRAM-LM surprisal in exact integer bits — the
+    conditional-probability upgrade of text_surprisal (unigram): each
+    bigram instance (w1 w2) contributes
+    length(bin(count(w1 ·) DIV count(w1 w2))) — an exact integer log2
+    surrogate for -log P(w2 | w1) under the corpus bigram model. This
+    is the CCNet-style LM-perplexity quality filter in the repo's
+    all-integer parity formulation (order-independent, bit-identical
+    across engines — no libm).
+
+    Scale shape: the shared lead-window bigram gather (one keyed
+    shuffle), two corpus-frequency aggregates (map-side partials on
+    the bigram / prev-token keys), two equi-joins back, one per-doc
+    sum. Text never shuffles; everything after the gather carries
+    (doc_id, gram, count) rows only."""
+    docs = _t(spark, sf_dir, "documents")
+    bg = T.shingle_instances(docs, "doc_id", "text", 2)
+    bfreq = bg.groupBy("__sh").agg(F.count(F.lit(1)).alias("__cbg"))
+    prev = F.substring_index(F.col("__sh"), " ", 1)
+    pfreq = bg.select(prev.alias("__prev")).groupBy("__prev").agg(
+        F.count(F.lit(1)).alias("__cprev")
+    )
+    inst = (
+        bg.join(bfreq, "__sh")
+        .withColumn("__prev", prev)
+        .join(pfreq, "__prev")
+    )
+    bits = F.length(F.bin(F.expr("__cprev DIV __cbg")))
+    return inst.groupBy(F.col("__id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(bits).cast("long").alias("bigram_bits"),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -4668,6 +4762,54 @@ def q_s13_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def q_s19_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC JOIN ON THE ORACLE GATE: the streaming purchase
+    feed enriched against two BATCH dimension tables (nation → region,
+    broadcast) — the `prepare_messages` bulk-enrichment pattern
+    (reference `lib/broadway.ex` prepare_messages; batch twin
+    `p1_enrich`) in its streaming form. The static side is planned per
+    micro-batch as an ordinary broadcast hash join, so the drain is
+    STATELESS (no state store, no watermark) and a full availableNow
+    drain is exactly the batch join — the DuckDB twin is the plain
+    three-way join.
+
+    Scale shape: the canonical streaming-enrichment plan — the fact
+    stream never shuffles (dimensions broadcast), the only state is
+    the source offset log. At 100 TB this is the shape that keeps an
+    enrichment stage off the state store entirely."""
+    import uuid as _uuid
+
+    ev = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__nk"),
+        F.col("n_name").alias("nation"),
+        "n_regionkey",
+    )
+    region = _t(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region")
+    )
+    dim = nation.join(
+        region, F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("__nk", "nation", "region")
+    enriched = ev.join(
+        F.broadcast(dim), F.col("user_id") % 25 == F.col("__nk")
+    ).select("event_id", "user_id", "nation", "region", "value")
+    qname = f"s19_stream_static_enrich_{_uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise RuntimeError(f"{qname} did not drain in 240s")
+    return spark.table(qname)
+
+
 F2_N = 2000  # events through the rate-limited drain
 F2_ALLOWED = 512  # admission cap per trigger
 
@@ -6375,6 +6517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "sketch_cms_parts": q_sketch_cms_parts,
         "text_surprisal": q_text_surprisal,
+        "text_surprisal_bigram": q_text_surprisal_bigram,
         "h7_volume": q_h7_volume,
         "h2_min_cost": q_h2_min_cost,
         "sample_split": q_sample_split,
@@ -6432,6 +6575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_stateful_drain": q_s9_stateful_drain,
         "sim_ann_pq": q_sim_ann_pq,
         "sim_pq_recall": q_sim_pq_recall,
+        "sim_ann_ivfpq": q_sim_ann_ivfpq,
+        "sim_ivfpq_recall": q_sim_ivfpq_recall,
         "dedup_substring": q_dedup_substring,
         "s10_stream_dedup": q_s10_stream_dedup,
         "s11_stream_near_dedup": q_s11_stream_near_dedup,
@@ -6455,6 +6600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_restart_spool": q_f3_restart_spool,
         "l4_topology": q_l4_topology,
         "l5_spans": q_l5_spans,
+        "s19_stream_static_enrich": q_s19_stream_static_enrich,
     }
 
 
@@ -6479,6 +6625,7 @@ STREAMING_DRAINS = frozenset(
         "s17_restart_join",
         "s18_restart_stream_dedup",
         "f3_restart_spool",
+        "s19_stream_static_enrich",
     }
 )
 
@@ -6724,15 +6871,17 @@ WHERE n_won = {MINHASH_BANDS}
 """
 
 
-def _ann_pq_core() -> str:
-    """Shared CTE block computing the PQ top-k (scored → ranked).
-
-    Mirrors operators/similarity.py::ann_pq_topk CTE-for-dataframe,
-    including the PQ_TRAIN_ITERS per-subspace Lloyd rounds refining
-    the sampled codebook: assignment = exact-BIGINT argmin (lower code
-    wins ties), update = element-wise floor(CAST(sum AS DOUBLE)/count)
-    — the same parity convention as the emb_kmeans oracle."""
-    cos = V.cosine_similarity_sql("c.embedding", "q.embedding")
+def _pq_codes_core() -> str:
+    """Shared CTE block building the trained PQ code index: micro-unit
+    ROW form (mic/vrows), sampled codebook (crows0), PQ_TRAIN_ITERS
+    per-subspace Lloyd rounds (assignment = exact-BIGINT argmin, lower
+    code wins ties; update = element-wise
+    floor(CAST(sum AS DOUBLE)/count) — the emb_kmeans parity
+    convention), final distances (cd), corpus codes (codes) and query
+    ADC tables (qtab). Mirrors the shared helpers in
+    operators/similarity.py (_pq_rows/_pq_trained_codebook/_pq_encode)
+    CTE-for-dataframe; consumed by BOTH the flat-PQ and the IVF-PQ
+    oracles."""
     sub = 64 // PQ_M
     train = ""
     prev = "crows0"
@@ -6789,13 +6938,14 @@ codes AS (
 qtab AS (
   SELECT vec_id AS qid, m, code, d AS qd FROM cd
   WHERE vec_id < {ANN_NQUERY}
-),
-approx AS (
-  SELECT qt.qid AS query_id, c.vec_id AS neighbor_id, SUM(qt.qd) AS ad
-  FROM codes c JOIN qtab qt ON c.m = qt.m AND c.code = qt.code
-  WHERE qt.qid <> c.vec_id
-  GROUP BY qt.qid, c.vec_id
-),
+)"""
+
+
+def _pq_shortlist_tail() -> str:
+    """Shared shortlist → exact-cosine re-rank → top-k CTEs; expects
+    an ``approx(query_id, neighbor_id, ad)`` CTE upstream."""
+    cos = V.cosine_similarity_sql("c.embedding", "q.embedding")
+    return f"""
 short AS (
   SELECT query_id, neighbor_id FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
@@ -6818,10 +6968,99 @@ pq_topk AS (
 )"""
 
 
+def _ann_pq_core() -> str:
+    """Flat-PQ top-k CTE chain: brute-force ADC over every (query,
+    corpus) code pair, then the shared shortlist/re-rank tail.
+    Mirrors operators/similarity.py::ann_pq_topk CTE-for-dataframe."""
+    return f"""{_pq_codes_core()},
+approx AS (
+  SELECT qt.qid AS query_id, c.vec_id AS neighbor_id, SUM(qt.qd) AS ad
+  FROM codes c JOIN qtab qt ON c.m = qt.m AND c.code = qt.code
+  WHERE qt.qid <> c.vec_id
+  GROUP BY qt.qid, c.vec_id
+),{_pq_shortlist_tail()}"""
+
+
+def _ann_ivfpq_core() -> str:
+    """IVF-PQ top-k CTE chain, mirroring
+    operators/similarity.py::ann_ivfpq_topk CTE-for-dataframe: the
+    sim_ann_ivf coarse CTEs (cent/ca/qa — cells tie on 6dp cosine
+    desc, cid asc) generate probed-cell candidate pairs, ADC sums run
+    over candidates only, then the shared shortlist/re-rank tail."""
+    cell_cos = V.cosine_similarity_sql("e.embedding", "c.pv")
+    return f"""cent AS (
+  SELECT vec_id AS cid, embedding AS pv FROM embeddings
+  WHERE vec_id < {IVF_NCENT}
+),
+ca AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({cell_cos}, 6) DESC, c.cid ASC) AS rk
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rk = 1
+),
+qa AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({cell_cos}, 6) DESC, c.cid ASC) AS rk
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < {ANN_NQUERY}
+  ) WHERE rk <= {IVF_NPROBE}
+),
+{_pq_codes_core()},
+cand AS (
+  SELECT qa.query_id, ca.neighbor_id
+  FROM ca JOIN qa ON ca.cell = qa.cell
+  WHERE qa.query_id <> ca.neighbor_id
+),
+approx AS (
+  SELECT p.query_id, p.neighbor_id, SUM(qt.qd) AS ad
+  FROM cand p
+  JOIN codes c ON c.vec_id = p.neighbor_id
+  JOIN qtab qt ON qt.qid = p.query_id
+             AND qt.m = c.m AND qt.code = c.code
+  GROUP BY p.query_id, p.neighbor_id
+),{_pq_shortlist_tail()}"""
+
+
 def _ann_pq_oracle() -> str:
     return f"""
 WITH {_ann_pq_core()}
 SELECT query_id, neighbor_id, cos_sim, rank FROM pq_topk
+"""
+
+
+def _ann_ivfpq_oracle() -> str:
+    return f"""
+WITH {_ann_ivfpq_core()}
+SELECT query_id, neighbor_id, cos_sim, rank FROM pq_topk
+"""
+
+
+def _ivfpq_recall_oracle() -> str:
+    cos = V.cosine_similarity_sql("c.embedding", "q.embedding")
+    return f"""
+WITH {_ann_ivfpq_core()},
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round({cos}, 6) DESC, c.vec_id ASC) AS rank
+    FROM embeddings c CROSS JOIN
+         (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id < {ANN_NQUERY}) q
+    WHERE q.vec_id <> c.vec_id
+  ) WHERE rank <= {ANN_K}
+)
+SELECT count(*) AS n_true,
+       CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_found,
+       round(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM bf LEFT JOIN pq_topk p
+  ON bf.query_id = p.query_id AND bf.neighbor_id = p.neighbor_id
 """
 
 
@@ -7289,6 +7528,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_bruteforce": _ann_oracle(),
         "sim_ann_pq": _ann_pq_oracle(),
         "sim_pq_recall": _pq_recall_oracle(),
+        "sim_ann_ivfpq": _ann_ivfpq_oracle(),
+        "sim_ivfpq_recall": _ivfpq_recall_oracle(),
         # Ground truth directly (probe-independent): the quadratic
         # contains() join is the ORACLE's luxury at sf0.01; the engine
         # side is the indexed linear plan.
@@ -7336,6 +7577,14 @@ def oracle_sql() -> dict[str, str]:
         # Batch sessionization + the drain's final-watermark cutoff:
         # a session is emitted iff its end (last event + gap) is at or
         # below max(ts) - delay.
+        "s19_stream_static_enrich": """
+            SELECT e.event_id, e.user_id, n.n_name AS nation,
+                   r.r_name AS region, e.value
+            FROM events e
+            JOIN nation n ON e.user_id % 25 = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE e.event_type = 'purchase'
+        """,
         "s13_stream_sessions": f"""
             WITH o AS (
               SELECT user_id, ts, value, event_id,
@@ -8462,6 +8711,30 @@ def oracle_sql() -> dict[str, str]:
                      CAST((SELECT n FROM total) AS BIGINT) // f
                    ))) AS BIGINT) AS surprisal_bits
             FROM toks2 JOIN freq USING (tok)
+            GROUP BY doc_id""",
+        "text_surprisal_bigram": """
+            WITH d AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents
+            ), b0 AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, greatest(len(toks) - 1, 1)))
+                       AS i
+              FROM d
+            ), bt AS (
+              SELECT doc_id, concat_ws(' ', toks[i], toks[i + 1]) AS bg
+              FROM b0
+            ), bfreq AS (
+              SELECT bg, count(*) AS cbg FROM bt GROUP BY bg
+            ), pfreq AS (
+              SELECT split_part(bg, ' ', 1) AS prev, count(*) AS cprev
+              FROM bt GROUP BY 1
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(length(bin(cprev // cbg))) AS BIGINT)
+                     AS bigram_bits
+            FROM bt JOIN bfreq USING (bg)
+            JOIN pfreq ON split_part(bt.bg, ' ', 1) = pfreq.prev
             GROUP BY doc_id""",
         "text_quality_gopher": """
             WITH d AS (

@@ -149,6 +149,49 @@ def srp_bucket_sql(vec_expr: str, num_planes: int = 8, dim: int = 64, seed: int 
     return "(" + " + ".join(bits) + ")"
 
 
+def _ivf_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, num_centroids: int
+) -> DataFrame:
+    """Deterministic "sampled centroids" coarse quantizer: the first
+    ``num_centroids`` corpus vectors, pre-normed for cosine."""
+    return corpus.filter(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).cast("array<double>").alias("__pv"),
+        l2_norm(vec_col).alias("__pn"),
+    )
+
+
+def _ivf_assign(
+    side: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    vec_col: str,
+    id_alias: str,
+    keep_rank: int,
+) -> DataFrame:
+    """Assign each vector to its ``keep_rank`` nearest coarse cells —
+    one broadcast nested-loop against the (tiny) centroid set, ties on
+    (6dp cosine desc, cid asc) so the cells are engine-independent."""
+    s = side.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        l2_norm(vec_col).alias("__n"),
+    )
+    denom = F.col("__n") * F.col("__pn")
+    cos = F.when(
+        denom > 0, dot_product(F.col("__v"), F.col("__pv")) / denom
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy(id_alias).orderBy(
+        F.round(cos, 6).desc(), F.col("__cid").asc()
+    )
+    return (
+        s.crossJoin(F.broadcast(cent))
+        .withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= keep_rank)
+        .select(id_alias, "__v", "__n", F.col("__cid").alias("__cell"))
+    )
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -175,35 +218,10 @@ def ann_ivf_topk(
     6dp-rounded similarity so ranking is engine-independent.
     Returns (query_id, neighbor_id, cos_sim, rank).
     """
-    cent = corpus.filter(F.col(id_col) < num_centroids).select(
-        F.col(id_col).alias("__cid"),
-        F.col(vec_col).cast("array<double>").alias("__pv"),
-        l2_norm(vec_col).alias("__pn"),
-    )
-
-    def _assign(side: DataFrame, id_alias: str, keep_rank: int) -> DataFrame:
-        s = side.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).cast("array<double>").alias("__v"),
-            l2_norm(vec_col).alias("__n"),
-        )
-        denom = F.col("__n") * F.col("__pn")
-        cos = F.when(denom > 0, dot_product(F.col("__v"), F.col("__pv")) / denom).otherwise(
-            F.lit(0.0)
-        )
-        w = Window.partitionBy(id_alias).orderBy(
-            F.round(cos, 6).desc(), F.col("__cid").asc()
-        )
-        return (
-            s.crossJoin(F.broadcast(cent))
-            .withColumn("__crank", F.row_number().over(w))
-            .filter(F.col("__crank") <= keep_rank)
-            .select(id_alias, "__v", "__n", F.col("__cid").alias("__cell"))
-        )
-
-    c_assigned = _assign(corpus, "neighbor_id", 1)
+    cent = _ivf_centroids(corpus, id_col, vec_col, num_centroids)
+    c_assigned = _ivf_assign(corpus, cent, id_col, vec_col, "neighbor_id", 1)
     q_assigned = (
-        _assign(queries, "query_id", nprobe)
+        _ivf_assign(queries, cent, id_col, vec_col, "query_id", nprobe)
         .withColumnRenamed("__v", "__qv")
         .withColumnRenamed("__n", "__qn")
     )
@@ -290,6 +308,120 @@ def ann_lsh_topk(
     )
 
 
+def _pq_rows(
+    side: DataFrame, id_col: str, vec_col: str, alias: str, sub: int
+) -> DataFrame:
+    """ROW form of a vector column in integer micro-units: one row per
+    (id, component) with its subspace index ``__m``."""
+    micro = (
+        f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), "
+        f"x -> CAST(floor(x * 1000000) AS BIGINT))"
+    )
+    return side.select(
+        F.col(id_col).alias(alias),
+        F.posexplode(F.expr(micro)).alias("__pos", "__vm"),
+    ).withColumn("__m", F.expr(f"__pos DIV {sub}"))
+
+
+def _pq_subspace_dists(
+    rows: DataFrame, ida: str, codebook: DataFrame
+) -> DataFrame:
+    """Exact-BIGINT squared distance from every vector's subvector to
+    every codebook entry of that subspace — one broadcast join + one
+    (id, m, code) partial-agg shuffle."""
+    diff = F.col("__vm") - F.col("__cm")
+    return (
+        rows.join(F.broadcast(codebook), ["__pos", "__m"])
+        .groupBy(ida, "__m", "__code")
+        .agg(F.sum(diff * diff).alias("__d"))
+    )
+
+
+def _pq_trained_codebook(
+    vrows: DataFrame, crows: DataFrame, train_iters: int
+) -> DataFrame:
+    """Lloyd refinement, per subspace (all m subspaces train in the
+    same two dataframes per round): assignment = exact-BIGINT argmin
+    with the lower-code tiebreak; update = element-wise
+    floor(sum/count). Each round is one broadcast join
+    (m·num_codes·sub codebook rows — ~1k, always broadcastable) + two
+    partial-agg shuffles, the canonical distributed Lloyd's at n·m
+    assignment rows."""
+    for _ in range(train_iters):
+        t_assign = (
+            _pq_subspace_dists(vrows, "__vid", crows)
+            .groupBy("__vid", "__m")
+            .agg(F.min(F.struct("__d", "__code")).alias("__best"))
+            .select("__vid", "__m", F.col("__best.__code").alias("__code"))
+        )
+        crows = (
+            vrows.join(t_assign, ["__vid", "__m"])
+            .groupBy("__m", "__code", "__pos")
+            .agg(
+                F.floor(F.sum("__vm") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("__cm")
+            )
+        )
+    # The trained codebook feeds BOTH corpus encoding and the query ADC
+    # tables — materialize it so the train_iters-deep subtree (2 rounds
+    # = 4 shuffles over n·m rows) executes once, not once per consumer.
+    if train_iters > 0:
+        crows = materialize(crows, "pq_codebook")
+    return crows
+
+
+def _pq_encode(vrows: DataFrame, crows: DataFrame) -> DataFrame:
+    """Corpus encoding: per (vector, subspace) the argmin code."""
+    return (
+        _pq_subspace_dists(vrows, "__vid", crows)
+        .groupBy("__vid", "__m")
+        .agg(F.min(F.struct("__d", "__code")).alias("__best"))
+        .select("__vid", "__m", F.col("__best.__code").alias("__code"))
+    )
+
+
+def _pq_exact_rerank(
+    short: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact-cosine re-rank of a (__qid, __vid) shortlist: the query
+    side broadcasts, the corpus joins on id, ties break on
+    (6dp cosine desc, id asc)."""
+    q = queries.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+        l2_norm(vec_col).alias("__cn"),
+    )
+    scored = (
+        short.join(F.broadcast(q), "__qid")
+        .join(c, "__vid")
+        .withColumn("cos_sim", F.round(_cos_from_parts(), 6))
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("cos_sim").desc(), F.col("__vid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__vid").alias("neighbor_id"),
+            "cos_sim",
+            "rank",
+        )
+    )
+
+
 def ann_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -346,70 +478,18 @@ def ann_pq_topk(
     Returns (query_id, neighbor_id, cos_sim, rank).
     """
     sub = dim // m
-    micro = (
-        f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), "
-        f"x -> CAST(floor(x * 1000000) AS BIGINT))"
-    )
-
-    def _rows(side: DataFrame, alias: str) -> DataFrame:
-        return side.select(
-            F.col(id_col).alias(alias),
-            F.posexplode(F.expr(micro)).alias("__pos", "__vm"),
-        ).withColumn("__m", F.expr(f"__pos DIV {sub}"))
-
-    vrows = _rows(corpus, "__vid")
-    crows = _rows(corpus.filter(F.col(id_col) < num_codes), "__code").select(
-        "__code", "__pos", "__m", F.col("__vm").alias("__cm")
-    )
-
-    def _subspace_dists(rows: DataFrame, ida: str, codebook: DataFrame) -> DataFrame:
-        diff = F.col("__vm") - F.col("__cm")
-        return (
-            rows.join(F.broadcast(codebook), ["__pos", "__m"])
-            .groupBy(ida, "__m", "__code")
-            .agg(F.sum(diff * diff).alias("__d"))
-        )
-
-    # Lloyd refinement, per subspace (all m subspaces train in the same
-    # two dataframes per round): assignment = exact-BIGINT argmin with
-    # the lower-code tiebreak; update = element-wise floor(sum/count).
-    # Each round is one broadcast join (m·num_codes·sub codebook rows —
-    # ~1k, always broadcastable) + two partial-agg shuffles, the
-    # canonical distributed Lloyd's at n·m assignment rows.
-    for _ in range(train_iters):
-        t_assign = (
-            _subspace_dists(vrows, "__vid", crows)
-            .groupBy("__vid", "__m")
-            .agg(F.min(F.struct("__d", "__code")).alias("__best"))
-            .select("__vid", "__m", F.col("__best.__code").alias("__code"))
-        )
-        crows = (
-            vrows.join(t_assign, ["__vid", "__m"])
-            .groupBy("__m", "__code", "__pos")
-            .agg(
-                F.floor(F.sum("__vm") / F.count(F.lit(1)))
-                .cast("bigint")
-                .alias("__cm")
-            )
-        )
-
-    # The trained codebook feeds BOTH corpus encoding and the query ADC
-    # tables — materialize it so the train_iters-deep subtree (2 rounds
-    # = 4 shuffles over n·m rows) executes once, not once per consumer.
-    if train_iters > 0:
-        crows = materialize(crows, "pq_codebook")
+    vrows = _pq_rows(corpus, id_col, vec_col, "__vid", sub)
+    crows = _pq_rows(
+        corpus.filter(F.col(id_col) < num_codes), id_col, vec_col, "__code", sub
+    ).select("__code", "__pos", "__m", F.col("__vm").alias("__cm"))
+    crows = _pq_trained_codebook(vrows, crows, train_iters)
 
     # corpus encoding: per (vector, subspace) the argmin code
-    codes = (
-        _subspace_dists(vrows, "__vid", crows)
-        .groupBy("__vid", "__m")
-        .agg(F.min(F.struct("__d", "__code")).alias("__best"))
-        .select("__vid", "__m", F.col("__best.__code").alias("__code"))
-    )
+    codes = _pq_encode(vrows, crows)
     # query ADC tables: distance from each query subvector to each code
-    qtable = _subspace_dists(_rows(queries, "__qid"), "__qid", crows).select(
-        F.col("__qid"), "__m", "__code", F.col("__d").alias("__qd")
-    )
+    qtable = _pq_subspace_dists(
+        _pq_rows(queries, id_col, vec_col, "__qid", sub), "__qid", crows
+    ).select(F.col("__qid"), "__m", "__code", F.col("__d").alias("__qd"))
     approx = (
         codes.join(F.broadcast(qtable), ["__m", "__code"])
         .filter(F.col("__qid") != F.col("__vid"))
@@ -425,34 +505,98 @@ def ann_pq_topk(
         .select("__qid", "__vid")
     )
     # exact-cosine re-rank of the shortlist
-    q = queries.select(
-        F.col(id_col).alias("__qid"),
-        F.col(vec_col).cast("array<double>").alias("__qv"),
-        l2_norm(vec_col).alias("__qn"),
+    return _pq_exact_rerank(short, corpus, queries, id_col, vec_col, k)
+
+
+def ann_ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    num_codes: int = 16,
+    shortlist: int = 50,
+    train_iters: int = 2,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-PQ ANN — the production-scale composition (Jégou et al.,
+    TPAMI 2011 §V; the FAISS ``IVFPQ`` index with
+    ``by_residual=false``): an IVF coarse quantizer prunes the corpus
+    to the query's ``nprobe`` nearest cells, PQ asymmetric-distance
+    scoring ranks only those candidates from the compressed code
+    index, and the ``shortlist`` best are re-ranked with the exact
+    cosine.
+
+    Composition of the two audited parts, same determinism contracts:
+    cell assignment ties on (6dp cosine desc, cid asc) — the
+    ``ann_ivf_topk`` convention; codes are trained per-subspace
+    integer Lloyd's with exact-BIGINT ADC — the ``ann_pq_topk``
+    convention; shortlist ties on the lower id; re-rank on the
+    engine-standard 6dp cosine.
+
+    Scale shape — why THIS is the 100 TB ANN plan: the corpus is
+    scanned once for cell assignment (broadcast NLJ against
+    ``num_centroids`` rows) and once for encoding (broadcast join +
+    one (id, m) partial agg); at rest the index is n·m one-byte-ish
+    code rows + n cell ids ≈ 30×+ compression. Per query batch the
+    probed-cell candidate join prunes ~num_centroids/nprobe-fold
+    BEFORE any scoring (the join that makes brute-force ADC over n·m
+    rows unnecessary), the ADC aggregate shuffles only
+    candidate·m rows keyed (query, id), and the exact re-rank touches
+    shortlist·q vectors. Recall is audited in-engine by
+    ``sim_ivfpq_recall``.
+    Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    # coarse quantizer: assign corpus vectors to 1 cell, probe nprobe
+    cent = _ivf_centroids(corpus, id_col, vec_col, num_centroids)
+    ca = _ivf_assign(corpus, cent, id_col, vec_col, "__vid", 1).select(
+        "__vid", "__cell"
     )
-    c = corpus.select(
-        F.col(id_col).alias("__vid"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
-        l2_norm(vec_col).alias("__cn"),
+    qa = _ivf_assign(queries, cent, id_col, vec_col, "__qid", nprobe).select(
+        "__qid", "__cell"
     )
-    scored = (
-        short.join(F.broadcast(q), "__qid")
-        .join(c, "__vid")
-        .withColumn("cos_sim", F.round(_cos_from_parts(), 6))
+
+    # PQ code index + trained codebook (whole-corpus training, raw
+    # vectors — the by_residual=false variant keeps ADC tables
+    # query-only and the oracle CTE-for-CTE with ann_pq_topk)
+    sub = dim // m
+    vrows = _pq_rows(corpus, id_col, vec_col, "__vid", sub)
+    crows = _pq_rows(
+        corpus.filter(F.col(id_col) < num_codes), id_col, vec_col, "__code", sub
+    ).select("__code", "__pos", "__m", F.col("__vm").alias("__cm"))
+    crows = _pq_trained_codebook(vrows, crows, train_iters)
+    codes = _pq_encode(vrows, crows)
+    qtable = _pq_subspace_dists(
+        _pq_rows(queries, id_col, vec_col, "__qid", sub), "__qid", crows
+    ).select(F.col("__qid"), "__m", "__code", F.col("__d").alias("__qd"))
+
+    # candidate pruning: (query, candidate) pairs sharing a probed cell
+    # — each pair appears at most once (a candidate's cell is unique)
+    cand = (
+        ca.join(F.broadcast(qa), "__cell")
+        .filter(F.col("__qid") != F.col("__vid"))
+        .select("__qid", "__vid")
     )
-    w = Window.partitionBy("__qid").orderBy(
-        F.col("cos_sim").desc(), F.col("__vid").asc()
+    # ADC over the pruned candidates only: candidate·m code rows join
+    # the broadcast distance tables, one (query, id) partial agg
+    approx = (
+        cand.join(codes, "__vid")
+        .join(F.broadcast(qtable), ["__qid", "__m", "__code"])
+        .groupBy("__qid", "__vid")
+        .agg(F.sum("__qd").alias("__approx"))
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("__qid").alias("query_id"),
-            F.col("__vid").alias("neighbor_id"),
-            "cos_sim",
-            "rank",
-        )
+    wshort = Window.partitionBy("__qid").orderBy(
+        F.col("__approx").asc(), F.col("__vid").asc()
     )
+    short = (
+        approx.withColumn("__srank", F.row_number().over(wshort))
+        .filter(F.col("__srank") <= shortlist)
+        .select("__qid", "__vid")
+    )
+    return _pq_exact_rerank(short, corpus, queries, id_col, vec_col, k)
 
 
 def kmeans_clusters(

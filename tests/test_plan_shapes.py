@@ -375,7 +375,9 @@ def test_no_unguarded_cartesian_in_any_query(spark):
         "sim_ann_bruteforce",
         "sim_range_search",
         "sim_ann_ivf",
+        "sim_ann_ivfpq",  # broadcast centroid side (cell assignment)
         "sim_pq_recall",  # embeds the brute-force ground truth
+        "sim_ivfpq_recall",  # brute-force ground truth + centroids
         "dedup_embedding",
         # 1-row scalar-threshold broadcasts
         "text_tfidf",
