@@ -5410,6 +5410,104 @@ def q_ds3_returns_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 13-event telemetry catalogue — become hash-checked registry rows.
 
 
+def q_ds6_channel_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS-q51-style cumulative channel race: per ship month, the
+    running (cumulative) web net versus store net and a web_ahead
+    flag — REFORMULATED Spark-first: q51's web⋈store FULL OUTER JOIN
+    of two windowed series collapses into ONE conditional aggregation
+    (per-month web/store columns) plus one window pass computing both
+    running sums — no join, no second fact scan, no NULL-patching.
+
+    Exactness: nets stay DECIMAL through the monthly aggregate AND the
+    running sums; the web_ahead comparison is decimal-exact (no float
+    boundary), rounding to double happens only in the output columns.
+
+    Scale shape: one fact scan + the orders channel join (shuffle on
+    orderkey), one partial-agg shuffle down to ~84 month rows; the
+    unpartitioned cumulative window runs over those ~84 GROUP rows,
+    never fact rows (the ds5 lag convention)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    signed = F.when(F.col("l_returnflag") == "R", -_dp()).otherwise(_dp())
+    rows = li.select(
+        "l_orderkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        signed.alias("net"),
+    ).join(
+        orders.select("o_orderkey", _channel().alias("channel")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    m = rows.groupBy("ship_month").agg(
+        F.sum(
+            F.when(F.col("channel") == "web", F.col("net")).otherwise(zero)
+        ).alias("web_net"),
+        F.sum(
+            F.when(F.col("channel") == "store", F.col("net")).otherwise(zero)
+        ).alias("store_net"),
+    )
+    w = Window.orderBy("ship_month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_web = F.sum("web_net").over(w)
+    cum_store = F.sum("store_net").over(w)
+    return m.select(
+        "ship_month",
+        F.round(cum_web.cast("double"), 2).alias("cum_web"),
+        F.round(cum_store.cast("double"), 2).alias("cum_store"),
+        (cum_web > cum_store).cast("int").alias("web_ahead"),
+    )
+
+
+def q_ds7_channel_exclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS-q35/q69-style cross-channel existence cohort: per nation, the
+    customers who order on the WEB channel but never in STORE — with
+    their web order count and decimal-exact web spend. REFORMULATED
+    Spark-first: the textbook EXISTS(web) AND NOT EXISTS(store)
+    correlated pair (two extra fact scans + two semi/anti shuffles)
+    collapses into ONE orders scan aggregated per customer with
+    conditional channel counts, then a plain filter n_web > 0 AND
+    n_store = 0 — the existence test becomes a predicate on the
+    aggregate.
+
+    Scale shape: one orders scan, one (custkey) partial-agg shuffle,
+    one shuffle join to customer, broadcast nation, final ~25-group
+    aggregate. j3_semi_anti keeps the literal semi/anti plan on the
+    gate; this is the scan-once alternative for multi-channel
+    existence."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    zero = F.lit(0).cast("decimal(18,2)")
+    ch = _channel()
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(ch == "web", 1).otherwise(0)).alias("n_web"),
+        F.sum(F.when(ch == "store", 1).otherwise(0)).alias("n_store"),
+        F.sum(
+            F.when(
+                ch == "web", F.col("o_totalprice").cast("decimal(18,2)")
+            ).otherwise(zero)
+        ).alias("web_spend"),
+    )
+    excl = per_cust.filter((F.col("n_web") > 0) & (F.col("n_store") == 0))
+    return (
+        excl.join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_web").cast("long").alias("web_orders"),
+            F.round(F.sum("web_spend").cast("double"), 2).alias("web_spend"),
+        )
+    )
+
+
 def q_l4_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4 INTROSPECTION ON THE ORACLE GATE: Broadway.topology/1 parity
     (broadway.ex:1184-1276) — a representative pipeline's compiled
@@ -6596,6 +6694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds3_returns_cohort": q_ds3_returns_cohort,
         "ds4_top_channel_years": q_ds4_top_channel_years,
         "ds5_channel_yoy": q_ds5_channel_yoy,
+        "ds6_channel_cumulative": q_ds6_channel_cumulative,
+        "ds7_channel_exclusive": q_ds7_channel_exclusive,
         "s18_restart_stream_dedup": q_s18_restart_stream_dedup,
         "f3_restart_spool": q_f3_restart_spool,
         "l4_topology": q_l4_topology,
@@ -9822,4 +9922,49 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(prev AS DOUBLE), 2) AS prev_net_amt,
                    round(CAST(net - prev AS DOUBLE), 2) AS delta_amt
             FROM lagged"""
+    sql["ds6_channel_cumulative"] = f"""
+            WITH r AS (
+              SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                     CASE WHEN l_returnflag = 'R' THEN -({_DP_SQL})
+                          ELSE {_DP_SQL} END AS net,
+                     {_CHANNEL_SQL} AS channel
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ), m AS (
+              SELECT ship_month,
+                     SUM(CASE WHEN channel = 'web' THEN net
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS web_net,
+                     SUM(CASE WHEN channel = 'store' THEN net
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS store_net
+              FROM r GROUP BY ship_month
+            )
+            SELECT ship_month,
+                   round(CAST(SUM(web_net) OVER w AS DOUBLE), 2) AS cum_web,
+                   round(CAST(SUM(store_net) OVER w AS DOUBLE), 2)
+                     AS cum_store,
+                   CAST(SUM(web_net) OVER w > SUM(store_net) OVER w AS INT)
+                     AS web_ahead
+            FROM m
+            WINDOW w AS (ORDER BY ship_month ROWS UNBOUNDED PRECEDING)"""
+    sql["ds7_channel_exclusive"] = f"""
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     SUM(CASE WHEN ch = 'web' THEN 1 ELSE 0 END) AS n_web,
+                     SUM(CASE WHEN ch = 'store' THEN 1 ELSE 0 END)
+                       AS n_store,
+                     SUM(CASE WHEN ch = 'web'
+                              THEN CAST(o_totalprice AS DECIMAL(18,2))
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS web_spend
+              FROM (SELECT o_custkey, o_totalprice,
+                           {_CHANNEL_SQL} AS ch
+                    FROM orders)
+              GROUP BY o_custkey
+            )
+            SELECT n.n_name AS nation, count(*) AS n_customers,
+                   CAST(SUM(n_web) AS BIGINT) AS web_orders,
+                   round(CAST(SUM(web_spend) AS DOUBLE), 2) AS web_spend
+            FROM per_cust p
+            JOIN customer c ON p.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE n_web > 0 AND n_store = 0
+            GROUP BY n.n_name"""
     return sql
