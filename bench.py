@@ -64,6 +64,12 @@ def main() -> None:
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     spark = get_spark("broadway-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Pin the events-ts legacy conf BEFORE any fingerprinting: the
+    # streaming drains set it session-globally mid-suite, and the ts
+    # cast chain (hence the plan fingerprint) of every later events
+    # query depends on it — pinning makes fingerprints independent of
+    # suite order. (_t normalizes either way; results are identical.)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     qs = entrymod.queries()
     # Warm the JVM + parquet footer caches once with the cheapest query

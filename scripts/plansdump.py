@@ -103,6 +103,23 @@ HEADLINERS = {
         "and one partial-agg shuffle — never one scan per grouping "
         "set; the post-union orders join runs once."
     ),
+    "sim_ann_ivfpq": (
+        "IVF-PQ (r6): the production ANN composition — coarse cells "
+        "prune candidates ~num_centroids/nprobe-fold with a broadcast "
+        "NLJ against the tiny centroid set BEFORE any ADC work; the "
+        "pruned candidate pairs join the compressed n·m code index "
+        "and the broadcast query distance tables, so the ADC "
+        "aggregate shuffles candidate·m rows keyed (query, id) — not "
+        "corpus·m; exact-cosine re-rank touches shortlist·q vectors. "
+        "At rest the index is codes + cell ids ≈ 30×+ compression."
+    ),
+    "ds6_channel_cumulative": (
+        "DS-q51 without the full-outer join: ONE conditional "
+        "aggregation produces per-month web/store columns, then a "
+        "single window pass computes both running sums over ~84 "
+        "GROUP rows — no second fact scan, no NULL-patching, "
+        "decimal-exact comparison."
+    ),
 }
 
 

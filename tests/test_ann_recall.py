@@ -35,6 +35,49 @@ def test_lsh_and_ivf_recall_vs_bruteforce(spark):
     assert ivf_recall >= 0.75, f"IVF recall collapsed: {ivf_recall:.2f}"
 
 
+def test_ivfpq_recall_and_cell_containment(spark):
+    """IVF-PQ (r6): recall floor vs brute force, plus the structural
+    invariant that makes it IVF — every returned neighbor must live in
+    one of the query's nprobe probed cells (computed independently via
+    the shared coarse-assignment helper). A violation means candidate
+    generation leaked outside the inverted lists."""
+    from pyspark.sql import functions as F
+
+    from broadway_spark.operators.similarity import (
+        _ivf_assign,
+        _ivf_centroids,
+    )
+
+    truth = _result_pairs(entry.q_sim_ann_bruteforce(spark, SF))
+    ivfpq = _result_pairs(entry.q_sim_ann_ivfpq(spark, SF))
+    recall = len(ivfpq & truth) / len(truth)
+    # measured 0.92 at sf0.01 (trained codebooks); floor with headroom
+    assert recall >= 0.75, f"IVF-PQ recall collapsed: {recall:.2f}"
+
+    emb = entry._t(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < entry.ANN_NQUERY)
+    cent = _ivf_centroids(emb, "vec_id", "embedding", entry.IVF_NCENT)
+    cell_of = {
+        r["__vid"]: r["__cell"]
+        for r in _ivf_assign(emb, cent, "vec_id", "embedding", "__vid", 1)
+        .select("__vid", "__cell")
+        .collect()
+    }
+    probed: dict = {}
+    for r in (
+        _ivf_assign(
+            queries, cent, "vec_id", "embedding", "__qid", entry.IVF_NPROBE
+        )
+        .select("__qid", "__cell")
+        .collect()
+    ):
+        probed.setdefault(r["__qid"], set()).add(r["__cell"])
+    for qid, nid in ivfpq:
+        assert cell_of[nid] in probed[qid], (
+            f"neighbor {nid} of query {qid} outside probed cells"
+        )
+
+
 def test_kmeans_empty_input_raises_and_small_k_degrades(spark):
     """ADVICE r3 (low): empty input must raise a clear ValueError, not
     IndexError; fewer distinct ids than k yields that many singleton
