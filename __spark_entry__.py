@@ -6511,6 +6511,372 @@ def q_s18_restart_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------
+# Round 7: graph analytics (degree-ordered triangle counting), DS q88/
+# q67 relational shapes, readability quality signals, and the
+# foreachBatch idempotent streaming-upsert sink shape.
+
+
+TRI_TOPK = 10  # ranked vertices reported by graph_triangles
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle counting over the parts-co-ordered-
+    together graph (vertices = parts, edge iff two parts appear in the
+    same order): global vertex/edge/triangle counts plus the TRI_TOPK
+    parts ranked by triangle participation — the co-occurrence-motif
+    pass a dataset curation pipeline runs to find tightly-clustered
+    near-boilerplate groups.
+
+    Spark-first shape (Suri & Vassilvitskii WWW'11 / Schank-Wagner):
+    every edge is ORIENTED from its lower-(degree, id) endpoint before
+    the wedge self-join, so a hub of degree d generates O(d_out²)
+    wedges with d_out bounded by the graph's degeneracy — NOT the
+    O(d²) a naive adjacency self-join pays on skewed degree
+    distributions. Wedge closure is one equi-join against the
+    canonical edge set. Edge construction pairs parts within an
+    order (bounded fan-out: order size ≤ a small constant in this
+    schema), then dedups — one (orderkey) shuffle plus one (u, v)
+    distinct. The triangle SET is orientation-invariant, so the
+    id-ordered DuckDB twin is implementation-independent ground
+    truth.
+
+    Plan notes (measured at sf0.1: 860k edges, ~1.9M triangles):
+    the edge set feeds five consumers (degree count twice,
+    orientation, closure, edge total) — materialized once, the
+    persist|staging barrier. Both fat joins carry SHUFFLE_HASH
+    hints: sort-merge would sort the ~18M-row wedge fan-out, and
+    sorting is pure overhead for a join whose build sides (oriented
+    edges, canonical edges) hash-fit per partition — measured 21→9 s.
+    The triangle total is derived from the per-vertex counts
+    (Σn/3), not a second pass over the triangle subtree (union
+    branches don't share subtrees in Catalyst)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pp = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    e = materialize(
+        pp.alias("a")
+        .join(
+            pp.alias("b"),
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct(),
+        "tri_edges",
+    )
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(
+            oriented.alias("e2").hint("shuffle_hash"),
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    tri = wedges.join(
+        e.hint("shuffle_hash"),
+        (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")),
+    ).select("a", "b", "c")
+    pv = materialize(
+        tri.select(F.explode(F.array("a", "b", "c")).alias("x"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "tri_vertex_counts",
+    )
+    wtop = Window.orderBy(F.col("n").desc(), F.col("x"))
+    topk = (
+        pv.withColumn("rk", F.row_number().over(wtop).cast("int"))
+        .filter(F.col("rk") <= TRI_TOPK)
+        .select(
+            F.lit("vertex").alias("kind"),
+            F.col("x").alias("pk"),
+            F.col("n").cast("long").alias("n"),
+            "rk",
+        )
+    )
+    zero = F.lit(0).cast("int")
+    totals = (
+        pv.agg((F.sum("n") / 3).cast("long").alias("c"))
+        .select(
+            F.lit("triangles").alias("kind"),
+            F.lit(-1).cast("long").alias("pk"),
+            F.col("c").alias("n"),
+            zero.alias("rk"),
+        )
+        .unionAll(
+            e.agg(F.count(F.lit(1)).alias("c")).select(
+                F.lit("edges").alias("kind"),
+                F.lit(-1).cast("long").alias("pk"),
+                F.col("c").cast("long").alias("n"),
+                zero.alias("rk"),
+            )
+        )
+        .unionAll(
+            pp.select("pk")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                F.lit("vertices").alias("kind"),
+                F.lit(-1).cast("long").alias("pk"),
+                F.col("c").cast("long").alias("n"),
+                zero.alias("rk"),
+            )
+        )
+    )
+    return topk.unionAll(totals)
+
+
+DS8_BAND_HOURS = 3  # eight contiguous 3-hour bands cover the day
+
+
+def q_ds8_time_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS-q88-style time-band census: per event type, the row count in
+    each of eight 3-hour time-of-day bands plus the daily total — in
+    ONE scan. REFORMULATED Spark-first: the textbook q88 is eight
+    separate scalar subqueries (eight fact scans + a cross join of the
+    eight 1-row results); here each band is a conditional aggregate
+    over the same scan, so the plan is scan → partial agg → one
+    ~5-group exchange.
+
+    Scale shape: the single-pass multi-predicate census — 8 bands or
+    80, it stays one fact scan with map-side partials; no repeated
+    reads, nothing to broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.hour("ts")
+    bands = [
+        F.sum(
+            F.when(
+                (h >= DS8_BAND_HOURS * i) & (h < DS8_BAND_HOURS * (i + 1)), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"band_h{DS8_BAND_HOURS * i:02d}")
+        for i in range(8)
+    ]
+    return ev.groupBy("event_type").agg(
+        *bands, F.count(F.lit(1)).alias("n_total")
+    )
+
+
+DS9_TOPK = 5  # ranked rows kept per rollup level
+
+
+def q_ds9_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS-q67-style rollup + per-level top-k: revenue ROLLUP over
+    (brand, ship_year), then the DS9_TOPK best rows WITHIN EACH
+    grouping level by a window rank — the 'best sellers at every
+    granularity' report. One Expand feeds one partial-agg shuffle
+    (the rollup), one window pass ranks the ~few-hundred GROUP rows;
+    the part dimension is broadcast so the fact scan never shuffles
+    before aggregation.
+
+    Exactness: revenue stays DECIMAL through the rollup and the rank
+    ordering (ties broken on (brand, year) with NULL sentinels);
+    doubles only in the output column."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rows = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.year("l_shipdate").alias("ship_year"),
+        _dp().alias("net"),
+    )
+    agg = rows.rollup("brand", "ship_year").agg(F.sum("net").alias("net"))
+    lvl = (
+        F.when(F.col("brand").isNull() & F.col("ship_year").isNull(), 2)
+        .when(F.col("ship_year").isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    leveled = agg.withColumn("lvl", lvl)
+    w = Window.partitionBy("lvl").orderBy(
+        F.col("net").desc(),
+        F.coalesce(F.col("brand"), F.lit("")),
+        F.coalesce(F.col("ship_year"), F.lit(-1)),
+    )
+    return (
+        leveled.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= DS9_TOPK)
+        .select(
+            "lvl",
+            "brand",
+            "ship_year",
+            F.round(F.col("net").cast("double"), 2).alias("net_amt"),
+            "rk",
+        )
+    )
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability quality signal, integer-exact: per document the
+    word count, the vowel-cluster syllable proxy (count of maximal
+    [aeiouy]+ runs — the deterministic stand-in for dictionary
+    syllabification), syllables-per-100-words by INTEGER floor
+    division (no float path anywhere), and a three-way difficulty
+    band — the cheap complexity gate a corpus-filtering pipeline
+    applies before expensive model-based scoring.
+
+    Scale shape: pure per-row codegen expressions (split + regexp
+    count + arithmetic), zero shuffles, zero Python; the filter
+    composes with any downstream predicate pushdown."""
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    n_syll = F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0)))
+    out = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_syll.cast("long").alias("n_syllables"),
+    ).withColumn(
+        "syl_per_100w",
+        F.expr("CAST((100 * n_syllables) DIV n_words AS BIGINT)"),
+    )
+    band = (
+        F.when(F.col("syl_per_100w") < 130, "easy")
+        .when(F.col("syl_per_100w") < 170, "medium")
+        .otherwise("hard")
+    )
+    return out.withColumn("band", band)
+
+
+S20_BUCKETS = 8  # target-table partitions; only touched buckets rewrite
+
+
+def q_s20_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING UPSERT SINK ON THE ORACLE GATE — the foreachBatch
+    exactly-once merge shape: the staged event stream folds per-user
+    purchase aggregates into a bucket-partitioned parquet target,
+    micro-batch by micro-batch. Each batch (1) aggregates its own
+    rows, (2) reads back ONLY the target buckets it touches, (3)
+    re-aggregates the union, (4) stages the merged buckets to a
+    scratch dir, then (5) publishes by directory swap — the
+    write-audit-publish pattern; an applied-batch journal makes
+    checkpoint replays no-ops. The final table equals the batch
+    aggregate regardless of how the file source packed files into
+    batches (merge is associative, sums decimal-exact).
+
+    Scale shape: per batch the work is O(batch + touched buckets),
+    never O(table) — the property that makes streaming upsert viable
+    when the target is 100 TB and a trigger touches a sliver of it.
+    At cluster scale the directory swap becomes the table format's
+    atomic commit (Iceberg/Delta snapshot); the journal marker is
+    written after publish, so the crash window between publish and
+    marker re-publishes idempotent content rather than double-merging
+    (re-publish replaces the same buckets with identical bytes)."""
+    import os
+    import shutil as _shutil
+    import tempfile
+
+    watch, schema, _n = _stage_event_files(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="bw_s20_")
+    target = os.path.join(base, "target")
+    journal = os.path.join(base, "applied")
+    ckpt = os.path.join(base, "ckpt")
+    staging = os.path.join(base, "staging")
+    os.makedirs(target)
+    os.makedirs(journal)
+
+    dec = "decimal(18,2)"
+
+    def upsert(batch_df, batch_id):
+        marker = os.path.join(journal, f"{batch_id}.done")
+        if os.path.exists(marker):  # checkpoint replay → no-op
+            return
+        part = (
+            batch_df.filter(F.col("event_type") == "purchase")
+            .groupBy(
+                (F.col("user_id") % S20_BUCKETS).alias("bucket"), "user_id"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast(dec)).cast(dec).alias("spend"),
+            )
+        )
+        affected = sorted(
+            r["bucket"] for r in part.select("bucket").distinct().collect()
+        )
+        if not affected:
+            open(marker, "w").close()
+            return
+        existing = [
+            b for b in affected
+            if os.path.isdir(os.path.join(target, f"bucket={b}"))
+        ]
+        merged = part
+        if existing:
+            cur = spark.read.parquet(
+                *[os.path.join(target, f"bucket={b}") for b in existing]
+            ).withColumn(
+                "bucket", (F.col("user_id") % S20_BUCKETS).cast("long")
+            )
+            merged = part.unionByName(cur)
+        merged = (
+            merged.groupBy("bucket", "user_id")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("spend").cast(dec).alias("spend"),
+            )
+        )
+        stage = os.path.join(staging, f"b{batch_id}")
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+        for b in affected:
+            dst = os.path.join(target, f"bucket={b}")
+            src = os.path.join(stage, f"bucket={b}")
+            if os.path.isdir(dst):
+                _shutil.rmtree(dst)
+            if os.path.isdir(src):
+                _shutil.move(src, dst)
+        _shutil.rmtree(stage, ignore_errors=True)
+        open(marker, "w").close()
+
+    with _pinned_state_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(watch)
+            .select("user_id", "event_type", "value")
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(240):
+                raise RuntimeError("s20 upsert drain did not finish in 240s")
+        finally:
+            if q.isActive:
+                q.stop()
+    return spark.read.parquet(target).select(
+        "user_id",
+        F.col("n").alias("n_purchases"),
+        F.round(F.col("spend").cast("double"), 2).alias("spend"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan": q_s1_scan,
@@ -6701,6 +7067,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l4_topology": q_l4_topology,
         "l5_spans": q_l5_spans,
         "s19_stream_static_enrich": q_s19_stream_static_enrich,
+        "graph_triangles": q_graph_triangles,
+        "ds8_time_bands": q_ds8_time_bands,
+        "ds9_rollup_topk": q_ds9_rollup_topk,
+        "text_readability": q_text_readability,
+        "s20_stream_upsert": q_s20_stream_upsert,
     }
 
 
@@ -6726,6 +7097,7 @@ STREAMING_DRAINS = frozenset(
         "s18_restart_stream_dedup",
         "f3_restart_spool",
         "s19_stream_static_enrich",
+        "s20_stream_upsert",
     }
 )
 
@@ -9967,4 +10339,101 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             WHERE n_web > 0 AND n_store = 0
             GROUP BY n.n_name"""
+    sql["graph_triangles"] = f"""
+            WITH pp AS (
+              SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+              FROM lineitem
+            ),
+            e AS (
+              SELECT DISTINCT a.pk AS u, b.pk AS v
+              FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+            ),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1
+              JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ),
+            pv AS (
+              SELECT x, count(*) AS n FROM (
+                SELECT a AS x FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+              ) GROUP BY x
+            ),
+            topk AS (
+              SELECT x, n,
+                     CAST(row_number() OVER (ORDER BY n DESC, x) AS INT)
+                       AS rk
+              FROM pv
+            )
+            SELECT 'vertex' AS kind, x AS pk, CAST(n AS BIGINT) AS n, rk
+            FROM topk WHERE rk <= {TRI_TOPK}
+            UNION ALL
+            SELECT 'triangles', CAST(-1 AS BIGINT),
+                   (SELECT count(*) FROM tri), 0
+            UNION ALL
+            SELECT 'edges', CAST(-1 AS BIGINT), (SELECT count(*) FROM e), 0
+            UNION ALL
+            SELECT 'vertices', CAST(-1 AS BIGINT),
+                   (SELECT count(DISTINCT pk) FROM pp), 0"""
+    _band_cols = ",\n                   ".join(
+        f"CAST(count(*) FILTER (WHERE hour(ts) >= {DS8_BAND_HOURS * i}"
+        f" AND hour(ts) < {DS8_BAND_HOURS * (i + 1)}) AS BIGINT)"
+        f" AS band_h{DS8_BAND_HOURS * i:02d}"
+        for i in range(8)
+    )
+    sql["ds8_time_bands"] = f"""
+            SELECT event_type,
+                   {_band_cols},
+                   count(*) AS n_total
+            FROM events GROUP BY event_type"""
+    sql["ds9_rollup_topk"] = f"""
+            WITH agg AS (
+              SELECT p_brand AS brand, year(l_shipdate) AS ship_year,
+                     SUM({_DP_SQL}) AS net
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY ROLLUP(brand, ship_year)
+            ),
+            leveled AS (
+              SELECT *,
+                     CAST(CASE WHEN brand IS NULL AND ship_year IS NULL
+                               THEN 2
+                               WHEN ship_year IS NULL THEN 1
+                               ELSE 0 END AS INT) AS lvl
+              FROM agg
+            )
+            SELECT lvl, brand, CAST(ship_year AS INT) AS ship_year,
+                   round(CAST(net AS DOUBLE), 2) AS net_amt, rk
+            FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY lvl
+                       ORDER BY net DESC, coalesce(brand, ''),
+                                coalesce(ship_year, -1)) AS INT) AS rk
+              FROM leveled
+            ) WHERE rk <= {DS9_TOPK}"""
+    sql["text_readability"] = """
+            WITH base AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT)
+                       AS n_words,
+                     CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       AS BIGINT) AS n_syllables
+              FROM documents
+            ),
+            scored AS (
+              SELECT *, CAST((100 * n_syllables) // n_words AS BIGINT)
+                       AS syl_per_100w
+              FROM base
+            )
+            SELECT doc_id, n_words, n_syllables, syl_per_100w,
+                   CASE WHEN syl_per_100w < 130 THEN 'easy'
+                        WHEN syl_per_100w < 170 THEN 'medium'
+                        ELSE 'hard' END AS band
+            FROM scored"""
+    sql["s20_stream_upsert"] = """
+            SELECT user_id, count(*) AS n_purchases,
+                   round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+                         2) AS spend
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id"""
     return sql
