@@ -6766,45 +6766,44 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 S20_BUCKETS = 8  # target-table partitions; only touched buckets rewrite
 
 
-def q_s20_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING UPSERT SINK ON THE ORACLE GATE — the foreachBatch
-    exactly-once merge shape: the staged event stream folds per-user
-    purchase aggregates into a bucket-partitioned parquet target,
-    micro-batch by micro-batch. Each batch (1) aggregates its own
-    rows, (2) reads back ONLY the target buckets it touches, (3)
-    re-aggregates the union, (4) stages the merged buckets to a
-    scratch dir, then (5) publishes by directory swap — the
-    write-audit-publish pattern; an applied-batch journal makes
-    checkpoint replays no-ops. The final table equals the batch
-    aggregate regardless of how the file source packed files into
-    batches (merge is associative, sums decimal-exact).
+def _manifest_upsert_sink(spark: SparkSession, target: str):
+    """A miniature snapshot table for foreachBatch streaming upsert:
+    bucket-partitioned parquet versions committed through ONE
+    atomically-replaced manifest.json — the Iceberg/Delta commit
+    protocol in file-system form.
 
-    Scale shape: per batch the work is O(batch + touched buckets),
-    never O(table) — the property that makes streaming upsert viable
-    when the target is 100 TB and a trigger touches a sliver of it.
-    At cluster scale the directory swap becomes the table format's
-    atomic commit (Iceberg/Delta snapshot); the journal marker is
-    written after publish, so the crash window between publish and
-    marker re-publishes idempotent content rather than double-merging
-    (re-publish replaces the same buckets with identical bytes)."""
+    Exactly-once argument: the manifest records (last_batch, bucket →
+    version-dir). A batch (1) skips if manifest.last_batch >= its id
+    (checkpoint replay), (2) merges its per-key aggregates with the
+    CURRENT version of only the buckets it touches, (3) writes the
+    merged buckets to NEW version dirs named by batch id, (4) commits
+    by os.replace of the manifest — the single atomic step. A crash
+    before (4) leaves the old manifest intact, so the replay re-reads
+    the OLD bucket versions and re-stages; orphan version dirs from
+    the failed attempt are simply overwritten. There is no window in
+    which a replay can double-merge — the flaw of the naive
+    publish-then-marker directory swap, where a crash between swap
+    and marker makes the replay merge into already-merged data.
+    Superseded versions are pruned after commit (best-effort: the
+    manifest no longer references them).
+
+    Returns (upsert_fn, read_current_fn)."""
+    import json as _json
     import os
     import shutil as _shutil
-    import tempfile
-
-    watch, schema, _n = _stage_event_files(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="bw_s20_")
-    target = os.path.join(base, "target")
-    journal = os.path.join(base, "applied")
-    ckpt = os.path.join(base, "ckpt")
-    staging = os.path.join(base, "staging")
-    os.makedirs(target)
-    os.makedirs(journal)
 
     dec = "decimal(18,2)"
+    manifest_path = os.path.join(target, "manifest.json")
+
+    def _read_manifest() -> dict:
+        if not os.path.exists(manifest_path):
+            return {"last_batch": -1, "buckets": {}}
+        with open(manifest_path) as fh:
+            return _json.load(fh)
 
     def upsert(batch_df, batch_id):
-        marker = os.path.join(journal, f"{batch_id}.done")
-        if os.path.exists(marker):  # checkpoint replay → no-op
+        man = _read_manifest()
+        if man["last_batch"] >= batch_id:  # checkpoint replay → no-op
             return
         part = (
             batch_df.filter(F.col("event_type") == "purchase")
@@ -6819,39 +6818,75 @@ def q_s20_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         affected = sorted(
             r["bucket"] for r in part.select("bucket").distinct().collect()
         )
-        if not affected:
-            open(marker, "w").close()
-            return
-        existing = [
-            b for b in affected
-            if os.path.isdir(os.path.join(target, f"bucket={b}"))
-        ]
         merged = part
-        if existing:
-            cur = spark.read.parquet(
-                *[os.path.join(target, f"bucket={b}") for b in existing]
-            ).withColumn(
+        current = [
+            os.path.join(target, man["buckets"][str(b)])
+            for b in affected
+            if str(b) in man["buckets"]
+        ]
+        if current:
+            cur = spark.read.parquet(*current).withColumn(
                 "bucket", (F.col("user_id") % S20_BUCKETS).cast("long")
             )
             merged = part.unionByName(cur)
-        merged = (
-            merged.groupBy("bucket", "user_id")
-            .agg(
-                F.sum("n").cast("long").alias("n"),
-                F.sum("spend").cast(dec).alias("spend"),
-            )
+        merged = merged.groupBy("bucket", "user_id").agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("spend").cast(dec).alias("spend"),
         )
-        stage = os.path.join(staging, f"b{batch_id}")
+        stage = os.path.join(target, f"_v{batch_id}")
         merged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+        old = dict(man["buckets"])
         for b in affected:
-            dst = os.path.join(target, f"bucket={b}")
-            src = os.path.join(stage, f"bucket={b}")
-            if os.path.isdir(dst):
-                _shutil.rmtree(dst)
-            if os.path.isdir(src):
-                _shutil.move(src, dst)
-        _shutil.rmtree(stage, ignore_errors=True)
-        open(marker, "w").close()
+            vdir = os.path.join(stage, f"bucket={b}")
+            if os.path.isdir(vdir):
+                man["buckets"][str(b)] = f"_v{batch_id}/bucket={b}"
+        man["last_batch"] = batch_id
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(man, fh)
+        os.replace(tmp, manifest_path)  # THE atomic commit
+        for b in affected:  # prune superseded versions (post-commit)
+            prev = old.get(str(b))
+            if prev and prev != man["buckets"].get(str(b)):
+                _shutil.rmtree(os.path.join(target, prev), ignore_errors=True)
+
+    def read_current() -> DataFrame:
+        man = _read_manifest()
+        paths = [os.path.join(target, v) for v in man["buckets"].values()]
+        if not paths:
+            return spark.createDataFrame(
+                [], "user_id long, n long, spend decimal(18,2)"
+            )
+        return spark.read.parquet(*paths)
+
+    return upsert, read_current
+
+
+def q_s20_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING UPSERT SINK ON THE ORACLE GATE — the foreachBatch
+    exactly-once merge shape: the staged event stream folds per-user
+    purchase aggregates into a bucket-partitioned snapshot table
+    (`_manifest_upsert_sink` — manifest-committed versions, the
+    Iceberg/Delta protocol in miniature), micro-batch by micro-batch.
+    The final table equals the one-shot batch aggregate regardless of
+    how the file source packed files into batches (merge is
+    associative, sums decimal-exact); s21 proves the same under a
+    kill-and-resume.
+
+    Scale shape: per batch the work is O(batch + touched buckets),
+    never O(table) — the property that makes streaming upsert viable
+    when the target is 100 TB and a trigger touches a sliver of it.
+    At cluster scale the manifest replace becomes the table format's
+    atomic snapshot commit."""
+    import os
+    import tempfile
+
+    watch, schema, _n = _stage_event_files(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="bw_s20_")
+    target = os.path.join(base, "target")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(target)
+    upsert, read_current = _manifest_upsert_sink(spark, target)
 
     with _pinned_state_partitions(spark):
         q = (
@@ -6870,10 +6905,204 @@ def q_s20_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             if q.isActive:
                 q.stop()
-    return spark.read.parquet(target).select(
+    return read_current().select(
         "user_id",
         F.col("n").alias("n_purchases"),
         F.round(F.col("spend").cast("double"), 2).alias("spend"),
+    )
+
+
+def q_s21_restart_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KILL-AND-RESUME FOR THE STREAMING UPSERT SINK: same manifest-
+    committed merge as s20, but the first query is stopped as soon as
+    ≥1 micro-batch commits (simulated driver loss), then a second
+    query resumes from the checkpoint and drains the rest. The gate
+    hashes the final table — equal to the one-shot batch aggregate
+    iff (a) the checkpoint replays no committed batch into the
+    manifest twice (last_batch guard) and (b) no batch's merge was
+    lost. This is the restart proof for the one sink family the
+    s14-s18 matrix didn't cover: a MERGING foreachBatch sink, where
+    naive replay double-counts rather than merely duplicating rows.
+
+    Reference semantics: broadway_test.exs:2070-2348 (crash/restart
+    isolation — resumed pipelines neither lose nor re-deliver)."""
+    import os
+    import tempfile
+
+    watch, schema, _n = _stage_event_files(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="bw_s21_")
+    target = os.path.join(base, "target")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(target)
+    upsert, read_current = _manifest_upsert_sink(spark, target)
+
+    def build():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(watch)
+            .select("user_id", "event_type", "value")
+        )
+
+    with _pinned_state_partitions(spark):
+        q = (
+            build()
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        _kill_mid_drain(q)
+        q2 = (
+            build()
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q2.awaitTermination(600):
+                raise RuntimeError("s21 resume did not complete in 600s")
+        finally:
+            if q2.isActive:
+                q2.stop()
+    return read_current().select(
+        "user_id",
+        F.col("n").alias("n_purchases"),
+        F.round(F.col("spend").cast("double"), 2).alias("spend"),
+    )
+
+
+PR_ITERS = 5  # PageRank power iterations
+PR_TOPK = 10  # ranked vertices reported
+PR_UNIT = 1_000_000  # integer micro-units; DIV keeps both engines exact
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (PR_ITERS power iterations, damping 0.85)
+    over the parts-co-ordered graph, in INTEGER micro-units so every
+    iteration is bit-identical across engines: contribution =
+    rank DIV degree (truncating division — all values non-negative,
+    so Spark's DIV and the oracle's // agree), new rank = 150000 +
+    (85 × Σ contributions) DIV 100. Output: the PR_TOPK top-ranked
+    parts plus the vertex total — the influence ranking a curation
+    pipeline uses to find hub documents/entities in a co-occurrence
+    graph (Page et al. 1999; the fixed-iteration integer form).
+
+    Scale shape: the directed edge list (both orientations of each
+    co-order edge) is materialized ONCE and reused by all PR_ITERS
+    iterations plus the degree pass; each iteration is one
+    shuffle-hash equi-join (edges ⋈ ranks on src — ranks is the
+    small, per-vertex side) and one (dst) partial-agg shuffle. No
+    driver-side state, no collect: the loop only grows the lazy
+    plan linearly (each rank_i feeds exactly rank_{i+1}). The
+    DuckDB twin is the same recurrence as PR_ITERS chained CTEs,
+    generated from the same constants."""
+    li = _t(spark, sf_dir, "lineitem")
+    pp = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    und = (
+        pp.alias("a")
+        .join(
+            pp.alias("b"),
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    edges = materialize(
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+            und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        ),
+        "pr_edges",
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(
+        F.col("src").alias("pk"), F.lit(PR_UNIT).cast("long").alias("r")
+    )
+    base = F.lit((15 * PR_UNIT) // 100).cast("long")
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(
+                ranks.select(F.col("pk").alias("src"), "r").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
+            .select("dst", F.expr("r DIV deg").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("pk"))
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "pk",
+                (base + F.expr("(85 * s) DIV 100").cast("long")).alias("r"),
+            )
+        )
+    wtop = Window.orderBy(F.col("r").desc(), F.col("pk"))
+    topk = (
+        ranks.withColumn("rk", F.row_number().over(wtop).cast("int"))
+        .filter(F.col("rk") <= PR_TOPK)
+        .select(
+            F.lit("vertex").alias("kind"),
+            "pk",
+            F.col("r").cast("long").alias("rank_micro"),
+            "rk",
+        )
+    )
+    total = deg.agg(F.count(F.lit(1)).alias("c")).select(
+        F.lit("vertices").alias("kind"),
+        F.lit(-1).cast("long").alias("pk"),
+        F.col("c").cast("long").alias("rank_micro"),
+        F.lit(0).cast("int").alias("rk"),
+    )
+    return topk.unionAll(total)
+
+
+def q_sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set INTERSECTION estimate from mergeable HLL sketches
+    via inclusion-exclusion — |purchasers ∩ clickers| ≈ |A|+|B|-|A∪B|
+    where all three cardinalities come from the portable integer-
+    register HLL (functions/sketches.py), next to the exact
+    intersection for the in-engine error audit. The union sketch
+    costs nothing extra at scale: HLL registers are max-mergeable, so
+    |A∪B| is estimated from the SAME pass's rows labeled into a
+    third group — the composability that makes sketch-based audience
+    overlap viable when A and B are 10¹⁰-row scans on different
+    machines.
+
+    Scale shape: one events scan exploded into ≤3 (set, user) label
+    rows, one register aggregate (map-side partials over (set, idx)),
+    a 3-row pivot; the exact twin is one distinct aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit("a").alias("s"), "user_id"
+    )
+    b = ev.filter(F.col("event_type") == "click").select(
+        F.lit("b").alias("s"), "user_id"
+    )
+    labeled = a.unionAll(b).unionAll(
+        a.select(F.lit("ab").alias("s"), "user_id")
+    ).unionAll(b.select(F.lit("ab").alias("s"), "user_id"))
+    est = K.hll_count_distinct(labeled, ["s"], "user_id", seed=HLL_SEED)
+    wide = est.groupBy().pivot("s", ["a", "b", "ab"]).sum("n_hll")
+    exact = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .intersect(
+            ev.filter(F.col("event_type") == "click").select("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return wide.crossJoin(F.broadcast(exact)).select(
+        F.col("a").alias("n_a_hll"),
+        F.col("b").alias("n_b_hll"),
+        F.col("ab").alias("n_union_hll"),
+        (F.col("a") + F.col("b") - F.col("ab")).alias("n_inter_hll"),
+        "n_exact",
     )
 
 
@@ -7072,6 +7301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds9_rollup_topk": q_ds9_rollup_topk,
         "text_readability": q_text_readability,
         "s20_stream_upsert": q_s20_stream_upsert,
+        "s21_restart_upsert": q_s21_restart_upsert,
+        "graph_pagerank": q_graph_pagerank,
+        "sketch_hll_intersection": q_sketch_hll_intersection,
     }
 
 
@@ -7098,6 +7330,7 @@ STREAMING_DRAINS = frozenset(
         "f3_restart_spool",
         "s19_stream_static_enrich",
         "s20_stream_upsert",
+        "s21_restart_upsert",
     }
 )
 
@@ -10436,4 +10669,79 @@ def oracle_sql() -> dict[str, str]:
                          2) AS spend
             FROM events WHERE event_type = 'purchase'
             GROUP BY user_id"""
+    sql["s21_restart_upsert"] = sql["s20_stream_upsert"]
+    _pr_base = (15 * PR_UNIT) // 100
+    _pr_iters = "".join(
+        f""",
+            r{i + 1} AS (
+              SELECT e.dst AS pk,
+                     CAST({_pr_base} + (85 * SUM(r.r // d.deg)) // 100
+                       AS BIGINT) AS r
+              FROM edges e
+              JOIN deg d ON e.src = d.src
+              JOIN r{i} r ON r.pk = e.src
+              GROUP BY e.dst
+            )"""
+        for i in range(PR_ITERS)
+    )
+    sql["graph_pagerank"] = f"""
+            WITH pp AS (
+              SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+              FROM lineitem
+            ),
+            und AS (
+              SELECT DISTINCT a.pk AS u, b.pk AS v
+              FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+            ),
+            edges AS (
+              SELECT u AS src, v AS dst FROM und
+              UNION ALL SELECT v, u FROM und
+            ),
+            deg AS (
+              SELECT src, count(*) AS deg FROM edges GROUP BY src
+            ),
+            r0 AS (
+              SELECT src AS pk, CAST({PR_UNIT} AS BIGINT) AS r FROM deg
+            ){_pr_iters}
+            SELECT 'vertex' AS kind, pk, r AS rank_micro, rk FROM (
+              SELECT pk, r,
+                     CAST(row_number() OVER (ORDER BY r DESC, pk) AS INT)
+                       AS rk
+              FROM r{PR_ITERS}
+            ) WHERE rk <= {PR_TOPK}
+            UNION ALL
+            SELECT 'vertices', CAST(-1 AS BIGINT),
+                   (SELECT count(*) FROM deg), 0"""
+    sql["sketch_hll_intersection"] = f"""
+            WITH labeled AS (
+              SELECT 'a' AS s, user_id FROM events
+              WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT 'b', user_id FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT 'ab', user_id FROM events
+              WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT 'ab', user_id FROM events WHERE event_type = 'click'
+            ),
+            est AS (
+              {K.hll_count_distinct_sql('labeled', ['s'], 'user_id',
+                                        seed=HLL_SEED)}
+            ),
+            wide AS (
+              SELECT MAX(CASE WHEN s = 'a' THEN n_hll END) AS n_a_hll,
+                     MAX(CASE WHEN s = 'b' THEN n_hll END) AS n_b_hll,
+                     MAX(CASE WHEN s = 'ab' THEN n_hll END) AS n_union_hll
+              FROM est
+            ),
+            ex AS (
+              SELECT count(*) AS n_exact FROM (
+                SELECT user_id FROM events WHERE event_type = 'purchase'
+                INTERSECT
+                SELECT user_id FROM events WHERE event_type = 'click'
+              )
+            )
+            SELECT n_a_hll, n_b_hll, n_union_hll,
+                   n_a_hll + n_b_hll - n_union_hll AS n_inter_hll, n_exact
+            FROM wide, ex"""
     return sql

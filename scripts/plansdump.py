@@ -120,6 +120,28 @@ HEADLINERS = {
         "GROUP rows — no second fact scan, no NULL-patching, "
         "decimal-exact comparison."
     ),
+    "graph_triangles": (
+        "Degree-ordered triangle counting (r7): edges orient from "
+        "their lower-(degree,id) endpoint so wedge fan-out is bounded "
+        "by the graph's degeneracy, not max degree; both fat joins "
+        "are SHUFFLE_HASH (sorting the ~18M-row wedge stream would be "
+        "pure overhead); the edge set materializes once for its five "
+        "consumers; the triangle total is Σ(per-vertex)/3, not a "
+        "second pass over the triangle subtree."
+    ),
+    "graph_pagerank": (
+        "Iterative PageRank (r7): the materialized directed edge "
+        "list feeds every iteration; each round is ONE shuffle-hash "
+        "equi-join (ranks are the small build side) plus one (dst) "
+        "partial-agg shuffle. Integer micro-unit arithmetic with "
+        "truncating division — both engines bit-identical, no float "
+        "drift across 5 iterations."
+    ),
+    "ds8_time_bands": (
+        "DS-q88 as ONE scan: eight 3-hour bands are conditional "
+        "aggregates with map-side partials — not eight scalar "
+        "subqueries with eight fact scans; 8 bands or 80, one pass."
+    ),
 }
 
 

@@ -1,0 +1,161 @@
+"""Round-7 operator invariants: the manifest-committed streaming
+upsert sink's exactly-once contract under replay and crash-before-
+commit, and the graph queries' physical-plan shapes (shuffle-hash
+joins for the fat wedge/rank joins, no cartesian anywhere).
+"""
+
+import os
+import shutil
+import sys
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def sink(spark):
+    base = tempfile.mkdtemp(prefix="bw_t7_")
+    target = os.path.join(base, "target")
+    os.makedirs(target)
+    upsert, read_current = entry._manifest_upsert_sink(spark, target)
+    yield upsert, read_current, target, spark
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, value double"
+    )
+
+
+def _totals(read_current):
+    got = {
+        r["user_id"]: (r["n"], float(r["spend"]))
+        for r in read_current().collect()
+    }
+    return got
+
+
+def test_upsert_merges_across_batches(sink):
+    upsert, read_current, _target, spark = sink
+    upsert(_batch(spark, [(1, "purchase", 10.0), (2, "purchase", 5.0)]), 0)
+    upsert(_batch(spark, [(1, "purchase", 2.5), (3, "click", 99.0)]), 1)
+    assert _totals(read_current) == {1: (2, 12.5), 2: (1, 5.0)}
+
+
+def test_upsert_replay_after_commit_is_noop(sink):
+    """Checkpoint replay of an already-committed batch (same id) must
+    not double-merge: the manifest last_batch guard."""
+    upsert, read_current, _target, spark = sink
+    b0 = _batch(spark, [(1, "purchase", 10.0)])
+    upsert(b0, 0)
+    upsert(b0, 0)  # replay
+    assert _totals(read_current) == {1: (1, 10.0)}
+
+
+def test_upsert_crash_before_commit_then_replay(sink, monkeypatch):
+    """Simulated crash AT the atomic manifest replace: the batch has
+    fully staged its merged version dirs, but the commit (and the
+    post-commit prune) never happens. The replay must re-merge from
+    the OLD versions and overwrite the orphan stage — the exact
+    window where a publish-then-marker design double-merges."""
+    upsert, read_current, target, spark = sink
+    upsert(_batch(spark, [(1, "purchase", 10.0)]), 0)
+    b1 = _batch(spark, [(1, "purchase", 2.5)])
+    real_replace = os.replace
+
+    def dying_replace(src, dst):
+        raise RuntimeError("simulated crash at commit")
+
+    monkeypatch.setattr(os, "replace", dying_replace)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        upsert(b1, 1)  # stages _v1, dies before the manifest commit
+    monkeypatch.setattr(os, "replace", real_replace)
+    assert os.path.isdir(os.path.join(target, "_v1"))  # orphan stage
+    upsert(b1, 1)  # checkpoint replays batch 1
+    assert _totals(read_current) == {1: (2, 12.5)}
+
+
+def test_upsert_empty_batch_advances_watermark(sink):
+    upsert, read_current, _target, spark = sink
+    upsert(_batch(spark, [(7, "click", 1.0)]), 0)  # no purchases
+    upsert(_batch(spark, [(7, "purchase", 3.0)]), 1)
+    upsert(_batch(spark, []), 0)  # stale replay of batch 0 → skipped
+    assert _totals(read_current) == {7: (1, 3.0)}
+
+
+def test_upsert_prunes_superseded_versions(sink):
+    """After each commit only manifest-referenced version dirs remain
+    (plus the latest stage parents) — a long-running stream must not
+    accumulate dead snapshots."""
+    upsert, read_current, target, spark = sink
+    for i in range(4):
+        upsert(_batch(spark, [(1, "purchase", 1.0)]), i)
+    import json
+
+    man = json.load(open(os.path.join(target, "manifest.json")))
+    live = {os.path.join(target, v) for v in man["buckets"].values()}
+    bucket_dirs = set()
+    for root, dirs, _files in os.walk(target):
+        for d in dirs:
+            if d.startswith("bucket="):
+                bucket_dirs.add(os.path.join(root, d))
+    assert bucket_dirs == live
+    assert _totals(read_current) == {1: (4, 4.0)}
+
+
+def test_graph_triangles_plan_uses_shuffle_hash_no_cartesian(spark):
+    plan = _plan(entry.q_graph_triangles(spark, SF))
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_graph_pagerank_plan_uses_shuffle_hash_no_cartesian(spark):
+    plan = _plan(entry.q_graph_pagerank(spark, SF))
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_totals_consistent(spark):
+    """Σ per-vertex counts = 3 × total triangles, and the reported
+    total matches an independent brute-force count on the tiny SF."""
+    rows = entry.q_graph_triangles(spark, SF).collect()
+    total = next(r["n"] for r in rows if r["kind"] == "triangles")
+    vertex_sum = sum(r["n"] for r in rows if r["kind"] == "vertex")
+    assert vertex_sum <= 3 * total  # top-k is a subset of all vertices
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    pp = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    e = (
+        pp.alias("a")
+        .join(
+            pp.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    brute = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .count()
+    )
+    assert total == brute
