@@ -7106,6 +7106,126 @@ def q_sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KS_SAMPLE_MOD = 10  # 1-in-10 deterministic hash sample
+KS_SEED = 13
+
+
+def q_sample_ks_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampler drift audit, integer-exact: does the deterministic
+    hash-Bernoulli sample actually follow the full distribution? Per
+    quantity bucket, the full vs sampled counts and the CUMULATIVE
+    distribution gap in parts-per-million — the Kolmogorov-Smirnov
+    statistic is the max of dev_ppm, computable from the returned
+    rows. This is the QA gate a training-mix pipeline runs before
+    trusting a sample for loss-weighted curation decisions.
+
+    Scale shape: ONE fact scan producing (bucket, is_sampled) →
+    one ~50-group conditional aggregate with map-side partials; the
+    cumulative windows run over the 50 GROUP rows, never fact rows.
+    All ratios are integer ppm by truncating division — engine-exact,
+    no float CDF anywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    sampled = (H.portable_hash(key, seed=KS_SEED) % KS_SAMPLE_MOD) == 0
+    per = (
+        li.select(
+            F.col("l_quantity").cast("long").alias("qty"),
+            sampled.cast("long").alias("s"),
+        )
+        .groupBy("qty")
+        .agg(
+            F.count(F.lit(1)).alias("n_full"),
+            F.sum("s").alias("n_samp"),
+        )
+    )
+    cum = Window.orderBy("qty").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cf = F.sum("n_full").over(cum)
+    cs = F.sum("n_samp").over(cum)
+    tf = F.sum("n_full").over(tot)
+    ts = F.sum("n_samp").over(tot)
+    out = per.select(
+        "qty",
+        "n_full",
+        F.col("n_samp").cast("long").alias("n_samp"),
+        (cf * 1000000).alias("__cfm"),
+        tf.alias("__tf"),
+        (cs * 1000000).alias("__csm"),
+        ts.alias("__ts"),
+    ).select(
+        "qty",
+        "n_full",
+        "n_samp",
+        F.expr("CAST(__cfm DIV __tf AS BIGINT)").alias("cum_full_ppm"),
+        F.expr("CAST(__csm DIV __ts AS BIGINT)").alias("cum_samp_ppm"),
+    )
+    return out.withColumn(
+        "dev_ppm",
+        F.abs(F.col("cum_full_ppm") - F.col("cum_samp_ppm")).cast("long"),
+    )
+
+
+FILTER_MIN_WORDS = 20  # corpus-filter floor
+FILTER_HARD_SYL = 170  # readability ceiling (syl per 100 words)
+FILTER_TTR_PCT = 30  # type-token floor, percent
+
+
+def q_pipeline_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus filter report — the 'why was my document dropped'
+    table: per language, how many documents each quality gate
+    rejects (too short / too hard by the readability proxy / low
+    lexical diversity) and how many survive all three. Flags are
+    INDEPENDENT (a doc can trip several), so the report decomposes
+    the kept-rate by cause instead of hiding overlaps behind a
+    first-match rule.
+
+    Scale shape: every flag is a per-row codegen expression (split /
+    regexp count / array_distinct — no explode, no token shuffle);
+    the report is one ~languages-group conditional aggregate with
+    map-side partials. At 100 TB this is the cheapest full-corpus
+    pass in the pipeline, which is exactly what a pre-filter must
+    be."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    n_distinct = F.size(F.array_distinct(toks))
+    flagged = docs.select(
+        "lang",
+        (n_words < FILTER_MIN_WORDS).cast("int").alias("f_short"),
+        (
+            (n_syll * 100) >= (F.lit(FILTER_HARD_SYL) * n_words)
+        )
+        .cast("int")
+        .alias("f_hard"),
+        (
+            (n_distinct * 100) < (F.lit(FILTER_TTR_PCT) * n_words)
+        )
+        .cast("int")
+        .alias("f_lowdiv"),
+    )
+    kept = (
+        (F.col("f_short") + F.col("f_hard") + F.col("f_lowdiv")) == 0
+    ).cast("long")
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_short").cast("long").alias("n_short"),
+        F.sum("f_hard").cast("long").alias("n_hard"),
+        F.sum("f_lowdiv").cast("long").alias("n_lowdiv"),
+        F.sum(kept).alias("n_kept"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan": q_s1_scan,
@@ -7304,6 +7424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s21_restart_upsert": q_s21_restart_upsert,
         "graph_pagerank": q_graph_pagerank,
         "sketch_hll_intersection": q_sketch_hll_intersection,
+        "sample_ks_audit": q_sample_ks_audit,
+        "pipeline_filter_report": q_pipeline_filter_report,
     }
 
 
@@ -10744,4 +10866,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_a_hll, n_b_hll, n_union_hll,
                    n_a_hll + n_b_hll - n_union_hll AS n_inter_hll, n_exact
             FROM wide, ex"""
+    _ks_hash = H.portable_hash_sql(
+        "concat(CAST(l_orderkey AS VARCHAR), '-', "
+        "CAST(l_linenumber AS VARCHAR))",
+        seed=KS_SEED,
+    )
+    sql["sample_ks_audit"] = f"""
+            WITH per AS (
+              SELECT CAST(l_quantity AS BIGINT) AS qty,
+                     count(*) AS n_full,
+                     CAST(SUM(CASE WHEN {_ks_hash} % {KS_SAMPLE_MOD} = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_samp
+              FROM lineitem GROUP BY qty
+            ),
+            cums AS (
+              SELECT qty, n_full, n_samp,
+                     SUM(n_full) OVER w AS cf, SUM(n_samp) OVER w AS cs,
+                     SUM(n_full) OVER () AS tf, SUM(n_samp) OVER () AS ts
+              FROM per
+              WINDOW w AS (ORDER BY qty ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT qty, n_full, n_samp,
+                   CAST((cf * 1000000) // tf AS BIGINT) AS cum_full_ppm,
+                   CAST((cs * 1000000) // ts AS BIGINT) AS cum_samp_ppm,
+                   CAST(abs((cf * 1000000) // tf - (cs * 1000000) // ts)
+                     AS BIGINT) AS dev_ppm
+            FROM cums"""
+    sql["pipeline_filter_report"] = f"""
+            WITH flags AS (
+              SELECT lang,
+                     CASE WHEN len(string_split(text, ' '))
+                          < {FILTER_MIN_WORDS} THEN 1 ELSE 0 END AS f_short,
+                     CASE WHEN len(regexp_extract_all(lower(text),
+                            '[aeiouy]+')) * 100
+                          >= {FILTER_HARD_SYL}
+                             * len(string_split(text, ' '))
+                          THEN 1 ELSE 0 END AS f_hard,
+                     CASE WHEN len(list_distinct(string_split(text, ' ')))
+                            * 100
+                          < {FILTER_TTR_PCT} * len(string_split(text, ' '))
+                          THEN 1 ELSE 0 END AS f_lowdiv
+              FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(SUM(f_short) AS BIGINT) AS n_short,
+                   CAST(SUM(f_hard) AS BIGINT) AS n_hard,
+                   CAST(SUM(f_lowdiv) AS BIGINT) AS n_lowdiv,
+                   CAST(SUM(CASE WHEN f_short + f_hard + f_lowdiv = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM flags GROUP BY lang"""
     return sql
