@@ -129,6 +129,40 @@ def test_graph_pagerank_plan_uses_shuffle_hash_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ds8_single_fact_scan(spark):
+    """q88's textbook form is eight scalar-subquery scans; ours must
+    plan exactly ONE scan of events."""
+    plan = _plan(entry.q_ds8_time_bands(spark, SF))
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_ds9_one_expand_broadcast_part(spark):
+    plan = _plan(entry.q_ds9_rollup_topk(spark, SF))
+    assert plan.count("Expand") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_report_no_explode_single_scan(spark):
+    """All three quality flags must stay per-row codegen: no Generate
+    (explode) operator, one documents scan, no shuffle before the
+    final group-by exchange."""
+    plan = _plan(entry.q_pipeline_filter_report(spark, SF))
+    assert "Generate" not in plan
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_ks_audit_single_scan_windows_after_agg(spark):
+    """The cumulative windows must run over the ~50 aggregated bucket
+    rows, not fact rows: one lineitem scan, and the Window operators
+    sit above the final HashAggregate."""
+    plan = _plan(entry.q_sample_ks_audit(spark, SF))
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" in plan
+    first_window = plan.index("Window")
+    assert "HashAggregate" in plan[first_window:]
+
+
 def test_triangle_totals_consistent(spark):
     """Σ per-vertex counts = 3 × total triangles, and the reported
     total matches an independent brute-force count on the tiny SF."""
