@@ -996,6 +996,41 @@ def q_aj2_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_aj3_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (direction="forward"): each purchase gets
+    the user's NEXT click at-or-after it — the look-ahead attribution
+    form ("what did they do right after buying") — bounded by a
+    2-hour look-ahead tolerance. Same union + ONE keyed sort plan as
+    aj1/aj2 with only the sort direction flipped; ties at equal ts
+    resolve to the greatest click id, matching the backward
+    convention (operators/temporal.py::asof_join)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    joined = TM.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        order_col="event_id",
+        tolerance="2 hours",
+        direction="forward",
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("event_id_right").alias("click_id"),
+        F.col("value_right").alias("click_value"),
+        (F.unix_micros("matched_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )
+
+
 def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking for context-window pipelines: split every doc
     into 32-token windows on a 24-token stride (8-token overlap) — the
@@ -4714,6 +4749,86 @@ def q_s12_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def q_s22_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER STREAM-STREAM JOIN ON THE ORACLE GATE: every
+    purchase, attributed to same-user clicks in the preceding hour OR
+    emitted with NULLs once the watermark proves no click can ever
+    match — the semantics engines most often get wrong (a NULL result
+    may only emit after the click-side state is provably complete for
+    that purchase's range). Inner matches emit as they arrive; NULL
+    rows emit when the join watermark passes the purchase's maximum
+    admissible click time (= p_ts), which the availableNow drain's
+    finalizing batch evaluates under the final watermark
+    (max ts − 1 h — the same mechanism s13's session cutoff relies
+    on). The gate hashes only purchases at least 3 h below max ts
+    (2 h of margin under the final watermark), making the emitted set
+    deterministic regardless of batch packing; the DuckDB twin is the
+    batch LEFT JOIN under the same cutoff.
+
+    Scale shape: identical to s12 — both sides shuffle on user, the
+    range condition bounds per-key state to one hour; the outer
+    variant adds only the eviction-time NULL emission, no extra
+    state."""
+    import uuid as _uuid
+
+    ev = _events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        "click_id",
+        (
+            F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))
+        ).alias("gap_micros"),
+    )
+    qname = f"s22_stream_outer_join_{_uuid.uuid4().hex[:8]}"
+    with _pinned_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise RuntimeError(f"{qname} did not drain in 240s")
+    cutoff = (
+        _t(spark, sf_dir, "events")
+        .agg(
+            (F.unix_micros(F.max("ts")) - F.lit(3 * 3600 * 1000000)).alias(
+                "c"
+            )
+        )
+        .collect()[0]["c"]  # 1-row driver literal, not a hot path
+    )
+    return spark.table(qname).filter(F.col("p_ts_us") <= F.lit(cutoff))
+
+
 def q_s13_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING SESSION WINDOWS ON THE ORACLE GATE: the native
     ``session_window`` aggregation (dynamic-gap session state, the
@@ -7397,6 +7512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s12_stream_join": q_s12_stream_join,
         "s13_stream_sessions": q_s13_stream_sessions,
         "aj2_asof_tolerance": q_aj2_asof_tolerance,
+        "aj3_asof_forward": q_aj3_asof_forward,
         "text_chunk_windows": q_text_chunk_windows,
         "pipeline_chunk_dedup": q_pipeline_chunk_dedup,
         "sample_bernoulli_hash": q_sample_bernoulli_hash,
@@ -7426,6 +7542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_intersection": q_sketch_hll_intersection,
         "sample_ks_audit": q_sample_ks_audit,
         "pipeline_filter_report": q_pipeline_filter_report,
+        "s22_stream_outer_join": q_s22_stream_outer_join,
     }
 
 
@@ -7453,6 +7570,7 @@ STREAMING_DRAINS = frozenset(
         "s19_stream_static_enrich",
         "s20_stream_upsert",
         "s21_restart_upsert",
+        "s22_stream_outer_join",
     }
 )
 
@@ -10915,4 +11033,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN f_short + f_hard + f_lowdiv = 0
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
             FROM flags GROUP BY lang"""
+    sql["s22_stream_outer_join"] = """
+            WITH cutoff AS (
+              SELECT epoch_us(max(ts)) - CAST(10800000000 AS BIGINT) AS c
+              FROM events
+            )
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   epoch_us(p.ts) AS p_ts_us,
+                   c.event_id AS click_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_micros
+            FROM events p LEFT JOIN events c
+              ON p.user_id = c.user_id
+             AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL 1 HOUR
+             AND c.ts <= p.ts
+            WHERE p.event_type = 'purchase'
+              AND epoch_us(p.ts) <= (SELECT c FROM cutoff)"""
+    sql["aj3_asof_forward"] = """
+            WITH u AS (
+              SELECT user_id, ts, 1 AS is_l, CAST(-1 AS BIGINT) AS ord,
+                     event_id,
+                     CAST(NULL AS BIGINT) AS r_event_id,
+                     CAST(NULL AS DOUBLE) AS r_value
+              FROM events WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT user_id, ts, 0, event_id,
+                     CAST(NULL AS BIGINT), event_id, value
+              FROM events WHERE event_type = 'click'
+            ), w AS (
+              SELECT user_id, ts, is_l, event_id,
+                     last_value(r_event_id IGNORE NULLS) OVER win
+                       AS click_id,
+                     last_value(r_value IGNORE NULLS) OVER win
+                       AS click_value,
+                     last_value(CASE WHEN is_l = 0 THEN ts END IGNORE NULLS)
+                       OVER win AS m_ts
+              FROM u
+              WINDOW win AS (PARTITION BY user_id
+                             ORDER BY ts DESC, is_l, ord
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+            )
+            SELECT event_id AS purchase_id, user_id,
+                   CASE WHEN m_ts <= ts + INTERVAL 2 HOURS
+                        THEN click_id END AS click_id,
+                   CASE WHEN m_ts <= ts + INTERVAL 2 HOURS
+                        THEN click_value END AS click_value,
+                   CASE WHEN m_ts <= ts + INTERVAL 2 HOURS
+                        THEN epoch_us(m_ts) - epoch_us(ts) END AS gap_us
+            FROM w WHERE is_l = 1"""
     return sql

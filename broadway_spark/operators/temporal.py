@@ -45,10 +45,16 @@ def asof_join(
     order_col: str,
     suffix: str = "_right",
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Backward (inclusive) as-of join: for every left row, attach the
     ``right_cols`` of the most recent right row with the same key and
-    ``right_ts <= left_ts``.
+    ``right_ts <= left_ts``. With ``direction="forward"``, the mirror:
+    the EARLIEST right row with ``right_ts >= left_ts`` (the
+    look-ahead attribution form — "next event after"), implemented by
+    flipping the single sort's direction; the plan shape (one shuffle,
+    one sort, zero joins) is identical, and ``tolerance`` bounds how
+    far AHEAD the match may be.
 
     Ties on the timestamp are broken deterministically: right rows sort
     before left rows at equal ts (inclusive semantics), and among right
@@ -85,10 +91,15 @@ def asof_join(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
         *[F.col(c).alias(c + suffix) for c in right_cols],
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join direction {direction!r}")
     unioned = l_tagged.unionByName(r_tagged)
+    ts_order = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__is_l").asc(), F.col("__ord").asc())
+        .orderBy(ts_order, F.col("__is_l").asc(), F.col("__ord").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
@@ -111,8 +122,12 @@ def asof_join(
         .withColumnRenamed("__matched_ts", "matched_ts")
     )
     if tolerance is not None:
-        fresh = F.col("matched_ts") >= F.col(left_ts) - F.expr(
-            f"INTERVAL {tolerance}"
+        fresh = (
+            F.col("matched_ts")
+            >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col("matched_ts")
+            <= F.col(left_ts) + F.expr(f"INTERVAL {tolerance}")
         )
         for c in right_cols:
             out = out.withColumn(

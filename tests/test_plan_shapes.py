@@ -388,6 +388,7 @@ def test_no_unguarded_cartesian_in_any_query(spark):
         "sample_balanced_classes",  # 1-row min-count broadcast
         "agg_rfm_segments",  # 1-row max-date broadcast
         "text_surprisal",  # 1-row corpus-total broadcast
+        "sketch_hll_intersection",  # 1-row exact-count broadcast
     }
     offenders = {}
     for name, fn in entry.queries().items():

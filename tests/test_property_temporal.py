@@ -119,3 +119,51 @@ def test_asof_tolerance_matches_brute_force(spark, left, right, tol):
         ).collect()
     }
     assert got == _brute_force_tolerance(left, right, tol)
+
+
+def _brute_force_forward(left, right):
+    out = set()
+    for lk, lts, lid in left:
+        cands = [(rts, rid) for rk, rts, rid in right if rk == lk and rts >= lts]
+        if cands:
+            best_ts = min(c[0] for c in cands)
+            best_id = max(c[1] for c in cands if c[0] == best_ts)
+            out.add((lk, lts, lid, best_id, best_ts))
+        else:
+            out.add((lk, lts, lid, None, None))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(_ROW, min_size=1, max_size=12, unique=True),
+    right=st.lists(_ROW, min_size=0, max_size=12, unique=True),
+)
+def test_asof_join_forward_matches_brute_force(spark, left, right):
+    """direction="forward" must equal the earliest right row at-or-
+    after each left ts, greatest order_col winning on ts ties — the
+    exact mirror of the backward contract."""
+    ldf = spark.createDataFrame(
+        [(k, t, i) for k, t, i in left], "k long, ts long, lid long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, i) for k, t, i in right], "k long, ts long, rid long"
+    )
+    got = {
+        (r["k"], r["ts"], r["lid"], r["rid_right"], r["matched_ts"])
+        for r in asof_join(
+            ldf,
+            rdf,
+            on=["k"],
+            left_ts="ts",
+            right_ts="ts",
+            right_cols=["rid"],
+            order_col="rid",
+            direction="forward",
+        ).collect()
+    }
+    assert got == _brute_force_forward(left, right)
