@@ -6635,37 +6635,14 @@ def q_s18_restart_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRI_TOPK = 10  # ranked vertices reported by graph_triangles
 
 
-def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree-ordered triangle counting over the parts-co-ordered-
-    together graph (vertices = parts, edge iff two parts appear in the
-    same order): global vertex/edge/triangle counts plus the TRI_TOPK
-    parts ranked by triangle participation — the co-occurrence-motif
-    pass a dataset curation pipeline runs to find tightly-clustered
-    near-boilerplate groups.
-
-    Spark-first shape (Suri & Vassilvitskii WWW'11 / Schank-Wagner):
-    every edge is ORIENTED from its lower-(degree, id) endpoint before
-    the wedge self-join, so a hub of degree d generates O(d_out²)
-    wedges with d_out bounded by the graph's degeneracy — NOT the
-    O(d²) a naive adjacency self-join pays on skewed degree
-    distributions. Wedge closure is one equi-join against the
-    canonical edge set. Edge construction pairs parts within an
-    order (bounded fan-out: order size ≤ a small constant in this
-    schema), then dedups — one (orderkey) shuffle plus one (u, v)
-    distinct. The triangle SET is orientation-invariant, so the
-    id-ordered DuckDB twin is implementation-independent ground
-    truth.
-
-    Plan notes (measured at sf0.1: 860k edges, ~1.9M triangles):
-    the edge set feeds five consumers (degree count twice,
-    orientation, closure, edge total) — materialized once, the
-    persist|staging barrier. Both fat joins carry SHUFFLE_HASH
-    hints: sort-merge would sort the ~18M-row wedge fan-out, and
-    sorting is pure overhead for a join whose build sides (oriented
-    edges, canonical edges) hash-fit per partition — measured 21→9 s.
-    The triangle total is derived from the per-vertex counts
-    (Σn/3), not a second pass over the triangle subtree (union
-    branches don't share subtrees in Catalyst)."""
+def _co_order_triangles(spark: SparkSession, sf_dir: str):
+    """Shared graph prefix for the triangle-family queries: the
+    parts-co-ordered edge set (canonical u < v, MATERIALIZED once —
+    it feeds five consumers), vertex degrees, and the exact triangle
+    enumeration via degree-ordered wedges + shuffle-hash closure (see
+    q_graph_triangles for the full scale rationale). Returns
+    (pp, edges, deg, tri) where tri rows are one per triangle with
+    vertices in orientation order."""
     li = _t(spark, sf_dir, "lineitem")
     pp = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
@@ -6715,6 +6692,41 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.hint("shuffle_hash"),
         (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")),
     ).select("a", "b", "c")
+    return pp, e, deg, tri
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle counting over the parts-co-ordered-
+    together graph (vertices = parts, edge iff two parts appear in the
+    same order): global vertex/edge/triangle counts plus the TRI_TOPK
+    parts ranked by triangle participation — the co-occurrence-motif
+    pass a dataset curation pipeline runs to find tightly-clustered
+    near-boilerplate groups.
+
+    Spark-first shape (Suri & Vassilvitskii WWW'11 / Schank-Wagner):
+    every edge is ORIENTED from its lower-(degree, id) endpoint before
+    the wedge self-join, so a hub of degree d generates O(d_out²)
+    wedges with d_out bounded by the graph's degeneracy — NOT the
+    O(d²) a naive adjacency self-join pays on skewed degree
+    distributions. Wedge closure is one equi-join against the
+    canonical edge set. Edge construction pairs parts within an
+    order (bounded fan-out: order size ≤ a small constant in this
+    schema), then dedups — one (orderkey) shuffle plus one (u, v)
+    distinct. The triangle SET is orientation-invariant, so the
+    id-ordered DuckDB twin is implementation-independent ground
+    truth.
+
+    Plan notes (measured at sf0.1: 860k edges, ~1.9M triangles):
+    the edge set feeds five consumers (degree count twice,
+    orientation, closure, edge total) — materialized once, the
+    persist|staging barrier. Both fat joins carry SHUFFLE_HASH
+    hints: sort-merge would sort the ~18M-row wedge fan-out, and
+    sorting is pure overhead for a join whose build sides (oriented
+    edges, canonical edges) hash-fit per partition — measured 21→9 s.
+    The triangle total is derived from the per-vertex counts
+    (Σn/3), not a second pass over the triangle subtree (union
+    branches don't share subtrees in Catalyst)."""
+    pp, e, _deg, tri = _co_order_triangles(spark, sf_dir)
     pv = materialize(
         tri.select(F.explode(F.array("a", "b", "c")).alias("x"))
         .groupBy("x")
@@ -7177,6 +7189,75 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.unionAll(total)
 
 
+EDGE_TOPK = 20  # strongest edges reported
+
+
+def q_graph_edge_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge embeddedness / tie strength: for every co-order edge, the
+    number of triangles through it (= common neighbors of its
+    endpoints) and the neighbor-set Jaccard in integer ppm — the
+    Granovetter tie-strength signal a curation pipeline uses to
+    separate tightly-embedded boilerplate clusters from bridge
+    edges. Reports the EDGE_TOPK strongest edges.
+
+    Spark-first shape: the ALL-PAIRS common-neighbor join is
+    Σ C(deg(z),2) wedges (~71M here, 4× the triangle count's
+    oriented fan-out) — deliberately avoided. Per-EDGE common
+    neighbors come free from the degree-ordered triangle enumeration
+    (`_co_order_triangles`): each triangle contributes its three
+    canonical edges to one (u, v) count aggregate, so the extra cost
+    over counting triangles is one explode + one keyed shuffle of
+    triangle rows. Jaccard denominators come from the degree table:
+    |N(u)∪N(v)| = du + dv − 2 − common (endpoints excluded). All
+    integer; the DuckDB twin enumerates id-ordered triangles, whose
+    edge multiset is orientation-invariant."""
+    _pp, _e, deg, tri = _co_order_triangles(spark, sf_dir)
+    pairs = (
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("a", "b").alias("u"),
+                        F.greatest("a", "b").alias("v"),
+                    ),
+                    F.struct(
+                        F.least("a", "c").alias("u"),
+                        F.greatest("a", "c").alias("v"),
+                    ),
+                    F.struct(
+                        F.col("b").alias("u"), F.col("c").alias("v")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    scored = (
+        pairs.join(
+            deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u"
+        )
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            F.col("common").cast("long").alias("common"),
+            F.col("du").cast("long").alias("du"),
+            F.col("dv").cast("long").alias("dv"),
+            F.expr(
+                "CAST((1000000 * common) DIV (du + dv - 2 - common)"
+                " AS BIGINT)"
+            ).alias("jacc_ppm"),
+        )
+    )
+    wtop = Window.orderBy(F.col("jacc_ppm").desc(), F.col("u"), F.col("v"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wtop).cast("int"))
+        .filter(F.col("rk") <= EDGE_TOPK)
+    )
+
+
 def q_sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-set INTERSECTION estimate from mergeable HLL sketches
     via inclusion-exclusion — |purchasers ∩ clickers| ≈ |A|+|B|-|A∪B|
@@ -7539,6 +7620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s20_stream_upsert": q_s20_stream_upsert,
         "s21_restart_upsert": q_s21_restart_upsert,
         "graph_pagerank": q_graph_pagerank,
+        "graph_edge_strength": q_graph_edge_strength,
         "sketch_hll_intersection": q_sketch_hll_intersection,
         "sample_ks_audit": q_sample_ks_audit,
         "pipeline_filter_report": q_pipeline_filter_report,
@@ -11082,4 +11164,46 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN m_ts <= ts + INTERVAL 2 HOURS
                         THEN epoch_us(m_ts) - epoch_us(ts) END AS gap_us
             FROM w WHERE is_l = 1"""
+    sql["graph_edge_strength"] = f"""
+            WITH pp AS (
+              SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+              FROM lineitem
+            ),
+            e AS (
+              SELECT DISTINCT a.pk AS u, b.pk AS v
+              FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+            ),
+            deg AS (
+              SELECT x, count(*) AS d FROM (
+                SELECT u AS x FROM e UNION ALL SELECT v FROM e
+              ) GROUP BY x
+            ),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1
+              JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ),
+            pairs AS (
+              SELECT u, v, count(*) AS common FROM (
+                SELECT a AS u, b AS v FROM tri
+                UNION ALL SELECT a, c FROM tri
+                UNION ALL SELECT b, c FROM tri
+              ) GROUP BY u, v
+            ),
+            scored AS (
+              SELECT p.u, p.v, CAST(p.common AS BIGINT) AS common,
+                     CAST(d1.d AS BIGINT) AS du, CAST(d2.d AS BIGINT) AS dv,
+                     CAST((1000000 * p.common)
+                          // (d1.d + d2.d - 2 - p.common) AS BIGINT)
+                       AS jacc_ppm
+              FROM pairs p
+              JOIN deg d1 ON d1.x = p.u
+              JOIN deg d2 ON d2.x = p.v
+            )
+            SELECT u, v, common, du, dv, jacc_ppm, rk FROM (
+              SELECT *, CAST(row_number() OVER (ORDER BY jacc_ppm DESC,
+                       u, v) AS INT) AS rk
+              FROM scored
+            ) WHERE rk <= {EDGE_TOPK}"""
     return sql
