@@ -129,6 +129,26 @@ def test_graph_pagerank_plan_uses_shuffle_hash_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_graph_edge_strength_invariants(spark):
+    """Per-edge common-neighbor counts are bounded by the smaller
+    endpoint degree minus one (the other endpoint is always a
+    neighbor but never its own common neighbor), Jaccard stays in
+    [0, 1e6] ppm, ranks are 1..k without gaps, and the plan uses
+    shuffle-hash joins with no cartesian."""
+    df = entry.q_graph_edge_strength(spark, SF)
+    plan = _plan(df)
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows, "no embedded edges found at this SF"
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1)) or {
+        r["rk"] for r in rows
+    } == set(range(1, len(rows) + 1))
+    for r in rows:
+        assert 0 <= r["jacc_ppm"] <= 1_000_000
+        assert 1 <= r["common"] <= min(r["du"], r["dv"]) - 1
+
+
 def test_ds8_single_fact_scan(spark):
     """q88's textbook form is eight scalar-subquery scans; ours must
     plan exactly ONE scan of events."""
