@@ -104,6 +104,20 @@ def main() -> None:
     drains_total = round(sum(timings[n] for n in drain_names), 3)
     value_excl_drains = round(total - drains_total, 3)
 
+    # subset50: the fixed CORRECTNESS_r04 sample — the stable
+    # apples-to-apples total the round-over-round trend is judged on
+    # (the registry grows every round, so neither the headline nor
+    # the drains-excluded totals are comparable across rounds).
+    subset50_total = None
+    r04 = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "CORRECTNESS_r04.json"
+    )
+    if os.path.exists(r04):
+        with open(r04) as f:
+            sub = [n for n in json.load(f) if n in timings]
+        if sub:
+            subset50_total = round(sum(timings[n] for n in sub), 3)
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
         "metric": "declared_query_suite_wall_time",
@@ -115,6 +129,7 @@ def main() -> None:
         "n_drains": len(drain_names),
         "drains_total": drains_total,
         "value_excl_drains": value_excl_drains,
+        "subset50_total": subset50_total,
         "drain_queries": drain_names,
     }
     # Full per-query detail: printed FIRST and persisted to a file, so
@@ -141,6 +156,7 @@ def main() -> None:
                 "n_drains": len(drain_names),
                 "drains_total": drains_total,
                 "value_excl_drains": value_excl_drains,
+                "subset50_total": subset50_total,
                 "queries": slowest,
                 "queries_file": "bench_detail.json",
             }
