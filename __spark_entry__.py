@@ -6976,6 +6976,14 @@ def _manifest_upsert_sink(spark: SparkSession, target: str):
             prev = old.get(str(b))
             if prev and prev != man["buckets"].get(str(b)):
                 _shutil.rmtree(os.path.join(target, prev), ignore_errors=True)
+                try:  # drop the version parent once its last bucket goes
+                    parent = os.path.dirname(os.path.join(target, prev))
+                    if not any(
+                        d.startswith("bucket=") for d in os.listdir(parent)
+                    ):
+                        _shutil.rmtree(parent, ignore_errors=True)
+                except OSError:
+                    pass
 
     def read_current() -> DataFrame:
         man = _read_manifest()
@@ -7116,15 +7124,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline uses to find hub documents/entities in a co-occurrence
     graph (Page et al. 1999; the fixed-iteration integer form).
 
-    Scale shape: the directed edge list (both orientations of each
-    co-order edge) is materialized ONCE and reused by all PR_ITERS
-    iterations plus the degree pass; each iteration is one
-    shuffle-hash equi-join (edges ⋈ ranks on src — ranks is the
-    small, per-vertex side) and one (dst) partial-agg shuffle. No
-    driver-side state, no collect: the loop only grows the lazy
-    plan linearly (each rank_i feeds exactly rank_{i+1}). The
-    DuckDB twin is the same recurrence as PR_ITERS chained CTEs,
-    generated from the same constants."""
+    Scale shape: the DEGREE-ANNOTATED directed edge list (both
+    orientations of each co-order edge, out-degree folded in) is
+    materialized ONCE and reused by all PR_ITERS iterations — so
+    each iteration is exactly one shuffle-hash equi-join
+    (edges ⋈ ranks on src — ranks is the small, per-vertex side)
+    and one (dst) partial-agg shuffle; the degree join is paid once
+    at build time, not per iteration. No driver-side state, no
+    collect: the loop only grows the lazy plan linearly (each
+    rank_i feeds exactly rank_{i+1}). The DuckDB twin is the same
+    recurrence as PR_ITERS chained CTEs, generated from the same
+    constants."""
     li = _t(spark, sf_dir, "lineitem")
     pp = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
@@ -7139,28 +7149,21 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .distinct()
     )
-    edges = materialize(
-        und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-            und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-        ),
-        "pr_edges",
+    both = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ranks = deg.select(
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges = materialize(both.join(deg, "src"), "pr_edges_deg")
+    verts = edges.select("src").distinct()
+    ranks = verts.select(
         F.col("src").alias("pk"), F.lit(PR_UNIT).cast("long").alias("r")
     )
     base = F.lit((15 * PR_UNIT) // 100).cast("long")
     for _ in range(PR_ITERS):
-        contrib = (
-            edges.join(deg, "src")
-            .join(
-                ranks.select(F.col("pk").alias("src"), "r").hint(
-                    "shuffle_hash"
-                ),
-                "src",
-            )
-            .select("dst", F.expr("r DIV deg").alias("c"))
-        )
+        contrib = edges.join(
+            ranks.select(F.col("pk").alias("src"), "r").hint("shuffle_hash"),
+            "src",
+        ).select("dst", F.expr("r DIV deg").alias("c"))
         ranks = (
             contrib.groupBy(F.col("dst").alias("pk"))
             .agg(F.sum("c").alias("s"))
@@ -7180,7 +7183,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
-    total = deg.agg(F.count(F.lit(1)).alias("c")).select(
+    total = verts.agg(F.count(F.lit(1)).alias("c")).select(
         F.lit("vertices").alias("kind"),
         F.lit(-1).cast("long").alias("pk"),
         F.col("c").cast("long").alias("rank_micro"),
