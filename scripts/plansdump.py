@@ -130,12 +130,22 @@ HEADLINERS = {
         "second pass over the triangle subtree."
     ),
     "graph_pagerank": (
-        "Iterative PageRank (r7): the materialized directed edge "
-        "list feeds every iteration; each round is ONE shuffle-hash "
-        "equi-join (ranks are the small build side) plus one (dst) "
-        "partial-agg shuffle. Integer micro-unit arithmetic with "
-        "truncating division — both engines bit-identical, no float "
-        "drift across 5 iterations."
+        "Iterative PageRank (r7): the degree-ANNOTATED directed edge "
+        "list materializes once and feeds every iteration — the "
+        "degree join is paid at build time, so each round is exactly "
+        "ONE shuffle-hash equi-join (ranks are the small build side) "
+        "plus one (dst) partial-agg shuffle (measured 8.5→5.8 s warm "
+        "at sf0.1 vs re-joining degrees per round). Integer "
+        "micro-unit arithmetic with truncating division — both "
+        "engines bit-identical, no float drift across 5 iterations."
+    ),
+    "graph_edge_strength": (
+        "Edge tie strength (r7): per-EDGE common neighbors come free "
+        "from the oriented triangle enumeration (one explode + one "
+        "keyed shuffle of triangle rows) — NOT the all-pairs "
+        "common-neighbor wedge join, which is Σ C(deg,2) ≈ 4× the "
+        "oriented fan-out on this graph. Jaccard denominators from "
+        "the degree table; integer ppm end to end."
     ),
     "ds8_time_bands": (
         "DS-q88 as ONE scan: eight 3-hour bands are conditional "
