@@ -362,6 +362,10 @@ MINHASH_THRESHOLD = 0.2
 SIMHASH_BITS = 32
 SIMHASH_SEED = 99
 NEARDUP_COS = 0.35
+# SemDeDup blocking: k-means clusters bound the within-block quadratic
+# (16 clusters over this corpus ≈ tens of vectors per block at the gate
+# scales; at 100 TB k grows with n so the largest block stays bounded).
+SEMDEDUP_K = 16
 ANN_K = 5
 ANN_NQUERY = 5
 # PQ config swept in-engine (BASELINE.md r5 notes): m=8/short=50 →
@@ -407,6 +411,43 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return D.embedding_near_duplicates(
         emb, "vec_id", "embedding", "label", threshold=NEARDUP_COS
+    )
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space first (deterministic integer k-means,
+    operators/similarity.py::kmeans_assignments), then search for
+    cosine near-duplicates only WITHIN a cluster and drop every member
+    that has a lower-id near-duplicate neighbor (the star keeper rule
+    of dedup_clusters, applied per cluster).
+
+    Composition of two audited pieces: the Lloyd's recurrence shared
+    with emb_kmeans and the pair generator shared with dedup_embedding
+    — the only new semantics is cluster-id-as-blocking-key. 100 TB
+    shape: the quadratic is bounded by the largest CLUSTER, not the
+    corpus (k scales with n), assignment is broadcast-join + two
+    shuffles per Lloyd round, and the verdict join shuffles only
+    removed ids. Returns one row per vector: (vec_id, cluster_id,
+    kept) — the keep/drop verdict a curation pipeline consumes.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = S.kmeans_assignments(
+        emb, "vec_id", "embedding", k=SEMDEDUP_K, iterations=KMEANS_ITERS
+    ).select("vec_id", "cluster_id")
+    clustered = emb.join(assign, "vec_id")
+    pairs = D.embedding_near_duplicates(
+        clustered, "vec_id", "embedding", "cluster_id", threshold=NEARDUP_COS
+    )
+    removed = (
+        pairs.select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__rm", F.lit(1))
+    )
+    return clustered.join(removed, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        F.when(F.col("__rm").isNull(), 1).otherwise(0).alias("kept"),
     )
 
 
@@ -1411,6 +1452,19 @@ def q_j2_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 TFIDF_TOP = 25
+# BM25 (Robertson/Lucene formulation): idf = ln(1 + (N-df+0.5)/(df+0.5)),
+# tf saturation k1=1.2, length normalization b=0.75. Scores are summed
+# in integer micro-units so the top-k ranking is engine-exact.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+BM25_QUERIES = (
+    (1, ("hash", "join")),
+    (2, ("sort", "merge")),
+    (3, ("window", "agg")),
+    (4, ("stream", "batch")),
+    (5, ("vector", "scan")),
+)
 SAMPLE_SEED = 7
 SAMPLE_RATE_PER_MILLE = {"src0": 200, "src1": 700}  # else 500
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
@@ -1440,6 +1494,75 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), F.col("term").asc())
         .limit(TFIDF_TOP)
     )
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-k documents per query for a fixed query set
+    (the relevance scorer behind corpus search / RAG retrieval over a
+    training corpus). Okapi BM25 with the Lucene idf
+    (ln(1 + (N-df+0.5)/(df+0.5))), k1/b from the module constants.
+
+    Scale shape: ONLY tokens matching a query term survive past the
+    broadcast semi-join against the tiny query-term table, so the
+    per-doc tf aggregate and everything after it shuffle a vanishingly
+    small slice of the corpus; doc lengths come from size(split())
+    with no explode; N/avgdl is a broadcast 1-row aggregate (the
+    text_tfidf pattern). Per-term scores are floored to integer
+    micro-units BEFORE the per-(query, doc) sum, so accumulation is
+    exact and the (score desc, doc_id) top-k is engine-independent.
+    Returns (query_id, doc_id, score_micro, rank), rank ≤ BM25_TOPK.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    base = docs.select(
+        "doc_id", toks.alias("__toks"), F.size(toks).alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
+        "query_id int, term string",
+    )
+    matched = base.select(
+        "doc_id", "dl", F.explode("__toks").alias("term")
+    ).join(F.broadcast(qterms), "term")
+    tf = matched.groupBy("query_id", "term", "doc_id", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = (
+        tf.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    dl_norm = F.col("dl") * F.col("n_docs") / F.col("sum_dl")
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl_norm
+    )
+    term_score = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom
+    micro = F.floor(term_score * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    per_doc = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", micro.alias("__sm"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("__sm").cast("bigint").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return per_doc.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= BM25_TOPK)
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7459,6 +7582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_semantic": q_dedup_semantic,
         "sim_ann_bruteforce": q_sim_ann_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
         "multimodal_features": q_multimodal_features,
@@ -7483,6 +7607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigrams": q_text_bigrams,
         "j2_full_outer": q_j2_full_outer,
         "text_tfidf": q_text_tfidf,
+        "text_bm25_topk": q_text_bm25_topk,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
         "w5_rank_suite": q_w5_rank_suite,
@@ -8129,6 +8254,147 @@ WHERE round({cos}, 6) >= {NEARDUP_COS}
 """
 
 
+def _kmeans_assign_cte(k: int, iters: int) -> str:
+    """The emb_kmeans oracle's Lloyd recurrence as a parameterized CTE
+    chain ending in ``afin(vid, cl, dist)`` — identical math (micro-unit
+    quantize, lowest-id init, floor-mean update, (dist, cl) tie-break),
+    generated instead of hand-unrolled so cluster-blocked consumers
+    (dedup_semantic) share one definition."""
+    parts = [
+        f"""vrows AS (
+  SELECT vec_id AS vid,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         unnest(list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x * 1000000) AS BIGINT))) AS vm
+  FROM embeddings
+),
+finit AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl
+  FROM (SELECT DISTINCT vec_id FROM embeddings
+        ORDER BY vec_id LIMIT {k})
+),
+c0 AS (
+  SELECT f.cl, v.pos, v.vm AS cm
+  FROM vrows v JOIN finit f ON v.vid = f.vec_id
+)"""
+    ]
+    prev_c = "c0"
+    for i in range(1, iters + 2):
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT v.vid, c.cl,
+         SUM((v.vm - c.cm) * (v.vm - c.cm)) AS dist
+  FROM vrows v JOIN {prev_c} c ON v.pos = c.pos
+  GROUP BY v.vid, c.cl
+),
+a{i} AS (
+  SELECT vid, cl, dist FROM (
+    SELECT vid, cl, dist, row_number() OVER (
+      PARTITION BY vid ORDER BY dist, cl) AS rn
+    FROM d{i}) WHERE rn = 1
+)"""
+        )
+        if i <= iters:
+            parts.append(
+                f""",
+c{i} AS (
+  SELECT a.cl, v.pos,
+         CAST(floor(CAST(SUM(v.vm) AS DOUBLE) / count(*)) AS BIGINT)
+           AS cm
+  FROM vrows v JOIN a{i} a ON v.vid = a.vid
+  GROUP BY a.cl, v.pos
+)"""
+            )
+        prev_c = f"c{i}"
+    parts.append(
+        f",\nafin AS (SELECT vid, cl, dist FROM a{iters + 1})"
+    )
+    return "".join(parts)
+
+
+def _bm25_oracle() -> str:
+    """text_bm25_topk twin. Float literals are embedded via repr() and
+    CAST(... AS DOUBLE) so DuckDB's decimal-literal typing cannot
+    diverge from Spark's double arithmetic; the expression tree mirrors
+    the Spark column expressions node for node."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in BM25_QUERIES for t in ts
+    )
+    k1 = f"CAST({BM25_K1!r} AS DOUBLE)"
+    k1p1 = f"CAST({BM25_K1 + 1.0!r} AS DOUBLE)"
+    b = f"CAST({BM25_B!r} AS DOUBLE)"
+    omb = f"CAST({1.0 - BM25_B!r} AS DOUBLE)"
+    half = "CAST(0.5 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+         CAST(len(string_split(lower(text), ' ')) AS INT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM base
+),
+qterms(query_id, term) AS (VALUES {vals}),
+matched AS (
+  SELECT t.query_id, t.term, b.doc_id, b.dl
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base) b
+  JOIN qterms t USING (term)
+),
+tf AS (
+  SELECT query_id, term, doc_id, dl, count(*) AS tf
+  FROM matched GROUP BY 1, 2, 3, 4
+),
+dfreq AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY term
+),
+scored AS (
+  SELECT f.query_id, f.doc_id,
+         CAST(floor(
+           ln({one} + (s.n_docs - d.df + {half}) / (d.df + {half}))
+           * (f.tf * {k1p1})
+           / (f.tf + {k1} * ({omb} + {b}
+              * (f.dl * s.n_docs / s.sum_dl)))
+           * CAST(1000000.0 AS DOUBLE) + {half}) AS BIGINT) AS sm
+  FROM tf f JOIN dfreq d USING (term) CROSS JOIN stats s
+),
+per_doc AS (
+  SELECT query_id, doc_id, CAST(SUM(sm) AS BIGINT) AS score_micro
+  FROM scored GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT query_id, doc_id, score_micro,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank
+  FROM per_doc)
+WHERE rank <= {BM25_TOPK}
+"""
+
+
+def _semantic_dedup_oracle() -> str:
+    cos = V.cosine_similarity_sql("l.embedding", "r.embedding")
+    return f"""
+WITH {_kmeans_assign_cte(SEMDEDUP_K, KMEANS_ITERS)},
+clustered AS (
+  SELECT e.vec_id, e.embedding, a.cl
+  FROM embeddings e JOIN afin a ON e.vec_id = a.vid
+),
+removed AS (
+  SELECT DISTINCT r.vec_id
+  FROM clustered l JOIN clustered r
+    ON l.cl = r.cl AND l.vec_id < r.vec_id
+  WHERE round({cos}, 6) >= {NEARDUP_COS}
+)
+SELECT c.vec_id, CAST(c.cl AS INT) AS cluster_id,
+       CAST(CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END AS INT)
+         AS kept
+FROM clustered c LEFT JOIN removed rm ON c.vec_id = rm.vec_id
+"""
+
+
 def _restart_topology_oracle() -> str:
     """s14 twin: the pipeline_topology_drain window-function oracle
     extended with the ntile file split (chunking is per micro-batch =
@@ -8555,6 +8821,7 @@ def oracle_sql() -> dict[str, str]:
             FROM labels GROUP BY cluster_id""",
         "dedup_simhash": _simhash_oracle(),
         "dedup_embedding": _embedding_neardup_oracle(),
+        "dedup_semantic": _semantic_dedup_oracle(),
         "sim_ann_bruteforce": _ann_oracle(),
         "sim_ann_pq": _ann_pq_oracle(),
         "sim_pq_recall": _pq_recall_oracle(),
@@ -8922,6 +9189,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT user_id, count(*) AS n_events
                   FROM events GROUP BY user_id) e
             FULL OUTER JOIN customer c ON e.user_id = c.c_custkey""",
+        "text_bm25_topk": _bm25_oracle(),
         "text_tfidf": f"""
             WITH terms AS (
               SELECT doc_id,

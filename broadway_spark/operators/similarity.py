@@ -631,6 +631,32 @@ def kmeans_clusters(
     Returns per-cluster: cluster_id, n_members, min member id, and the
     exact total within-cluster squared distance (micro-units²).
     """
+    assign = kmeans_assignments(df, id_col, vec_col, k, iterations)
+    return assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(id_col).alias("min_member"),
+        F.sum("dist").alias("total_dist"),
+    )
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iterations: int = 2,
+) -> DataFrame:
+    """Per-vector cluster assignments under the same determinism
+    contract as ``kmeans_clusters`` (which aggregates this result) —
+    the building block for cluster-blocked downstream passes such as
+    semantic dedup (SemDeDup, Abbas et al. 2023: cluster first, then
+    near-dup only WITHIN a cluster, so the quadratic is bounded by the
+    largest cluster instead of the corpus).
+
+    Returns (id_col, cluster_id, dist): the final assignment after
+    ``iterations`` Lloyd's updates, dist = exact squared distance to
+    the final centroid in micro-units².
+    """
     vrows = df.select(
         F.col(id_col).alias("__vid"),
         F.posexplode(
@@ -694,9 +720,8 @@ def kmeans_clusters(
             )
         )
     # final assignment against the last updated centroids
-    assign = _assign(crows)
-    return assign.groupBy(F.col("__cl").alias("cluster_id")).agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.min("__vid").alias("min_member"),
-        F.sum("__dist").alias("total_dist"),
+    return _assign(crows).select(
+        F.col("__vid").alias(id_col),
+        F.col("__cl").alias("cluster_id"),
+        F.col("__dist").alias("dist"),
     )

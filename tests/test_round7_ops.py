@@ -213,3 +213,53 @@ def test_triangle_totals_consistent(spark):
         .count()
     )
     assert total == brute
+
+
+def test_bm25_invariants_and_plan(spark):
+    """Per query: ranks are a dense 1..k prefix ordered by
+    (score desc, doc_id); scores positive (every query term appears in
+    <N docs so Lucene idf > 0). Plan: the query-term join broadcasts
+    the tiny side, and no cartesian beyond the broadcast 1-row stats
+    join."""
+    df = entry.q_text_bm25_topk(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {q for q, _ in entry.BM25_QUERIES}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= entry.BM25_TOPK
+        for a, b in zip(rs, rs[1:]):
+            assert (a["score_micro"], -a["doc_id"]) >= (
+                b["score_micro"],
+                -b["doc_id"],
+            )
+        assert all(r["score_micro"] > 0 for r in rs)
+
+
+def test_semantic_dedup_star_keeper_per_cluster(spark):
+    """SemDeDup verdicts: one row per vector, kept∈{0,1}, and the
+    lowest-id member of every cluster is always kept (the star rule
+    cannot remove a vector with no lower-id neighbor). No cartesian:
+    the pair join is an equi-join on the cluster id."""
+    df = entry.q_dedup_semantic(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    n_vec = (
+        spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    )
+    assert len(rows) == n_vec
+    assert {r["kept"] for r in rows} <= {0, 1}
+    by_cl = {}
+    for r in rows:
+        by_cl.setdefault(r["cluster_id"], []).append(r)
+    for cl, rs in by_cl.items():
+        low = min(rs, key=lambda r: r["vec_id"])
+        assert low["kept"] == 1, f"cluster {cl} lowest id was removed"
+    assert any(r["kept"] == 0 for r in rows), "no duplicates found at all"
