@@ -706,6 +706,92 @@ def q_pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 JACCARD_PAIR_THRESHOLD = 0.5
 
 
+def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel report: how many documents survive each stage of
+    the standard training-data cleaning chain — quality floor → token
+    budget → exact dedup (fingerprint keeper) → near-dedup (exact
+    Jaccard ≥ threshold within (lang, source), lowest-id keeper). One
+    row per stage: (stage, stage_name, n_in, n_out) — the yield table a
+    curation run publishes so a drop in corpus size is attributable to
+    a stage, not discovered after training.
+
+    Stages are SEQUENTIAL (each consumes the previous survivors), but
+    the per-doc gate flags compose as ANDed codegen expressions over a
+    single corpus projection, so stages 1-2 cost one scan. The exact
+    keeper is a fingerprint-partitioned row_number (one shuffle of
+    digests); the near-dup stage reuses the prefix-filtered Jaccard
+    pair generator (no quadratic blocks — Bayardo WWW'07 bound) over
+    the surviving slice only; the final counts are 1-row aggregates
+    assembled by broadcast cross join and unpivoted with stack(). At
+    100 TB every shuffle carries ids/digests/flags, never text.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"),
+        T.quality_score("text").alias("quality"),
+        T.token_count("text").alias("n_tokens"),
+        H.fingerprint("text").alias("fp"),
+    )
+    q_ok = F.col("quality") >= F.lit(CORPUS_MIN_QUALITY)
+    b_ok = q_ok & F.col("n_tokens").between(
+        CORPUS_MIN_TOKENS, CORPUS_MAX_TOKENS
+    )
+    flagged = scored.select(
+        "doc_id",
+        "lang",
+        "source",
+        "toks",
+        "fp",
+        q_ok.cast("int").alias("q_ok"),
+        b_ok.cast("int").alias("b_ok"),
+    )
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    surv3 = (
+        flagged.filter(F.col("b_ok") == 1)
+        .withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    pairs = D.jaccard_pairs_prefix_filter(
+        surv3.select("doc_id", "lang", "source", "toks"),
+        "doc_id",
+        "toks",
+        JACCARD_PAIR_THRESHOLD,
+        block_cols=["lang", "source"],
+    )
+    removed = pairs.select("id_b").distinct()
+    counts = (
+        flagged.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n0"),
+            F.sum("q_ok").cast("bigint").alias("n1"),
+            F.sum("b_ok").cast("bigint").alias("n2"),
+        )
+        .crossJoin(
+            F.broadcast(
+                surv3.agg(F.count(F.lit(1)).cast("bigint").alias("n3"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                removed.agg(F.count(F.lit(1)).cast("bigint").alias("n_rm"))
+            )
+        )
+    )
+    return counts.select(
+        F.expr(
+            "stack(4,"
+            " 1, 'quality',      n0, n1,"
+            " 2, 'token_budget', n1, n2,"
+            " 3, 'exact_dedup',  n2, n3,"
+            " 4, 'near_dedup',   n3, n3 - n_rm"
+            ") AS (stage, stage_name, n_in, n_out)"
+        )
+    )
+
+
 def q_text_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard near-dup pairs within (lang, source) — the
     n-gram-Jaccard dedup family, EXACT semantics at scale via prefix
@@ -7572,6 +7658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_jaccard_pairs": q_text_jaccard_pairs,
         "pipeline_corpus_clean": q_pipeline_corpus_clean,
+        "pipeline_curation_funnel": q_pipeline_curation_funnel,
         "text_winnow": q_text_winnow,
         "h5_nation_revenue": q_h5_nation_revenue,
         "str_suite": q_str_suite,
@@ -8716,6 +8803,55 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(quality_micro) AS DOUBLE) / count(*) / 1e6, 6)
                      AS avg_quality
             FROM keepers GROUP BY lang_pred""",
+        "pipeline_curation_funnel": f"""
+            WITH scored AS (
+              SELECT doc_id, lang, source,
+                     list_distinct(string_split(lower(text), ' ')) AS toks,
+                     {T.quality_score_sql('text')} AS quality,
+                     {T.token_count_sql('text')} AS n_tokens,
+                     {H.fingerprint_sql('text')} AS fp
+              FROM documents),
+            flagged AS (
+              SELECT doc_id, lang, source, toks, fp,
+                     CASE WHEN quality >= {CORPUS_MIN_QUALITY}
+                          THEN 1 ELSE 0 END AS q_ok,
+                     CASE WHEN quality >= {CORPUS_MIN_QUALITY}
+                           AND n_tokens BETWEEN {CORPUS_MIN_TOKENS}
+                                           AND {CORPUS_MAX_TOKENS}
+                          THEN 1 ELSE 0 END AS b_ok
+              FROM scored),
+            surv3 AS (
+              SELECT doc_id, lang, source, toks FROM (
+                SELECT doc_id, lang, source, toks,
+                       row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+                         AS rn
+                FROM flagged WHERE b_ok = 1
+              ) WHERE rn = 1),
+            removed AS (
+              SELECT DISTINCT r.doc_id AS id_b
+              FROM surv3 l JOIN surv3 r
+                ON l.lang = r.lang AND l.source = r.source
+               AND l.doc_id < r.doc_id
+              WHERE round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+                          / CAST(len(list_distinct(
+                                 list_concat(l.toks, r.toks))) AS DOUBLE), 6)
+                    >= {JACCARD_PAIR_THRESHOLD}),
+            c AS (
+              SELECT CAST(count(*) AS BIGINT) AS n0,
+                     CAST(sum(q_ok) AS BIGINT) AS n1,
+                     CAST(sum(b_ok) AS BIGINT) AS n2
+              FROM flagged),
+            c3 AS (SELECT CAST(count(*) AS BIGINT) AS n3 FROM surv3),
+            crm AS (SELECT CAST(count(*) AS BIGINT) AS n_rm FROM removed)
+            SELECT CAST(1 AS INT) AS stage, 'quality' AS stage_name,
+                   n0 AS n_in, n1 AS n_out FROM c, c3, crm
+            UNION ALL
+            SELECT CAST(2 AS INT), 'token_budget', n1, n2 FROM c, c3, crm
+            UNION ALL
+            SELECT CAST(3 AS INT), 'exact_dedup', n2, n3 FROM c, c3, crm
+            UNION ALL
+            SELECT CAST(4 AS INT), 'near_dedup', n3, n3 - n_rm
+            FROM c, c3, crm""",
         "h5_nation_revenue": """
             SELECT n_name AS nation,
                    round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
