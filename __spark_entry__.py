@@ -792,6 +792,158 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit over the warehouse tables — the validation
+    suite a pipeline runs before training-data extraction: referential
+    integrity (orphan foreign keys), primary-key uniqueness, temporal
+    consistency (shipments dated before their order), domain bounds,
+    coverage (orders with no lines), and cross-table reconciliation
+    (order totals vs their line-item sum, exact DECIMAL arithmetic so
+    the 1%-tolerance verdict is engine-independent). One row per
+    check: (check_id, check_name, table_name, n_checked,
+    n_violations) — nonzero rows point at the defect class, zero rows
+    prove the clean dimensions stayed clean.
+
+    Scale shape: SIX passes for ten checks — per-table checks fuse
+    into one aggregate over a single (joined) scan: lineitem⟕orders
+    feeds four checks in one pass (orphans, dup PK via count_distinct,
+    ship-before-order, discount bounds); orders⟕customer⟕(per-order
+    line sums) feeds three more in one linear plan. Every aggregate is
+    a partial-agg (map-side combine) shuffle; the 1-row results are
+    assembled with broadcast cross joins and unpivoted with stack().
+    At 100 TB the only wide exchanges are the two fact-fact joins on
+    their natural keys — exactly the work a referential check IS."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    events = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+
+    # Pass A: lineitem ⟕ orders — checks 1-4 in one aggregate.
+    li_j = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left",
+    )
+    a = li_j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("li_n"),
+        F.sum(F.col("o_orderkey").isNull().cast("int"))
+        .cast("bigint")
+        .alias("c_orphan"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct("l_orderkey", "l_linenumber")
+        )
+        .cast("bigint")
+        .alias("c_dup_pk"),
+        F.sum(
+            (
+                F.col("o_orderkey").isNotNull()
+                & (F.col("l_shipdate") < F.col("o_orderdate"))
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("c_ship_early"),
+        F.sum(
+            (
+                (F.col("l_discount") < F.lit(0.0))
+                | (F.col("l_discount") > F.lit(1.0))
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("c_disc_range"),
+    )
+
+    # Pass B: orders ⟕ customer ⟕ per-order line sums — checks 5-7.
+    line_sums = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("line_total")
+    )
+    total_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    ord_j = orders.join(
+        cust.select("c_custkey"),
+        orders["o_custkey"] == F.col("c_custkey"),
+        "left",
+    ).join(line_sums, orders["o_orderkey"] == F.col("l_orderkey"), "left")
+    b = ord_j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ord_n"),
+        F.sum(F.col("c_custkey").isNull().cast("int"))
+        .cast("bigint")
+        .alias("c_ord_orphan"),
+        F.sum(F.col("l_orderkey").isNull().cast("int"))
+        .cast("bigint")
+        .alias("c_no_lines"),
+        F.sum(
+            (
+                F.col("l_orderkey").isNotNull()
+                & (
+                    F.abs(total_dec - F.col("line_total")).cast("double")
+                    > total_dec.cast("double") * F.lit(0.01)
+                )
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("c_total_drift"),
+    )
+
+    # Pass C: customer domain; D: events ⟕ customer; E: documents.
+    c = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("cust_n"),
+        F.sum((F.col("c_acctbal") < F.lit(0.0)).cast("int"))
+        .cast("bigint")
+        .alias("c_acctbal_neg"),
+    )
+    d = (
+        events.join(
+            cust.select(F.col("c_custkey").alias("__ck")),
+            events["user_id"] == F.col("__ck"),
+            "left",
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("evt_n"),
+            F.sum(F.col("__ck").isNull().cast("int"))
+            .cast("bigint")
+            .alias("c_evt_orphan"),
+        )
+    )
+    e = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_n"),
+        F.sum(
+            (
+                F.col("text").isNull()
+                | (F.length(F.trim(F.col("text"))) == 0)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("c_doc_empty"),
+    )
+
+    wide = (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(d))
+        .crossJoin(F.broadcast(e))
+    )
+    return wide.select(
+        F.expr(
+            "stack(10,"
+            "  1, 'li_orphan_order',     'lineitem',  li_n,  c_orphan,"
+            "  2, 'li_pk_unique',        'lineitem',  li_n,  c_dup_pk,"
+            "  3, 'li_ship_before_order','lineitem',  li_n,  c_ship_early,"
+            "  4, 'li_discount_range',   'lineitem',  li_n,  c_disc_range,"
+            "  5, 'ord_orphan_cust',     'orders',    ord_n, c_ord_orphan,"
+            "  6, 'ord_no_lines',        'orders',    ord_n, c_no_lines,"
+            "  7, 'ord_total_consistent','orders',    ord_n, c_total_drift,"
+            "  8, 'cust_acctbal_neg',    'customer',  cust_n, c_acctbal_neg,"
+            "  9, 'evt_orphan_user',     'events',    evt_n, c_evt_orphan,"
+            " 10, 'doc_empty_text',      'documents', doc_n, c_doc_empty"
+            ") AS (check_id, check_name, table_name, n_checked,"
+            "      n_violations)"
+        )
+    )
+
+
 def q_text_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard near-dup pairs within (lang, source) — the
     n-gram-Jaccard dedup family, EXACT semantics at scale via prefix
@@ -7659,6 +7811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_jaccard_pairs": q_text_jaccard_pairs,
         "pipeline_corpus_clean": q_pipeline_corpus_clean,
         "pipeline_curation_funnel": q_pipeline_curation_funnel,
+        "pipeline_dq_audit": q_pipeline_dq_audit,
         "text_winnow": q_text_winnow,
         "h5_nation_revenue": q_h5_nation_revenue,
         "str_suite": q_str_suite,
@@ -8852,6 +9005,95 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(4 AS INT), 'near_dedup', n3, n3 - n_rm
             FROM c, c3, crm""",
+        "pipeline_dq_audit": """
+            WITH a AS (
+              SELECT CAST(count(*) AS BIGINT) AS li_n,
+                     CAST(sum(CASE WHEN o.o_orderkey IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS c_orphan,
+                     CAST(count(*) - count(DISTINCT (l.l_orderkey,
+                              l.l_linenumber)) AS BIGINT) AS c_dup_pk,
+                     CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL
+                               AND l.l_shipdate < o.o_orderdate
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS c_ship_early,
+                     CAST(sum(CASE WHEN l.l_discount < 0.0
+                               OR l.l_discount > 1.0
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS c_disc_range
+              FROM lineitem l
+              LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+            ls AS (
+              SELECT l_orderkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                       AS line_total
+              FROM lineitem GROUP BY l_orderkey),
+            b AS (
+              SELECT CAST(count(*) AS BIGINT) AS ord_n,
+                     CAST(sum(CASE WHEN c.c_custkey IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS c_ord_orphan,
+                     CAST(sum(CASE WHEN ls.l_orderkey IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS c_no_lines,
+                     CAST(sum(CASE WHEN ls.l_orderkey IS NOT NULL
+                               AND CAST(abs(
+                                     CAST(o.o_totalprice AS DECIMAL(18,2))
+                                     - ls.line_total) AS DOUBLE)
+                                   > CAST(CAST(o.o_totalprice
+                                          AS DECIMAL(18,2)) AS DOUBLE)
+                                     * 0.01
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS c_total_drift
+              FROM orders o
+              LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+              LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey),
+            c AS (
+              SELECT CAST(count(*) AS BIGINT) AS cust_n,
+                     CAST(sum(CASE WHEN c_acctbal < 0.0
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS c_acctbal_neg
+              FROM customer),
+            d AS (
+              SELECT CAST(count(*) AS BIGINT) AS evt_n,
+                     CAST(sum(CASE WHEN c.c_custkey IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS c_evt_orphan
+              FROM events e
+              LEFT JOIN customer c ON e.user_id = c.c_custkey),
+            e AS (
+              SELECT CAST(count(*) AS BIGINT) AS doc_n,
+                     CAST(sum(CASE WHEN text IS NULL
+                               OR len(trim(text)) = 0
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS c_doc_empty
+              FROM documents)
+            SELECT CAST(ck.check_id AS INT) AS check_id, ck.check_name,
+                   ck.table_name, ck.n_checked, ck.n_violations
+            FROM a, b, c, d, e, LATERAL (
+              SELECT * FROM (VALUES
+                (1, 'li_orphan_order',      'lineitem',  a.li_n,
+                    a.c_orphan),
+                (2, 'li_pk_unique',         'lineitem',  a.li_n,
+                    a.c_dup_pk),
+                (3, 'li_ship_before_order', 'lineitem',  a.li_n,
+                    a.c_ship_early),
+                (4, 'li_discount_range',    'lineitem',  a.li_n,
+                    a.c_disc_range),
+                (5, 'ord_orphan_cust',      'orders',    b.ord_n,
+                    b.c_ord_orphan),
+                (6, 'ord_no_lines',         'orders',    b.ord_n,
+                    b.c_no_lines),
+                (7, 'ord_total_consistent', 'orders',    b.ord_n,
+                    b.c_total_drift),
+                (8, 'cust_acctbal_neg',     'customer',  c.cust_n,
+                    c.c_acctbal_neg),
+                (9, 'evt_orphan_user',      'events',    d.evt_n,
+                    d.c_evt_orphan),
+                (10, 'doc_empty_text',      'documents', e.doc_n,
+                    e.c_doc_empty)
+              ) AS t(check_id, check_name, table_name, n_checked,
+                     n_violations)
+            ) ck""",
         "h5_nation_revenue": """
             SELECT n_name AS nation,
                    round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

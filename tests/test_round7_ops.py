@@ -263,3 +263,30 @@ def test_semantic_dedup_star_keeper_per_cluster(spark):
         low = min(rs, key=lambda r: r["vec_id"])
         assert low["kept"] == 1, f"cluster {cl} lowest id was removed"
     assert any(r["kept"] == 0 for r in rows), "no duplicates found at all"
+
+
+def test_dq_audit_invariants_and_plan(spark):
+    """The audit returns exactly the ten declared checks with sane
+    counts: violations never exceed rows checked, every n_checked
+    matches the underlying table's count, and the known-clean checks
+    (referential orphans, discount bounds, empty docs) report zero
+    while the known-dirty synthetic defects (dup line PKs,
+    ship-before-order) report nonzero. Plan: no cartesian beyond the
+    broadcast 1-row assembly joins."""
+    df = entry.q_pipeline_dq_audit(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    rows = {r["check_id"]: r for r in df.collect()}
+    assert sorted(rows) == list(range(1, 11))
+    li_n = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    ord_n = spark.read.parquet(f"{SF}/orders.parquet").count()
+    for r in rows.values():
+        assert 0 <= r["n_violations"] <= r["n_checked"]
+    assert rows[1]["n_checked"] == li_n
+    assert rows[6]["n_checked"] == ord_n
+    # clean dimensions stay clean...
+    for cid in (1, 4, 5, 9, 10):
+        assert rows[cid]["n_violations"] == 0, rows[cid]
+    # ...and the generator's known irregularities are detected.
+    for cid in (2, 3):
+        assert rows[cid]["n_violations"] > 0, rows[cid]
