@@ -630,6 +630,37 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the n-gram
+    classifier's prediction against the corpus's labeled ``lang``
+    column, one row per (lang, lang_pred) cell with the cell count and
+    its integer-ppm share of the true language's rows (the per-class
+    recall decomposition a model-eval report prints). The matrix is at
+    most |langs|² rows, so everything after the first partial-agg
+    shuffle — the window sum per true language — is free; at 100 TB
+    the corpus is scanned once and only (lang, lang_pred, count) pairs
+    ever shuffle. Integer DIV keeps the shares engine-exact (no
+    float-boundary flips at any scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = (
+        docs.select("lang", T.language_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return (
+        cells.withColumn("__tot", F.sum("n").over(w))
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.expr(
+                "CAST((n * CAST(1000000 AS BIGINT)) DIV __tot AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", H.fingerprint("text").alias("fp"))
@@ -7830,6 +7861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r1_rollup": q_r1_rollup,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
+        "text_lang_confusion": q_text_lang_confusion,
         "text_fingerprint": q_text_fingerprint,
         "aj1_asof_clicks": q_aj1_asof_clicks,
         "w3_sessions": q_w3_sessions,
@@ -9295,6 +9327,16 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": f"""
             SELECT {T.language_id_sql('text')} AS lang_pred, count(*) AS n
             FROM documents GROUP BY 1""",
+        "text_lang_confusion": f"""
+            WITH cells AS (
+              SELECT lang, {T.language_id_sql('text')} AS lang_pred,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2)
+            SELECT lang, lang_pred, n,
+                   CAST((n * 1000000)
+                        // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+                     AS recall_ppm
+            FROM cells""",
         "text_fingerprint": f"""
             SELECT doc_id, {H.fingerprint_sql('text')} AS fp
             FROM documents""",
