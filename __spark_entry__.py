@@ -661,6 +661,145 @@ def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 bigrams by PMI-style lift —
+    ``n_ab·N / (n_a·n_b)``, the observed-over-expected ratio under
+    token independence (Church & Hanks 1990's association measure,
+    ratio form so both engines stay in exact integer counts until ONE
+    rounded division). Scale shape: the shared lead-window bigram
+    gather (text never shuffles after tokenization), two partial-agg
+    shuffles (bigram + unigram counts), two equi-joins of the count
+    table against the vocabulary (≪ corpus — AQE broadcasts), a
+    broadcast 1-row token total, and a top-k window over the filtered
+    count table only."""
+    docs = _t(spark, sf_dir, "documents")
+    inst = T.shingle_instances(docs, "doc_id", "text", 2).filter(
+        F.col("__sh").like("% %")
+    )
+    bgc = inst.groupBy(F.col("__sh").alias("bigram")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ab")
+    )
+    uni = (
+        docs.select(F.explode(T.tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    )
+    tot = docs.select(
+        F.sum(F.size(T.tokens("text"))).cast("bigint").alias("n_total")
+    )
+    lift = F.round(
+        F.col("n_ab").cast("double")
+        * F.col("n_total").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        6,
+    )
+    scored = (
+        bgc.withColumn("__t1", F.expr("split_part(bigram, ' ', 1)"))
+        .withColumn("__t2", F.expr("split_part(bigram, ' ', 2)"))
+        .join(
+            uni.select(F.col("t").alias("__t1"), F.col("n_t").alias("n_a")),
+            "__t1",
+        )
+        .join(
+            uni.select(F.col("t").alias("__t2"), F.col("n_t").alias("n_b")),
+            "__t2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("bigram", "n_ab", "n_a", "n_b", lift.alias("lift"))
+    )
+    wtop = Window.orderBy(F.col("lift").desc(), F.col("bigram").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(wtop))
+        .where(F.col("rk") <= 20)
+        .select("bigram", "n_ab", "n_a", "n_b", "lift", "rk")
+    )
+
+
+# Denylist scrubbing: the blocklist-redaction pass of a curation
+# pipeline (PII/sensitive-term scrub). The synthetic corpus has no
+# digits/emails, so the denylist is drawn from its own vocabulary —
+# the regex/replace/verify plumbing is identical to a real PII pass.
+REDACT_PATTERN = r"\b(customer|spark|value)\b"
+REDACT_TOKEN = "<redacted>"
+
+
+def q_pipeline_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source denylist-redaction report: docs touched, spans
+    scrubbed, integer-ppm of tokens redacted, and a bit_xor integrity
+    hash of the REDACTED text (proves the replacement text, not just
+    the counts, is identical on both engines — the audit a scrub job
+    must emit before the redacted corpus ships). ONE corpus scan, all
+    regex work codegen (regexp_count/regexp_replace), one partial-agg
+    shuffle on source; xor is order-independent so the hash is stable
+    under any partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit(REDACT_PATTERN))
+        .cast("bigint")
+        .alias("__spans"),
+        T.token_count("text").cast("bigint").alias("__toks"),
+        H.portable_hash(
+            F.regexp_replace(F.col("text"), REDACT_PATTERN, REDACT_TOKEN)
+        ).alias("__h"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("__spans") > 0).cast("int"))
+            .cast("bigint")
+            .alias("docs_touched"),
+            F.sum("__spans").alias("spans_total"),
+            F.sum("__toks").alias("tokens_total"),
+            F.expr("bit_xor(__h)").alias("redacted_xor"),
+        )
+        .withColumn(
+            "redacted_ppm",
+            F.expr(
+                "CAST((spans_total * CAST(1000000 AS BIGINT))"
+                " DIV tokens_total AS BIGINT)"
+            ),
+        )
+    )
+
+
+def q_j4_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join (entity resolution): part-name pairs within
+    Levenshtein distance 3, blocked on the head token so the edit
+    distance runs only inside small candidate blocks — the standard
+    ER blocking design (Christen 2012), never all-pairs. Scale shape:
+    names are DISTINCT-aggregated first (vocabulary ≪ rows, one
+    partial-agg shuffle), the self-join keys on the block token
+    (AQE-skew-eligible equi-join), and `a.name < b.name` halves the
+    candidate set before the distance filter."""
+    part = _t(spark, sf_dir, "part")
+    names = (
+        part.groupBy(F.col("p_name").alias("name"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .withColumn("__blk", F.expr("split_part(name, ' ', 1)"))
+    )
+    a = names.select(
+        "__blk",
+        F.col("name").alias("name_a"),
+        F.col("n_parts").alias("n_a"),
+    )
+    b = names.select(
+        "__blk",
+        F.col("name").alias("name_b"),
+        F.col("n_parts").alias("n_b"),
+    )
+    return (
+        a.join(b, "__blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("bigint")
+        )
+        .where(F.col("dist") <= 3)
+        .select("name_a", "name_b", "n_a", "n_b", "dist")
+    )
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", H.fingerprint("text").alias("fp"))
@@ -7862,6 +8001,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_lang_confusion": q_text_lang_confusion,
+        "text_collocations": q_text_collocations,
+        "pipeline_redaction": q_pipeline_redaction,
+        "j4_fuzzy_names": q_j4_fuzzy_names,
         "text_fingerprint": q_text_fingerprint,
         "aj1_asof_clicks": q_aj1_asof_clicks,
         "w3_sessions": q_w3_sessions,
@@ -9337,6 +9479,71 @@ def oracle_sql() -> dict[str, str]:
                         // sum(n) OVER (PARTITION BY lang) AS BIGINT)
                      AS recall_ppm
             FROM cells""",
+        "text_collocations": """
+            WITH tok AS (
+              SELECT unnest(string_split(lower(text), ' ')) AS t
+              FROM documents
+            ), uni AS (
+              SELECT t, CAST(count(*) AS BIGINT) AS n_t
+              FROM tok GROUP BY t
+            ), tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok
+            ), bg AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, len(tok) - 1),
+                       i -> concat_ws(' ', tok[i], tok[i + 1]))) AS sh
+              FROM (SELECT string_split(lower(text), ' ') AS tok
+                    FROM documents)
+              WHERE len(tok) >= 2
+            ), bgc AS (
+              SELECT sh AS bigram, CAST(count(*) AS BIGINT) AS n_ab
+              FROM bg GROUP BY sh
+            ), scored AS (
+              SELECT bigram, n_ab, ua.n_t AS n_a, ub.n_t AS n_b,
+                     round(CAST(n_ab AS DOUBLE) * CAST(n_total AS DOUBLE)
+                           / (CAST(ua.n_t AS DOUBLE)
+                              * CAST(ub.n_t AS DOUBLE)), 6) AS lift
+              FROM bgc
+              JOIN uni ua ON split_part(bigram, ' ', 1) = ua.t
+              JOIN uni ub ON split_part(bigram, ' ', 2) = ub.t
+              CROSS JOIN tot
+            )
+            SELECT bigram, n_ab, n_a, n_b, lift, rk FROM (
+              SELECT *, row_number() OVER
+                     (ORDER BY lift DESC, bigram ASC) AS rk
+              FROM scored
+            ) WHERE rk <= 20""",
+        "pipeline_redaction": f"""
+            WITH per AS (
+              SELECT source,
+                     CAST(len(regexp_extract_all(text,
+                       '{REDACT_PATTERN}')) AS BIGINT) AS spans,
+                     CAST({T.token_count_sql('text')} AS BIGINT) AS toks,
+                     {H.portable_hash_sql(
+                         "regexp_replace(text, '" + REDACT_PATTERN
+                         + "', '" + REDACT_TOKEN + "', 'g')")} AS h
+              FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   CAST(SUM(CASE WHEN spans > 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS docs_touched,
+                   CAST(SUM(spans) AS BIGINT) AS spans_total,
+                   CAST(SUM(toks) AS BIGINT) AS tokens_total,
+                   bit_xor(h) AS redacted_xor,
+                   CAST((SUM(spans) * 1000000) // SUM(toks) AS BIGINT)
+                     AS redacted_ppm
+            FROM per GROUP BY source""",
+        "j4_fuzzy_names": """
+            WITH names AS (
+              SELECT p_name AS name,
+                     CAST(count(*) AS BIGINT) AS n_parts
+              FROM part GROUP BY 1)
+            SELECT a.name AS name_a, b.name AS name_b,
+                   a.n_parts AS n_a, b.n_parts AS n_b,
+                   CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+            FROM names a JOIN names b
+              ON split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
+             AND a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 3""",
         "text_fingerprint": f"""
             SELECT doc_id, {H.fingerprint_sql('text')} AS fp
             FROM documents""",
