@@ -3227,6 +3227,56 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_split_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split key is the doc's
+    near-dup CLUSTER representative (min-id of its LSH connected
+    component), not the doc itself, so near-duplicates can never
+    straddle train and test — the dedup-aware splitting rule modern
+    LLM data pipelines apply before eval-set carve-out. Singletons
+    hash on their own id; the bucket hash is the same md5 scheme as
+    ``sample_split`` so the two splits agree wherever no dup risk
+    exists. Scale shape: the audited LSH + star-CC label table (never
+    all-pairs), ONE left join against the corpus, one partial-agg
+    shuffle; per-split distinct-group counts shuffle only (split, rep)
+    pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD,
+        shingle_k=MINHASH_K,
+    )
+    labels = D.near_dup_labels(pairs)
+    rep = docs.join(labels, docs.doc_id == labels.id, "left").select(
+        "doc_id",
+        T.token_count("text").cast("bigint").alias("__tok"),
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("rep"),
+        F.col("cluster_id").isNotNull().cast("int").alias("__near"),
+    )
+    bucket = F.expr(
+        "CAST(conv(substring(md5(concat('split:', CAST(rep AS STRING))),"
+        " 1, 15), 16, 10) AS BIGINT) % 100"
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        rep.select(split.alias("split"), "rep", "__tok", "__near")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("rep").alias("n_groups"),
+            F.sum("__tok").cast("bigint").alias("n_tokens"),
+            F.sum("__near").cast("bigint").alias("n_near_dup_docs"),
+        )
+    )
+
+
 def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-16-gram Jaccard near-dup pairs within (lang, source) —
     the character-level member of the n-gram-Jaccard family, at
@@ -8072,6 +8122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h7_volume": q_h7_volume,
         "h2_min_cost": q_h2_min_cost,
         "sample_split": q_sample_split,
+        "sample_split_safe": q_sample_split_safe,
         "dedup_char_ngram": q_dedup_char_ngram,
         "h11_important": q_h11_important,
         "sample_token_budget": q_sample_token_budget,
@@ -10622,6 +10673,46 @@ def oracle_sql() -> dict[str, str]:
               )
             )
             GROUP BY split, lang""",
+        "sample_split_safe": f"""
+            WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(node, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT reach.node, e.dst FROM reach JOIN edges e
+                ON reach.r = e.src
+            ),
+            labels AS (
+              SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+            ),
+            docs2 AS (
+              SELECT d.doc_id,
+                     COALESCE(l.cluster_id, d.doc_id) AS rep,
+                     CASE WHEN l.cluster_id IS NULL THEN 0 ELSE 1 END
+                       AS near,
+                     CAST({T.token_count_sql('text')} AS BIGINT) AS toks
+              FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+            ),
+            bucketed AS (
+              SELECT *,
+                     CAST(concat('0x', substr(md5(concat('split:',
+                       CAST(rep AS VARCHAR))), 1, 15)) AS BIGINT)
+                       % 100 AS bk
+              FROM docs2
+            )
+            SELECT CASE WHEN bk < 90 THEN 'train'
+                        WHEN bk < 95 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(count(DISTINCT rep) AS BIGINT) AS n_groups,
+                   CAST(SUM(toks) AS BIGINT) AS n_tokens,
+                   CAST(SUM(near) AS BIGINT) AS n_near_dup_docs
+            FROM bucketed GROUP BY 1""",
         "text_surprisal": """
             WITH toks AS (
               SELECT doc_id,
