@@ -290,3 +290,146 @@ def test_dq_audit_invariants_and_plan(spark):
     # ...and the generator's known irregularities are detected.
     for cid in (2, 3):
         assert rows[cid]["n_violations"] > 0, rows[cid]
+
+
+def test_fuzzy_names_exact_within_blocks(spark):
+    """The blocked fuzzy join must return EXACTLY the brute-force
+    within-block pair set (blocking is the declared recall boundary;
+    inside a block no pair may be lost), canonically ordered with
+    distances in (0, 3]."""
+    df = entry.q_j4_fuzzy_names(spark, SF)
+    got = {(r["name_a"], r["name_b"], r["dist"]) for r in df.collect()}
+    names = [
+        r["p_name"]
+        for r in spark.read.parquet(f"{SF}/part.parquet")
+        .select("p_name")
+        .distinct()
+        .collect()
+    ]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b, lev(a, b))
+        for a in names
+        for b in names
+        if a < b
+        and a.split(" ")[0] == b.split(" ")[0]
+        and lev(a, b) <= 3
+    }
+    assert got == want
+    assert all(0 < d <= 3 for _, _, d in got)
+
+
+def test_redaction_invariants_and_plan(spark):
+    """Counts are internally consistent (touched ≤ docs, ppm ≤ 1e6,
+    some spans actually found) and the scrub is ONE codegen corpus
+    scan — no Generate, a single exchange for the source group-by."""
+    df = entry.q_pipeline_redaction(spark, SF)
+    plan = _plan(df)
+    assert "Generate" not in plan
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange") == 1
+    rows = df.collect()
+    assert sum(r["spans_total"] for r in rows) > 0
+    for r in rows:
+        assert 0 <= r["docs_touched"] <= r["n_docs"]
+        assert 0 <= r["redacted_ppm"] <= 1_000_000
+        assert r["spans_total"] <= r["tokens_total"]
+
+
+def test_collocations_lift_recomputes(spark):
+    """Each reported lift must equal n_ab·N/(n_a·n_b) recomputed from
+    the returned integer counts and an independent token total, and
+    rank order must follow (lift desc, bigram asc)."""
+    rows = entry.q_text_collocations(spark, SF).collect()
+    assert rows, "no collocations returned"
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_total = docs.select(
+        F.sum(F.size(F.split(F.lower("text"), " ")))
+    ).collect()[0][0]
+    for r in rows:
+        expect = round(r["n_ab"] * n_total / (r["n_a"] * r["n_b"]), 6)
+        assert abs(r["lift"] - expect) < 1e-9, r
+    ordered = sorted(rows, key=lambda r: (-r["lift"], r["bigram"]))
+    assert [r["rk"] for r in ordered] == list(range(1, len(rows) + 1))
+
+
+def test_split_safe_clusters_never_straddle(spark):
+    """The leakage guard itself: recompute per-doc assignments and
+    assert every near-dup cluster lands in exactly one split, and the
+    aggregate matches the query's totals."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = entry.D.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=entry.MINHASH_NUM,
+        bands=entry.MINHASH_BANDS,
+        threshold=entry.MINHASH_THRESHOLD,
+        shingle_k=entry.MINHASH_K,
+    )
+    labels = entry.D.near_dup_labels(pairs)
+    per_doc = (
+        docs.join(labels, docs.doc_id == labels.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("rep"),
+        )
+        .withColumn(
+            "bk",
+            F.expr(
+                "CAST(conv(substring(md5(concat('split:',"
+                " CAST(rep AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100"
+            ),
+        )
+        .withColumn(
+            "split",
+            F.when(F.col("bk") < 90, "train")
+            .when(F.col("bk") < 95, "val")
+            .otherwise("test"),
+        )
+        .collect()
+    )
+    by_rep = {}
+    for r in per_doc:
+        by_rep.setdefault(r["rep"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_rep.values()), "cluster straddles"
+    agg = {
+        r["split"]: r
+        for r in entry.q_sample_split_safe(spark, SF).collect()
+    }
+    from collections import Counter
+
+    n_by_split = Counter(r["split"] for r in per_doc)
+    assert {k: v["n_docs"] for k, v in agg.items()} == dict(n_by_split)
+
+
+def test_lang_confusion_rows_partition_corpus(spark):
+    """Confusion cells partition the corpus (Σn = doc count) and each
+    true language's recall shares sum to ≤ 1e6 ppm (floor division
+    loses at most |cells| ppm per language)."""
+    rows = entry.q_text_lang_confusion(spark, SF).collect()
+    docs_n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n"] for r in rows) == docs_n
+    from collections import defaultdict
+
+    per_lang = defaultdict(int)
+    for r in rows:
+        per_lang[r["lang"]] += r["recall_ppm"]
+    for lang, total in per_lang.items():
+        assert total <= 1_000_000, (lang, total)
+        assert total > 900_000, (lang, total)
