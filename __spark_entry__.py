@@ -679,14 +679,18 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     bgc = inst.groupBy(F.col("__sh").alias("bigram")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ab")
     )
-    uni = (
+    # The vocabulary count table feeds THREE consumers (both join
+    # sides and the token total) — materialize it once so the corpus
+    # is tokenized for unigrams exactly once, not per branch.
+    uni = materialize(
         docs.select(F.explode(T.tokens("text")).alias("t"))
         .groupBy("t")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_t")),
+        "colloc_uni",
     )
-    tot = docs.select(
-        F.sum(F.size(T.tokens("text"))).cast("bigint").alias("n_total")
-    )
+    # Token total = Σ unigram counts: a 1-row aggregate over the VOCAB
+    # table, not a third corpus scan.
+    tot = uni.agg(F.sum("n_t").cast("bigint").alias("n_total"))
     lift = F.round(
         F.col("n_ab").cast("double")
         * F.col("n_total").cast("double")
