@@ -7478,7 +7478,9 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 S20_BUCKETS = 8  # target-table partitions; only touched buckets rewrite
 
 
-def _manifest_upsert_sink(spark: SparkSession, target: str):
+def _manifest_upsert_sink(
+    spark: SparkSession, target: str, retain_history: bool = False
+):
     """A miniature snapshot table for foreachBatch streaming upsert:
     bucket-partitioned parquet versions committed through ONE
     atomically-replaced manifest.json — the Iceberg/Delta commit
@@ -7557,6 +7559,8 @@ def _manifest_upsert_sink(spark: SparkSession, target: str):
         with open(tmp, "w") as fh:
             _json.dump(man, fh)
         os.replace(tmp, manifest_path)  # THE atomic commit
+        if retain_history:  # time-travel mode: superseded versions
+            return  # stay readable (Iceberg snapshot retention)
         for b in affected:  # prune superseded versions (post-commit)
             prev = old.get(str(b))
             if prev and prev != man["buckets"].get(str(b)):
@@ -7690,6 +7694,101 @@ def q_s21_restart_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("n").alias("n_purchases"),
         F.round(F.col("spend").cast("double"), 2).alias("spend"),
+    )
+
+
+def q_s23_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL ON THE ORACLE GATE: two-phase streaming upsert with
+    ``retain_history=True`` — the first drain folds event files 1-3
+    into the snapshot table, the manifest is captured (the as-of
+    snapshot), file 4 arrives, a second drain (same checkpoint)
+    merges it, and the query returns the SNAPSHOT DIFF: per-user
+    status inserted|updated with exact deltas — the
+    Iceberg/Delta incremental-consumption read pattern. Correct iff
+    (a) superseded versions stay readable after the second commit,
+    (b) the second drain merges exactly file 4 (checkpoint dedup) and
+    (c) the diff equals the last ntile's purchases computed from raw
+    events — which is what the DuckDB twin checks. Both table reads
+    touch only manifest-listed bucket dirs; the diff join keys on
+    user_id with the snapshot side aggregated (never O(history))."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil as _shutil
+    import tempfile
+
+    watch0, schema, _n = _stage_event_files(spark, sf_dir)
+    files = sorted(_glob.glob(os.path.join(watch0, "ev*.parquet")))
+    base = tempfile.mkdtemp(prefix="bw_s23_")
+    watch = os.path.join(base, "src")
+    target = os.path.join(base, "target")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(watch)
+    os.makedirs(target)
+    upsert, _read_current = _manifest_upsert_sink(
+        spark, target, retain_history=True
+    )
+    for f in files[:-1]:
+        _shutil.copy2(f, watch)
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(watch)
+            .select("user_id", "event_type", "value")
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(240):
+                raise RuntimeError("s23 drain did not finish in 240s")
+        finally:
+            if q.isActive:
+                q.stop()
+
+    def snapshot_paths() -> list[str]:
+        with open(os.path.join(target, "manifest.json")) as fh:
+            man = _json.load(fh)
+        return [os.path.join(target, v) for v in man["buckets"].values()]
+
+    with _pinned_state_partitions(spark):
+        drain()
+        paths_a = snapshot_paths()  # the as-of snapshot (files 1-3)
+        _shutil.copy2(files[-1], watch)  # file 4 arrives
+        drain()
+        paths_b = snapshot_paths()
+
+    a = spark.read.parquet(*paths_a).select(
+        "user_id", F.col("n").alias("n_a"), F.col("spend").alias("spend_a")
+    )
+    b = spark.read.parquet(*paths_b).select(
+        "user_id", F.col("n").alias("n_b"), F.col("spend").alias("spend_b")
+    )
+    return (
+        b.join(a, "user_id", "left")
+        .where(F.col("n_a").isNull() | (F.col("n_b") != F.col("n_a")))
+        .select(
+            "user_id",
+            F.when(F.col("n_a").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("status"),
+            (F.col("n_b") - F.coalesce(F.col("n_a"), F.lit(0)))
+            .cast("bigint")
+            .alias("delta_n"),
+            F.round(
+                (
+                    F.col("spend_b")
+                    - F.coalesce(
+                        F.col("spend_a"), F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double"),
+                2,
+            ).alias("delta_spend"),
+            F.col("n_b").cast("bigint").alias("n_total"),
+        )
     )
 
 
@@ -8216,6 +8315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": q_text_readability,
         "s20_stream_upsert": q_s20_stream_upsert,
         "s21_restart_upsert": q_s21_restart_upsert,
+        "s23_snapshot_diff": q_s23_snapshot_diff,
         "graph_pagerank": q_graph_pagerank,
         "graph_edge_strength": q_graph_edge_strength,
         "sketch_hll_intersection": q_sketch_hll_intersection,
@@ -8250,6 +8350,7 @@ STREAMING_DRAINS = frozenset(
         "s20_stream_upsert",
         "s21_restart_upsert",
         "s22_stream_outer_join",
+        "s23_snapshot_diff",
     }
 )
 
@@ -11985,6 +12086,37 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_type = 'purchase'
             GROUP BY user_id"""
     sql["s21_restart_upsert"] = sql["s20_stream_upsert"]
+    sql["s23_snapshot_diff"] = f"""
+            WITH tiled AS (
+              SELECT user_id, event_type, value,
+                     ntile({RESTART_M}) OVER (ORDER BY ts, event_id) - 1
+                       AS file_idx
+              FROM events
+            ), last_file AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS delta_n,
+                     SUM(CAST(value AS DECIMAL(18,2))) AS dspend
+              FROM tiled
+              WHERE event_type = 'purchase'
+                AND file_idx = {RESTART_M - 1}
+              GROUP BY user_id
+            ), before AS (
+              SELECT DISTINCT user_id FROM tiled
+              WHERE event_type = 'purchase'
+                AND file_idx < {RESTART_M - 1}
+            ), total AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_total
+              FROM tiled WHERE event_type = 'purchase'
+              GROUP BY user_id
+            )
+            SELECT l.user_id,
+                   CASE WHEN b.user_id IS NULL THEN 'inserted'
+                        ELSE 'updated' END AS status,
+                   l.delta_n,
+                   round(CAST(l.dspend AS DOUBLE), 2) AS delta_spend,
+                   t.n_total
+            FROM last_file l
+            LEFT JOIN before b ON l.user_id = b.user_id
+            JOIN total t ON l.user_id = t.user_id"""
     _pr_base = (15 * PR_UNIT) // 100
     _pr_iters = "".join(
         f""",
