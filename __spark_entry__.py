@@ -3770,6 +3770,105 @@ def q_evt_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Journey-pattern catalog (MATCH_RECOGNIZE-style sequence regexes over
+# per-user event-initial strings; initials s/e/c/v/p are distinct).
+JOURNEY_PATTERNS = (
+    ("funnel_strict", "v[^p]*c[^p]*p"),  # view→click→purchase, no
+    # purchase in between
+    ("error_then_purchase", "e[^p]*p"),
+    ("signup_first", "^s"),
+    ("error_streak", "ee"),
+)
+
+
+def _journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, journey): each user's event-initial string in strict
+    (ts, event_id) order — the sequence-pattern substrate. One keyed
+    shuffle (the same one sessionization pays); per-user arrays are
+    session-sized, never corpus-sized."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("i"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(s)), x -> x.i)"),
+                "",
+            ).alias("journey")
+        )
+    )
+
+
+_JOURNEY_SQL = """
+              SELECT user_id,
+                     string_agg(substr(event_type, 1, 1), ''
+                       ORDER BY ts, event_id) AS journey
+              FROM events GROUP BY user_id"""
+
+
+def q_evt_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (the MATCH_RECOGNIZE / funnel-regex
+    shape): per catalog pattern, how many users' ordered event-initial
+    journey matches, and the integer-ppm share of all users. Patterns
+    are ordinary regexes over one journey string per user — the
+    strict-funnel form 'v[^p]*c[^p]*p' is inexpressible as plain
+    transition counts (evt_markov) because it constrains what may NOT
+    appear between the steps. Scale shape: journeys are built with ONE
+    keyed shuffle, each pattern is a codegen rlike over |users| rows,
+    and the catalog unpivots via stack — no per-pattern rescans."""
+    j = _journeys(spark, sf_dir)
+    flags = j.select(
+        *[
+            F.col("journey").rlike(p).cast("int").alias(name)
+            for name, p in JOURNEY_PATTERNS
+        ]
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(name).cast("bigint").alias(name) for name, _ in
+          JOURNEY_PATTERNS],
+    )
+    stack = ", ".join(f"'{name}', {name}" for name, _ in JOURNEY_PATTERNS)
+    return agg.select(
+        F.expr(
+            f"stack({len(JOURNEY_PATTERNS)}, {stack})"
+        ).alias("pattern", "n_users"),
+        F.col("__n"),
+    ).select(
+        "pattern",
+        "n_users",
+        F.expr(
+            "CAST((n_users * CAST(1000000 AS BIGINT)) DIV __n AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+def q_evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 journey openings: the most common first-5-event initial
+    prefixes across users — the product-analytics 'common paths'
+    report. Reuses the one-shuffle journey build; the top-k window
+    runs over at most 5^|initials| aggregated prefix rows."""
+    j = _journeys(spark, sf_dir)
+    pref = (
+        j.select(F.substring("journey", 1, 5).alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+    wtop = Window.orderBy(F.col("n_users").desc(), F.col("prefix").asc())
+    return (
+        pref.withColumn("rk", F.row_number().over(wtop))
+        .where(F.col("rk") <= 10)
+        .select("prefix", "n_users", "rk")
+    )
+
+
 def q_emb_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One exact power-iteration step toward the corpus's top principal
     direction: y = Xᵀ(X·v₀) with v₀ = ones, all in integer micro-units
@@ -8240,6 +8339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bit_suite": q_bit_suite,
         "regex_suite": q_regex_suite,
         "evt_markov": q_evt_markov,
+        "evt_journey_patterns": q_evt_journey_patterns,
+        "evt_top_paths": q_evt_top_paths,
         "emb_top_direction": q_emb_top_direction,
         "ts_ohlc": q_ts_ohlc,
         "ts_interpolate": q_ts_interpolate,
@@ -11015,6 +11116,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_split_to_array(text, 'a+')) AS INT)
                      AS n_a_splits
             FROM documents""",
+        "evt_journey_patterns": f"""
+            WITH j AS ({_JOURNEY_SQL}),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     {", ".join(
+                         f"CAST(SUM(CASE WHEN regexp_matches(journey, "
+                         f"'{p}') THEN 1 ELSE 0 END) AS BIGINT)"
+                         f" AS {name}"
+                         for name, p in JOURNEY_PATTERNS
+                     )}
+              FROM j)
+            SELECT pattern, n_users,
+                   CAST((n_users * 1000000) // n AS BIGINT) AS share_ppm
+            FROM (
+              {" UNION ALL ".join(
+                  f"SELECT '{name}' AS pattern, {name} AS n_users, n"
+                  f" FROM agg"
+                  for name, _ in JOURNEY_PATTERNS
+              )}
+            )""",
+        "evt_top_paths": f"""
+            WITH j AS ({_JOURNEY_SQL}),
+            pref AS (
+              SELECT substr(journey, 1, 5) AS prefix,
+                     CAST(count(*) AS BIGINT) AS n_users
+              FROM j GROUP BY 1)
+            SELECT prefix, n_users, rk FROM (
+              SELECT *, row_number() OVER
+                     (ORDER BY n_users DESC, prefix ASC) AS rk
+              FROM pref
+            ) WHERE rk <= 10""",
         "evt_markov": """
             WITH t AS (
               SELECT event_type AS from_state,
