@@ -966,6 +966,92 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Column-profiler spec: (column, kind) over lineitem. 'num' profiles
+# min/max as rounded doubles, 'str' as raw strings, 'ts' as formatted
+# timestamps — split slots so no cross-engine numeric→string
+# formatting is ever compared.
+PROFILE_COLS = (
+    ("l_orderkey", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+)
+
+
+def q_pipeline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiler (ANALYZE/df.describe as a first-class query):
+    per column — row count, nulls, exact distinct count, and typed
+    min/max — the stats layer a catalog or data-quality dashboard
+    reads. ONE lineitem scan computes every metric; the multi-distinct
+    aggregate plans as a single Expand pass (row×|cols| map-side, one
+    shuffle). At 100 TB you'd swap the exact distincts for the
+    in-repo portable HLL (`functions/sketches.py`) — same shape,
+    mergeable partials; exact is the oracle-checkable form."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
+    for c, kind in PROFILE_COLS:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("int"))
+            .cast("bigint")
+            .alias(f"__null_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("bigint").alias(f"__nd_{c}"))
+        if kind == "num":
+            aggs.append(F.round(F.min(c), 2).cast("double").alias(f"__mn_{c}"))
+            aggs.append(F.round(F.max(c), 2).cast("double").alias(f"__mx_{c}"))
+        elif kind == "str":
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        else:  # ts
+            aggs.append(
+                F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias(
+                    f"__mn_{c}"
+                )
+            )
+            aggs.append(
+                F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(
+                    f"__mx_{c}"
+                )
+            )
+    wide = li.agg(*aggs)
+    slots = []
+    for c, kind in PROFILE_COLS:
+        mn_num = f"__mn_{c}" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mx_num = f"__mx_{c}" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mn_str = f"__mn_{c}" if kind != "num" else "CAST(NULL AS STRING)"
+        mx_str = f"__mx_{c}" if kind != "num" else "CAST(NULL AS STRING)"
+        slots.append(
+            f"'{c}', __null_{c}, __nd_{c},"
+            f" {mn_num}, {mx_num}, {mn_str}, {mx_str}"
+        )
+    return wide.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {', '.join(slots)})"
+        ).alias(
+            "column_name",
+            "n_null",
+            "n_distinct",
+            "min_num",
+            "max_num",
+            "min_str",
+            "max_str",
+        ),
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )
+
+
 def q_pipeline_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality audit over the warehouse tables — the validation
     suite a pipeline runs before training-data extraction: referential
@@ -2677,6 +2763,74 @@ def q_f2_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEQ_TOKEN_BUDGET = 256
 DECON_SHINGLE_K = 3
 DECON_MIN_SHARED = 3
+
+
+Z_BITS = 8  # interleaved bits per (range-normalized) dimension
+Z_BUCKETS = 64  # z-range buckets reported
+
+
+def _znorm_expr(col: str, lo: str, hi: str, div_op: str) -> str:
+    """Range-normalize ``col`` into [0, 2^Z_BITS) by integer division —
+    how a real z-order pass maps arbitrary key domains onto the Morton
+    grid. Identical arithmetic in Spark (`DIV`) and DuckDB (`//`)."""
+    return (
+        f"(((CAST({col} AS BIGINT) - {lo}) * {1 << Z_BITS})"
+        f" {div_op} ({hi} - {lo} + 1))"
+    )
+
+
+def _zorder_expr(xexpr: str, yexpr: str, div_op: str) -> str:
+    """Bit-interleave (Morton/Z-order) of two {Z_BITS}-bit values as
+    pure integer arithmetic — no engine-specific bit intrinsics."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(
+            f"((({xexpr}) {div_op} {1 << i}) % 2) * {1 << (2 * i)}"
+        )
+        terms.append(
+            f"((({yexpr}) {div_op} {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        )
+    return " + ".join(terms)
+
+
+def q_pack_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER LAYOUT (the Delta/Iceberg OPTIMIZE ZORDER primitive):
+    range-normalize (l_partkey, l_suppkey) onto a 2^{Z_BITS}-wide grid
+    from a broadcast 1-row bounds aggregate, interleave the bits into
+    a Morton code, range-bucket the code, and report each bucket's
+    row count and BOTH dimensions' min/max extents — the per-file
+    column stats a z-ordered rewrite would produce, whose narrow
+    extents on EITHER key are exactly what makes data skipping work.
+    Pure codegen integer arithmetic (no UDF, engine-portable), one
+    corpus scan for bounds + one for codes, one partial-agg shuffle
+    down to ≤{Z_BUCKETS} rows. At 100 TB this is the layout pass
+    before a repartitionByRange(z) write; the extents audit is what
+    you'd alert on."""
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_partkey").cast("bigint").alias("pk_lo"),
+        F.max("l_partkey").cast("bigint").alias("pk_hi"),
+        F.min("l_suppkey").cast("bigint").alias("sk_lo"),
+        F.max("l_suppkey").cast("bigint").alias("sk_hi"),
+    )
+    step = (1 << (2 * Z_BITS)) // Z_BUCKETS
+    xn = _znorm_expr("l_partkey", "pk_lo", "pk_hi", "DIV")
+    yn = _znorm_expr("l_suppkey", "sk_lo", "sk_hi", "DIV")
+    zb = F.expr(
+        f"CAST(({_zorder_expr(xn, yn, 'DIV')}) DIV {step} AS BIGINT)"
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(zb.alias("z_bucket"), "l_partkey", "l_suppkey")
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").alias("pk_min"),
+            F.max("l_partkey").alias("pk_max"),
+            F.min("l_suppkey").alias("sk_min"),
+            F.max("l_suppkey").alias("sk_max"),
+        )
+    )
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8234,6 +8388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_corpus_clean": q_pipeline_corpus_clean,
         "pipeline_curation_funnel": q_pipeline_curation_funnel,
         "pipeline_dq_audit": q_pipeline_dq_audit,
+        "pipeline_profile": q_pipeline_profile,
         "text_winnow": q_text_winnow,
         "h5_nation_revenue": q_h5_nation_revenue,
         "str_suite": q_str_suite,
@@ -8295,6 +8450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h22_idle_rich": q_h22_idle_rich,
         "w7_hopping": q_w7_hopping,
         "pack_sequences": q_pack_sequences,
+        "pack_zorder": q_pack_zorder,
         "text_decontaminate": q_text_decontaminate,
         "h13_order_dist": q_h13_order_dist,
         "h15_top_supplier": q_h15_top_supplier,
@@ -8457,6 +8613,49 @@ STREAMING_DRAINS = frozenset(
 
 
 # --- oracle SQL builders (DuckDB dialect, generated from shared consts) ---
+
+
+def _profile_oracle() -> str:
+    """DuckDB twin of q_pipeline_profile, generated from PROFILE_COLS."""
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    rows = []
+    for c, kind in PROFILE_COLS:
+        aggs.append(
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS null_{c}"
+        )
+        aggs.append(f"CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c}")
+        if kind == "num":
+            aggs.append(f"CAST(round(min({c}), 2) AS DOUBLE) AS mn_{c}")
+            aggs.append(f"CAST(round(max({c}), 2) AS DOUBLE) AS mx_{c}")
+            mn_num, mx_num = f"mn_{c}", f"mx_{c}"
+            mn_str = mx_str = "CAST(NULL AS VARCHAR)"
+        elif kind == "str":
+            aggs.append(f"min({c}) AS mn_{c}")
+            aggs.append(f"max({c}) AS mx_{c}")
+            mn_num = mx_num = "CAST(NULL AS DOUBLE)"
+            mn_str, mx_str = f"mn_{c}", f"mx_{c}"
+        else:
+            aggs.append(
+                f"strftime(min({c}), '%Y-%m-%d %H:%M:%S') AS mn_{c}"
+            )
+            aggs.append(
+                f"strftime(max({c}), '%Y-%m-%d %H:%M:%S') AS mx_{c}"
+            )
+            mn_num = mx_num = "CAST(NULL AS DOUBLE)"
+            mn_str, mx_str = f"mn_{c}", f"mx_{c}"
+        rows.append(
+            f"SELECT '{c}' AS column_name, n AS n_rows,"
+            f" null_{c} AS n_null, nd_{c} AS n_distinct,"
+            f" {mn_num} AS min_num, {mx_num} AS max_num,"
+            f" {mn_str} AS min_str, {mx_str} AS max_str FROM w"
+        )
+    return (
+        "WITH w AS (SELECT "
+        + ", ".join(aggs)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(rows)
+    )
 
 
 def _minhash_oracle(comparator: str = ">=", bands: int | None = None) -> str:
@@ -9436,6 +9635,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(4 AS INT), 'near_dedup', n3, n3 - n_rm
             FROM c, c3, crm""",
+        "pipeline_profile": _profile_oracle(),
         "pipeline_dq_audit": """
             WITH a AS (
               SELECT CAST(count(*) AS BIGINT) AS li_n,
@@ -10302,6 +10502,23 @@ def oracle_sql() -> dict[str, str]:
                      event_type, value
               FROM events
             ) GROUP BY 1, 2""",
+        "pack_zorder": f"""
+            WITH bounds AS (
+              SELECT CAST(min(l_partkey) AS BIGINT) AS pk_lo,
+                     CAST(max(l_partkey) AS BIGINT) AS pk_hi,
+                     CAST(min(l_suppkey) AS BIGINT) AS sk_lo,
+                     CAST(max(l_suppkey) AS BIGINT) AS sk_hi
+              FROM lineitem)
+            SELECT CAST(({_zorder_expr(
+                _znorm_expr('l_partkey', 'pk_lo', 'pk_hi', '//'),
+                _znorm_expr('l_suppkey', 'sk_lo', 'sk_hi', '//'),
+                '//')})
+                     // {(1 << (2 * Z_BITS)) // Z_BUCKETS} AS BIGINT)
+                     AS z_bucket,
+                   count(*) AS n,
+                   min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+                   min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+            FROM lineitem CROSS JOIN bounds GROUP BY 1""",
         "pack_sequences": f"""
             SELECT lang,
                    CAST(floor((cum - n_tokens) / {SEQ_TOKEN_BUDGET})
