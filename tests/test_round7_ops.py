@@ -433,3 +433,98 @@ def test_lang_confusion_rows_partition_corpus(spark):
     for lang, total in per_lang.items():
         assert total <= 1_000_000, (lang, total)
         assert total > 900_000, (lang, total)
+
+
+def test_retain_history_keeps_superseded_versions(sink, spark):
+    """retain_history=True must leave every committed version dir
+    readable after later commits touch the same buckets (the
+    time-travel contract s23 relies on)."""
+    import glob
+    import json
+
+    _, _, target, spark_ = sink
+    upsert, read_current = entry._manifest_upsert_sink(
+        spark_, target, retain_history=True
+    )
+    upsert(_batch(spark_, [(1, "purchase", 10.0), (2, "purchase", 5.0)]), 0)
+    with open(os.path.join(target, "manifest.json")) as fh:
+        man0 = json.load(fh)
+    paths0 = [os.path.join(target, v) for v in man0["buckets"].values()]
+    upsert(_batch(spark_, [(1, "purchase", 1.0), (3, "purchase", 2.0)]), 1)
+    # superseded bucket dirs still on disk and readable
+    for p in paths0:
+        assert os.path.isdir(p), p
+    old = {
+        r["user_id"]: r["spend"]
+        for r in spark_.read.parquet(*paths0).collect()
+    }
+    assert float(old[1]) == 10.0  # pre-merge snapshot value preserved
+    new = {r["user_id"]: r for r in read_current().collect()}
+    assert float(new[1]["spend"]) == 11.0 and new[1]["n"] == 2
+    assert set(new) == {1, 2, 3}
+
+
+def test_zorder_buckets_partition_and_localize(spark):
+    """Bucket counts must sum to the table, extents must nest inside
+    the global range, and z-locality must bite: the MEDIAN bucket's
+    partkey extent is far below the global extent (each z bucket
+    spans 2^3 of the 2^8 grid cells per dimension)."""
+    rows = entry.q_pack_zorder(spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    n_total = li.count()
+    assert sum(r["n"] for r in rows) == n_total
+    g = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]
+    pk_span = g[1] - g[0]
+    extents = sorted(r["pk_max"] - r["pk_min"] for r in rows)
+    median_extent = extents[len(extents) // 2]
+    assert median_extent <= pk_span / 4, (median_extent, pk_span)
+    for r in rows:
+        assert g[0] <= r["pk_min"] <= r["pk_max"] <= g[1]
+        assert g[2] <= r["sk_min"] <= r["sk_max"] <= g[3]
+
+
+def test_journey_patterns_brute_force(spark):
+    """Pattern user-counts must equal a Python re recomputation over
+    journeys rebuilt from raw events."""
+    import re as _re
+    from collections import defaultdict
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    seq = defaultdict(list)
+    for r in ev:
+        seq[r["user_id"]].append((r["ts"], r["event_id"],
+                                  r["event_type"][0]))
+    journeys = {
+        u: "".join(i for _, _, i in sorted(v)) for u, v in seq.items()
+    }
+    got = {
+        r["pattern"]: r["n_users"]
+        for r in entry.q_evt_journey_patterns(spark, SF).collect()
+    }
+    for name, pat in entry.JOURNEY_PATTERNS:
+        want = sum(1 for j in journeys.values() if _re.search(pat, j))
+        assert got[name] == want, (name, got[name], want)
+
+
+def test_profile_matches_dataframe_stats(spark):
+    """Profiler rows must agree with direct DataFrame aggregates."""
+    rows = {
+        r["column_name"]: r
+        for r in entry.q_pipeline_profile(spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    n = li.count()
+    assert all(r["n_rows"] == n for r in rows.values())
+    assert rows["l_returnflag"]["n_distinct"] == (
+        li.select("l_returnflag").distinct().count()
+    )
+    assert rows["l_quantity"]["min_num"] == round(
+        li.agg(F.min("l_quantity")).collect()[0][0], 2
+    )
+    assert rows["l_returnflag"]["min_num"] is None
+    assert rows["l_quantity"]["min_str"] is None
