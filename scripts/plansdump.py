@@ -152,6 +152,23 @@ HEADLINERS = {
         "aggregates with map-side partials — not eight scalar "
         "subqueries with eight fact scans; 8 bands or 80, one pass."
     ),
+    "pipeline_redaction": (
+        "Denylist scrub report (r7): the minimal full-corpus pass — "
+        "ONE documents scan, every regex (count + replace + integrity "
+        "hash) codegen in the same Project, one partial-agg exchange "
+        "on source. bit_xor makes the redacted-text hash partition- "
+        "and order-independent, so the audit is stable at any "
+        "parallelism."
+    ),
+    "pack_zorder": (
+        "Z-order layout audit (r7): bounds are a broadcast 1-row "
+        "aggregate (BNLJ against one row, never a real cartesian); "
+        "the Morton interleave is pure integer codegen arithmetic — "
+        "no UDF, no bit intrinsics — and the extents report is one "
+        "partial-agg shuffle down to 64 bucket rows. The 100 TB form "
+        "adds repartitionByRange(z) before the write; the audit side "
+        "is unchanged."
+    ),
 }
 
 
