@@ -1464,6 +1464,107 @@ def q_r1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_r4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (l_returnflag, l_linestatus) with GROUPING_ID — the
+    grouping variant rollup (r1) and grouping sets (ds2) don't cover:
+    all four subtotal combinations from ONE Expand pass, each row
+    tagged with the bitmask that tells a report renderer which
+    dimensions are aggregated away. Decimal-exact sums; the exchange
+    carries 4×|flag×status| partials, never fact rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            _dsum("l_extendedprice").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n",
+            "sum_price",
+        )
+    )
+
+
+def q_evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase's value is
+    credited to the user's most recent PRIOR non-purchase event type
+    (direct if none) — the marketing-attribution primitive. One
+    window pass: last_value(ignorenulls) over the user's (ts,
+    event_id) order carries the latest touch forward, then one
+    partial-agg shuffle credits decimal-exact revenue per channel.
+    No self-join, no as-of staging — the same single-shuffle shape as
+    sessionization."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            F.coalesce(touch, F.lit("direct")).alias("channel"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            _dsum("value").alias("attributed_revenue"),
+        )
+    )
+
+
+SOFT_DEDUP_SEED = "softdedup:"
+
+
+def q_sample_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (down-weighted sampling): instead of keeping
+    one copy per exact-duplicate group, keep each copy independently
+    with probability 1/n_copies via a deterministic per-doc hash —
+    the expected surviving mass per group is ONE document, preserving
+    diversity while flattening duplication (the 'soft dedup' used
+    when hard dedup is too lossy). Reports per source: docs, docs
+    kept, and the duplicated-mass diagnostic. Shape: one fingerprint
+    partial-agg, one count join back (fingerprints only — text never
+    shuffles), codegen hash filter."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", "source", H.fingerprint("text").alias("fp"))
+    grp = fp.groupBy("fp").agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
+    h_ppm = F.expr(
+        "CAST(conv(substring(md5(concat('"
+        + SOFT_DEDUP_SEED
+        + "', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        " % 1000000"
+    )
+    return (
+        fp.join(grp, "fp")
+        .select(
+            "source",
+            "nc",
+            (h_ppm < F.expr("CAST(1000000 AS BIGINT) DIV nc"))
+            .cast("int")
+            .alias("keep"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("nc") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_duplicated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal / sketch / IVF extensions
 # ---------------------------------------------------------------------------
@@ -8405,6 +8506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "h4_priority_exists": q_h4_priority_exists,
         "r1_rollup": q_r1_rollup,
+        "r4_cube": q_r4_cube,
+        "evt_attribution": q_evt_attribution,
+        "sample_soft_dedup": q_sample_soft_dedup,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_lang_confusion": q_text_lang_confusion,
@@ -9804,6 +9908,52 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_type, CAST(floor(value / 100) AS INT) AS value_band,
                          value FROM events)
             GROUP BY ROLLUP(event_type, value_band)""",
+        "r4_cube": f"""
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                     AS gid,
+                   count(*) AS n,
+                   {_dsum_sql('l_extendedprice')} AS sum_price
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)""",
+        "evt_attribution": f"""
+            WITH touched AS (
+              SELECT event_type, value,
+                     coalesce(last_value(
+                       CASE WHEN event_type <> 'purchase'
+                            THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 'direct') AS channel
+              FROM events)
+            SELECT channel, count(*) AS n_purchases,
+                   {_dsum_sql('value')} AS attributed_revenue
+            FROM touched WHERE event_type = 'purchase'
+            GROUP BY channel""",
+        "sample_soft_dedup": f"""
+            WITH fp AS (
+              SELECT doc_id, source,
+                     {H.fingerprint_sql('text')} AS fp
+              FROM documents
+            ), grp AS (
+              SELECT fp, CAST(count(*) AS BIGINT) AS nc
+              FROM fp GROUP BY fp
+            ), flagged AS (
+              SELECT source, nc,
+                     CASE WHEN CAST(concat('0x', substr(md5(concat(
+                            '{SOFT_DEDUP_SEED}',
+                            CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                            % 1000000
+                          < 1000000 // nc
+                          THEN 1 ELSE 0 END AS keep
+              FROM fp JOIN grp USING (fp))
+            SELECT source, count(*) AS n_docs,
+                   CAST(SUM(keep) AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN nc > 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_duplicated
+            FROM flagged GROUP BY source""",
         "dedup_minhash": _minhash_oracle(),
         # Connected components = min reachable id per node: a recursive
         # transitive closure over the SAME pair set as dedup_minhash.
