@@ -1464,6 +1464,89 @@ def q_r1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w13_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame — trailing-hour rolling metrics per
+    user: for every event, how many events (and how much decimal-
+    exact value) the same user produced in the preceding hour
+    INCLUDING this one. RANGE frames bound by event-time micros are
+    the window capability ROWS frames can't express (peers with equal
+    timestamps enter together; the frame width is wall-clock, not
+    row-count). One keyed shuffle — the same exchange sessionization
+    pays; the frame scan is a per-partition sliding pointer, never
+    quadratic."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-(3_600_000_000 - 1), 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double"),
+            2,
+        ).alias("sum_1h"),
+    )
+
+
+# Correlation-matrix spec: numeric lineitem columns, all ≤2dp so the
+# DECIMAL(12,2) casts (and their products) are exact in both engines.
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over four fact columns from
+    ONE scan: every Σx, Σx², Σxy is a decimal-exact aggregate (order-
+    independent), and the final r per pair is computed with an
+    IDENTICAL double expression on both engines, rounded to 6dp. The
+    exchange carries one row of partials; the 6-pair unpivot is a
+    stack over that single row. This is df.stat.corr as an
+    oracle-checkable query — at 100 TB it's still one map-side-
+    partial pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = "decimal(12,2)"
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for c in CORR_COLS:
+        aggs.append(
+            F.sum(F.col(c).cast(d)).cast("double").alias(f"s_{c}")
+        )
+        aggs.append(
+            F.sum(F.col(c).cast(d) * F.col(c).cast(d))
+            .cast("double")
+            .alias(f"q_{c}")
+        )
+    pairs = [
+        (a, b)
+        for i, a in enumerate(CORR_COLS)
+        for b in CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(F.col(a).cast(d) * F.col(b).cast(d))
+            .cast("double")
+            .alias(f"x_{a}_{b}")
+        )
+    wide = li.agg(*aggs)
+    slots = []
+    for a, b in pairs:
+        corr = (
+            f"round((CAST(n AS DOUBLE) * x_{a}_{b} - s_{a} * s_{b})"
+            f" / sqrt((CAST(n AS DOUBLE) * q_{a} - s_{a} * s_{a})"
+            f" * (CAST(n AS DOUBLE) * q_{b} - s_{b} * s_{b})), 6)"
+        )
+        slots.append(f"'{a}', '{b}', {corr}")
+    return wide.select(
+        F.col("n").alias("n_rows"),
+        F.expr(f"stack({len(pairs)}, {', '.join(slots)})").alias(
+            "col_x", "col_y", "corr"
+        ),
+    ).select("col_x", "col_y", "n_rows", "corr")
+
+
 def q_r4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (l_returnflag, l_linestatus) with GROUPING_ID — the
     grouping variant rollup (r1) and grouping sets (ds2) don't cover:
@@ -8507,6 +8590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h4_priority_exists": q_h4_priority_exists,
         "r1_rollup": q_r1_rollup,
         "r4_cube": q_r4_cube,
+        "w13_time_range": q_w13_time_range,
+        "agg_corr_matrix": q_agg_corr_matrix,
         "evt_attribution": q_evt_attribution,
         "sample_soft_dedup": q_sample_soft_dedup,
         "text_stats": q_text_stats,
@@ -8753,6 +8838,46 @@ def _profile_oracle() -> str:
             f" null_{c} AS n_null, nd_{c} AS n_distinct,"
             f" {mn_num} AS min_num, {mx_num} AS max_num,"
             f" {mn_str} AS min_str, {mx_str} AS max_str FROM w"
+        )
+    return (
+        "WITH w AS (SELECT "
+        + ", ".join(aggs)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+def _corr_oracle() -> str:
+    """DuckDB twin of q_agg_corr_matrix, generated from CORR_COLS with
+    the IDENTICAL final double expression."""
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in CORR_COLS:
+        aggs.append(
+            f"CAST(SUM(CAST({c} AS DECIMAL(12,2))) AS DOUBLE) AS s_{c}"
+        )
+        aggs.append(
+            f"CAST(SUM(CAST({c} AS DECIMAL(12,2))"
+            f" * CAST({c} AS DECIMAL(12,2))) AS DOUBLE) AS q_{c}"
+        )
+    pairs = [
+        (a, b)
+        for i, a in enumerate(CORR_COLS)
+        for b in CORR_COLS[i + 1 :]
+    ]
+    rows = []
+    for a, b in pairs:
+        aggs.append(
+            f"CAST(SUM(CAST({a} AS DECIMAL(12,2))"
+            f" * CAST({b} AS DECIMAL(12,2))) AS DOUBLE) AS x_{a}_{b}"
+        )
+        corr = (
+            f"round((CAST(n AS DOUBLE) * x_{a}_{b} - s_{a} * s_{b})"
+            f" / sqrt((CAST(n AS DOUBLE) * q_{a} - s_{a} * s_{a})"
+            f" * (CAST(n AS DOUBLE) * q_{b} - s_{b} * s_{b})), 6)"
+        )
+        rows.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n AS n_rows,"
+            f" {corr} AS corr FROM w"
         )
     return (
         "WITH w AS (SELECT "
@@ -9908,6 +10033,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_type, CAST(floor(value / 100) AS INT) AS value_band,
                          value FROM events)
             GROUP BY ROLLUP(event_type, value_band)""",
+        "w13_time_range": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_1h,
+                   round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w
+                         AS DOUBLE), 2) AS sum_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3599999999 PRECEDING
+                           AND CURRENT ROW)""",
+        "agg_corr_matrix": _corr_oracle(),
         "r4_cube": f"""
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,
