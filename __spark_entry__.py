@@ -400,6 +400,32 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (ingest-vs-archive) near-dedup — the production
+    shape symmetric LSH can't serve: every doc_id ≡ 0 (mod 10) plays
+    the incoming batch, the rest the existing corpus, and
+    ``D.incremental_lsh_matches`` band-joins NEW against CORPUS only.
+    Corpus×corpus pairs are never generated, so the daily cost is
+    O(|new|·bands + collisions) no matter how large the archive —
+    and in production the corpus's banded signatures are a
+    precomputed index. (New×new dups are intra-batch dedup's job — a
+    separate, batch-sized pass.) Oracle: the symmetric pair oracle
+    restricted to mixed pairs, reoriented new→corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return D.incremental_lsh_matches(
+        new,
+        corpus,
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD,
+        shingle_k=MINHASH_K,
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return D.simhash_table(
@@ -8581,6 +8607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_outer_nulls": q_j1_outer_nulls,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_semantic": q_dedup_semantic,
@@ -10090,6 +10117,15 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS n_duplicated
             FROM flagged GROUP BY source""",
         "dedup_minhash": _minhash_oracle(),
+        "dedup_incremental": f"""
+            WITH pairs AS ({_minhash_oracle()})
+            SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END
+                     AS new_id,
+                   CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END
+                     AS corpus_id,
+                   jaccard
+            FROM pairs
+            WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)""",
         # Connected components = min reachable id per node: a recursive
         # transitive closure over the SAME pair set as dedup_minhash.
         # (Spark's iterative min-label propagation converges to exactly

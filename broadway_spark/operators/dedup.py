@@ -394,6 +394,80 @@ def minhash_lsh_pairs(
     return scored.filter(F.col("jaccard") >= F.lit(threshold))
 
 
+def incremental_lsh_matches(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float | None = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Asymmetric near-dup matching: the daily-ingest shape — match an
+    incoming batch against the existing corpus WITHOUT ever pairing
+    corpus with corpus. Band keys are built per side with the same
+    signature math as ``minhash_lsh_pairs``; the candidate equi-join
+    is (new × corpus) only, so ingest costs O(|new|·bands +
+    collisions) however large the archive is. In production the
+    corpus side's banded table is a precomputed index that the ingest
+    job only reads. Returns (new_id, corpus_id, jaccard) with the
+    same exact-verification contract as the symmetric operator.
+    """
+
+    def banded(shingled: DataFrame) -> DataFrame:
+        sigs = _signature_from_shingles(shingled, num_hashes)
+        rows_per_band = num_hashes // bands
+        exprs = []
+        for b in range(bands):
+            elems = [
+                F.col(f"m{b * rows_per_band + j}").cast("string")
+                for j in range(rows_per_band)
+            ]
+            exprs.append(F.concat_ws("-", F.lit(str(b)), *elems))
+        return sigs.select(
+            "__id", F.explode(F.array(*exprs)).alias("__band")
+        )
+
+    sh_new = materialize(
+        shingle_table(new_df, id_col, text_col, shingle_k), "inc_sh_new"
+    )
+    sh_cor = materialize(
+        shingle_table(corpus_df, id_col, text_col, shingle_k),
+        "inc_sh_cor",
+    )
+    cand = (
+        banded(sh_new)
+        .alias("l")
+        .join(
+            banded(sh_cor).alias("r"),
+            F.col("l.__band") == F.col("r.__band"),
+        )
+        .select(
+            F.col("l.__id").alias("new_id"),
+            F.col("r.__id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    a = sh_new.select(
+        F.col("__id").alias("new_id"), F.col("__sh").alias("sh_a")
+    )
+    b = sh_cor.select(
+        F.col("__id").alias("corpus_id"), F.col("__sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    scored = (
+        cand.join(a, "new_id")
+        .join(b, "corpus_id")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .select("new_id", "corpus_id", "jaccard")
+    )
+    if threshold is None:
+        return scored
+    return scored.filter(F.col("jaccard") >= F.lit(threshold))
+
+
 def substring_containment_pairs(
     df: DataFrame,
     id_col: str,
