@@ -400,10 +400,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental (ingest-vs-archive) near-dedup — the production
-    shape symmetric LSH can't serve: every doc_id ≡ 0 (mod 10) plays
-    the incoming batch, the rest the existing corpus, and
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (ingest-vs-archive) NEAR-dedup — the asymmetric
+    complement of `dedup_incremental`'s exact-fingerprint anti-join:
+    every doc_id ≡ 0 (mod 10) plays the incoming batch, the rest the
+    existing corpus, and
     ``D.incremental_lsh_matches`` band-joins NEW against CORPUS only.
     Corpus×corpus pairs are never generated, so the daily cost is
     O(|new|·bands + collisions) no matter how large the archive —
@@ -8607,7 +8608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_outer_nulls": q_j1_outer_nulls,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash": q_dedup_minhash,
-        "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_semantic": q_dedup_semantic,
@@ -10117,7 +10118,7 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS n_duplicated
             FROM flagged GROUP BY source""",
         "dedup_minhash": _minhash_oracle(),
-        "dedup_incremental": f"""
+        "dedup_incremental_lsh": f"""
             WITH pairs AS ({_minhash_oracle()})
             SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END
                      AS new_id,
