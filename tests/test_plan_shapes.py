@@ -389,6 +389,11 @@ def test_no_unguarded_cartesian_in_any_query(spark):
         "agg_rfm_segments",  # 1-row max-date broadcast
         "text_surprisal",  # 1-row corpus-total broadcast
         "sketch_hll_intersection",  # 1-row exact-count broadcast
+        "text_collocations",  # 1-row token-total broadcast
+        "pack_zorder",  # 1-row dimension-bounds broadcast
+        "pipeline_curation_funnel",  # 1-row stage-total broadcasts
+        "pipeline_dq_audit",  # broadcast 1-row check-assembly joins
+        "text_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
     }
     offenders = {}
     for name, fn in entry.queries().items():

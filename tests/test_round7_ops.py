@@ -528,3 +528,32 @@ def test_profile_matches_dataframe_stats(spark):
     )
     assert rows["l_returnflag"]["min_num"] is None
     assert rows["l_quantity"]["min_str"] is None
+
+
+def test_incremental_lsh_is_mixed_subset_of_symmetric(spark):
+    """The asymmetric ingest-vs-archive matcher must return exactly
+    the symmetric pair set restricted to (new × corpus) pairs,
+    reoriented — no corpus×corpus or new×new pair may ever appear."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sym = entry.D.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=entry.MINHASH_NUM,
+        bands=entry.MINHASH_BANDS,
+        threshold=entry.MINHASH_THRESHOLD,
+        shingle_k=entry.MINHASH_K,
+    ).collect()
+    want = set()
+    for r in sym:
+        a_new, b_new = r["id_a"] % 10 == 0, r["id_b"] % 10 == 0
+        if a_new != b_new:
+            new_id = r["id_a"] if a_new else r["id_b"]
+            cor_id = r["id_b"] if a_new else r["id_a"]
+            want.add((new_id, cor_id, r["jaccard"]))
+    got = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in entry.q_dedup_incremental_lsh(spark, SF).collect()
+    }
+    assert got == want
+    assert all(n % 10 == 0 and c % 10 != 0 for n, c, _ in got)
