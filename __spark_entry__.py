@@ -1018,14 +1018,24 @@ def q_pipeline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-repo portable HLL (`functions/sketches.py`) — same shape,
     mergeable partials; exact is the oracle-checkable form."""
     li = _t(spark, sf_dir, "lineitem")
+    # TWO aggregates on purpose: countDistinct plans through an Expand
+    # that replicates every input row once per distinct column (8× on
+    # this spec) and drags every OTHER aggregate through the expanded
+    # rows when mixed in. Splitting keeps the plain metrics a single
+    # un-expanded pass and the Expand narrow (key columns only) —
+    # measured 15 s → ~3 s warm at sf0.1. The 1-row results crossJoin
+    # back (broadcast).
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
+    dist_aggs: list[F.Column] = [
+        F.countDistinct(c).cast("bigint").alias(f"__nd_{c}")
+        for c, _ in PROFILE_COLS
+    ]
     for c, kind in PROFILE_COLS:
         aggs.append(
             F.sum(F.col(c).isNull().cast("int"))
             .cast("bigint")
             .alias(f"__null_{c}")
         )
-        aggs.append(F.countDistinct(c).cast("bigint").alias(f"__nd_{c}"))
         if kind == "num":
             aggs.append(F.round(F.min(c), 2).cast("double").alias(f"__mn_{c}"))
             aggs.append(F.round(F.max(c), 2).cast("double").alias(f"__mx_{c}"))
@@ -1043,7 +1053,7 @@ def q_pipeline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"__mx_{c}"
                 )
             )
-    wide = li.agg(*aggs)
+    wide = li.agg(*aggs).crossJoin(F.broadcast(li.agg(*dist_aggs)))
     slots = []
     for c, kind in PROFILE_COLS:
         mn_num = f"__mn_{c}" if kind == "num" else "CAST(NULL AS DOUBLE)"
@@ -1456,6 +1466,58 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_md5",
         F.element_at("feature", 1).cast("double").alias("f0"),
         F.element_at("feature", 2).cast("double").alias("f1"),
+    )
+
+
+def q_multimodal_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal training-record assembly: the media-envelope table
+    (binary payload + JVM-side typed metadata; doc-id parity plays the
+    image/audio modality split) joined with the embedding table on id
+    — the record-building join of a multimodal training pipeline,
+    where payload metadata and vector-side features land in one row.
+    Reports the (modality × label) class balance of the assembled set
+    plus a unit-norm QA column: the max integer-micro-unit deviation
+    of the squared norm from 1e12 (exact fold, no float drift — the
+    corpus IS unit-normalized and this proves it engine-exactly). ONE
+    equi-join — at 100 TB both sides hash-partition on the shared id,
+    the binary payload column is pruned before the exchange (only
+    byte_len travels) — plus one partial-agg shuffle."""
+    from broadway_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    media = MM.attach_media(docs, "content", "image/stub").withColumn(
+        "media_type",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image/stub")).otherwise(
+            F.lit("audio/stub")
+        ),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    micro = "transform(embedding, x -> cast(round(x * 1e6) as bigint))"
+    vec = emb.select(
+        "vec_id",
+        "label",
+        F.expr(f"aggregate({micro}, 0L, (a, x) -> a + x * x)").alias("sq"),
+    )
+    rec = media.select("doc_id", "media_type", "byte_len").join(
+        vec, media.doc_id == vec.vec_id
+    )
+    return (
+        rec.select(
+            "media_type",
+            "label",
+            "byte_len",
+            F.abs(F.col("sq") - F.lit(1_000_000_000_000))
+            .cast("bigint")
+            .alias("__dev"),
+        )
+        .groupBy("media_type", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("byte_len").cast("bigint").alias("sum_bytes"),
+            F.max("__dev").alias("norm_dev_max"),
+        )
     )
 
 
@@ -8615,6 +8677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_bruteforce": q_sim_ann_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
         "multimodal_features": q_multimodal_features,
+        "multimodal_assembly": q_multimodal_assembly,
         "h4_priority_exists": q_h4_priority_exists,
         "r1_rollup": q_r1_rollup,
         "r4_cube": q_r4_cube,
@@ -10038,6 +10101,28 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_id, count(*) AS n_copies
             FROM documents GROUP BY 1""",
         "sim_ann_lsh": _ann_lsh_oracle(),
+        "multimodal_assembly": """
+            WITH media AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'image/stub'
+                          ELSE 'audio/stub' END AS media_type,
+                     octet_length(encode(text)) AS byte_len
+              FROM documents
+            ), vec AS (
+              SELECT vec_id, label,
+                     list_aggregate(list_transform(embedding,
+                       x -> CAST(round(x * 1e6) AS BIGINT)
+                            * CAST(round(x * 1e6) AS BIGINT)), 'sum')
+                       AS sq
+              FROM embeddings
+            )
+            SELECT media_type, label,
+                   count(*) AS n_records,
+                   CAST(SUM(byte_len) AS BIGINT) AS sum_bytes,
+                   CAST(max(abs(sq - 1000000000000)) AS BIGINT)
+                     AS norm_dev_max
+            FROM media JOIN vec ON doc_id = vec_id
+            GROUP BY 1, 2""",
         "multimodal_features": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS INT) AS byte_len,
