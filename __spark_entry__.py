@@ -434,6 +434,67 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("__id").alias("doc_id"), "simhash")
 
 
+SIMHASH_PAIR_BANDS = 4  # 8-bit bands over the 32-bit signature
+SIMHASH_PAIR_MAXHAM = 3  # ≤ bands-1, so pigeonhole guarantees recall
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS via Manku/Jain/Das Sarma (WWW'07) band
+    blocking: split the 32-bit signature into 4 exact-match 8-bit
+    bands — any pair within Hamming distance 3 differs in ≤3 bands,
+    so by pigeonhole at least one band matches exactly and the
+    band equi-join has ZERO false negatives (the oracle is the
+    all-pairs ground truth, not the blocking). Candidates verify with
+    bit_count(xor). O(n·bands) shuffle, never all-pairs — the
+    billion-page formulation from the paper. Bands are integer
+    DIV/% arithmetic, engine-portable."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.simhash_table(
+        docs, "doc_id", "text", bits=SIMHASH_BITS, seed=SIMHASH_SEED
+    )
+    width = SIMHASH_BITS // SIMHASH_PAIR_BANDS
+    bands = sh.select(
+        "__id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "-",
+                        F.lit(str(b)),
+                        F.expr(
+                            f"CAST((simhash DIV {1 << (b * width)})"
+                            f" % {1 << width} AS STRING)"
+                        ),
+                    )
+                    for b in range(SIMHASH_PAIR_BANDS)
+                ]
+            )
+        ).alias("__band"),
+    )
+    left = bands.select(
+        F.col("__id").alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        "__band",
+    )
+    right = bands.select(
+        F.col("__id").alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        "__band",
+    )
+    cand = (
+        left.join(right, "__band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        D.hamming_distance("sh_a", "sh_b").cast("bigint").alias("hamming"),
+    ).where(F.col("hamming") <= SIMHASH_PAIR_MAXHAM)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return D.embedding_near_duplicates(
@@ -1634,6 +1695,49 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "col_x", "col_y", "corr"
         ),
     ).select("col_x", "col_y", "n_rows", "corr")
+
+
+# Shared skew/kurtosis double formula (identical text both engines;
+# inputs are exact decimal sums cast to double, n cast to double).
+_MOM_MU = "(s1 / n)"
+_MOM_M2 = f"(s2 / n - {_MOM_MU} * {_MOM_MU})"
+_MOM_M3 = (
+    f"(s3 / n - 3 * {_MOM_MU} * (s2 / n)"
+    f" + 2 * {_MOM_MU} * {_MOM_MU} * {_MOM_MU})"
+)
+_MOM_M4 = (
+    f"(s4 / n - 4 * {_MOM_MU} * (s3 / n)"
+    f" + 6 * {_MOM_MU} * {_MOM_MU} * (s2 / n)"
+    f" - 3 * {_MOM_MU} * {_MOM_MU} * {_MOM_MU} * {_MOM_MU})"
+)
+_MOM_SKEW = f"round({_MOM_M3} / power({_MOM_M2}, 1.5), 6)"
+_MOM_KURT = f"round({_MOM_M4} / ({_MOM_M2} * {_MOM_M2}) - 3, 6)"
+
+
+def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per event type from ONE pass: the
+    four power sums Σx..Σx⁴ are decimal-exact aggregates (DECIMAL(8,2)
+    inputs keep every product exact — values are 2dp and ≤6 integer
+    digits, so x⁴ fits (35,8)), then the standardized-moment formulas
+    run as the IDENTICAL double expression on both engines, rounded
+    6dp. One partial-agg shuffle on event_type; the moment math runs
+    over |event types| rows."""
+    ev = _t(spark, sf_dir, "events")
+    d = "decimal(8,2)"
+    c = F.col("value").cast(d)
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(c).cast("double").alias("s1"),
+        F.sum(c * c).cast("double").alias("s2"),
+        F.sum(c * c * c).cast("double").alias("s3"),
+        F.sum(c * c * c * c).cast("double").alias("s4"),
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.expr(_MOM_SKEW).alias("skewness"),
+        F.expr(_MOM_KURT).alias("kurtosis"),
+    )
 
 
 def q_r4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8671,6 +8775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash": q_dedup_minhash,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "agg_skew_kurtosis": q_agg_skew_kurtosis,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_semantic": q_dedup_semantic,
@@ -10236,6 +10342,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_id, count(*) AS size
             FROM labels GROUP BY cluster_id""",
         "dedup_simhash": _simhash_oracle(),
+        # Ground truth directly (probe-independent): all-pairs Hamming
+        # is the ORACLE's luxury at gate scale; the engine side is the
+        # banded Manku plan, exact by pigeonhole for ham <= bands-1.
+        "dedup_simhash_pairs": f"""
+            WITH sh AS ({_simhash_oracle()})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                     AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash))
+                    <= {SIMHASH_PAIR_MAXHAM}""",
+        "agg_skew_kurtosis": f"""
+            WITH sums AS (
+              SELECT event_type,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(8,2))) AS DOUBLE)
+                       AS s1,
+                     CAST(SUM(CAST(value AS DECIMAL(8,2))
+                              * CAST(value AS DECIMAL(8,2)))
+                       AS DOUBLE) AS s2,
+                     CAST(SUM(CAST(CAST(value AS DECIMAL(8,2))
+                                   * CAST(value AS DECIMAL(8,2))
+                              AS DECIMAL(20,4))
+                              * CAST(value AS DECIMAL(8,2)))
+                       AS DOUBLE) AS s3,
+                     CAST(SUM(CAST(CAST(value AS DECIMAL(8,2))
+                                   * CAST(value AS DECIMAL(8,2))
+                              AS DECIMAL(19,4))
+                              * CAST(CAST(value AS DECIMAL(8,2))
+                                     * CAST(value AS DECIMAL(8,2))
+                                AS DECIMAL(19,4)))
+                       AS DOUBLE) AS s4
+              FROM events GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n_events,
+                   {_MOM_SKEW} AS skewness,
+                   {_MOM_KURT} AS kurtosis
+            FROM sums""",
         "dedup_embedding": _embedding_neardup_oracle(),
         "dedup_semantic": _semantic_dedup_oracle(),
         "sim_ann_bruteforce": _ann_oracle(),
