@@ -557,3 +557,64 @@ def test_incremental_lsh_is_mixed_subset_of_symmetric(spark):
     }
     assert got == want
     assert all(n % 10 == 0 and c % 10 != 0 for n, c, _ in got)
+
+
+def test_profile_split_agg_plan(spark):
+    """The profiler must keep its two-aggregate split: exactly ONE
+    Expand (the distinct-only agg), with the plain metrics never
+    routed through it (the 15s->3s fix)."""
+    plan = _plan(entry.q_pipeline_profile(spark, SF))
+    assert plan.count("Expand") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_pairs_plan_and_verify(spark):
+    """Band candidates must come from an equi-join (never cartesian),
+    and every returned pair must verify ham<=3 against independently
+    recomputed signatures."""
+    df = entry.q_dedup_simhash_pairs(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert rows, "no simhash pairs found"
+    sig = {
+        r["__id"]: r["simhash"]
+        for r in entry.D.simhash_table(
+            spark.read.parquet(f"{SF}/documents.parquet"),
+            "doc_id",
+            "text",
+            bits=entry.SIMHASH_BITS,
+            seed=entry.SIMHASH_SEED,
+        ).collect()
+    }
+    for r in rows:
+        ham = bin(sig[r["id_a"]] ^ sig[r["id_b"]]).count("1")
+        assert ham == r["hamming"] and ham <= entry.SIMHASH_PAIR_MAXHAM
+
+
+def test_skew_kurtosis_matches_numpy(spark):
+    """Moments must agree with a float recomputation over raw values
+    (1e-5 tolerance covers the decimal-vs-float path difference)."""
+    import math
+    from collections import defaultdict
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", "value"
+    ).collect()
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r["event_type"]].append(round(r["value"], 2))
+    got = {
+        r["event_type"]: r
+        for r in entry.q_agg_skew_kurtosis(spark, SF).collect()
+    }
+    for et, vals in groups.items():
+        n = len(vals)
+        mu = sum(vals) / n
+        m2 = sum((v - mu) ** 2 for v in vals) / n
+        m3 = sum((v - mu) ** 3 for v in vals) / n
+        m4 = sum((v - mu) ** 4 for v in vals) / n
+        assert abs(got[et]["skewness"] - m3 / m2**1.5) < 1e-5
+        assert abs(got[et]["kurtosis"] - (m4 / m2**2 - 3)) < 1e-5
+        assert got[et]["n_events"] == n
