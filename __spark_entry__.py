@@ -4454,6 +4454,46 @@ def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_K = 8  # lag horizon; dyadic weights 2^-k are exact in double
+
+
+def _ewma_sql(table: str) -> str:
+    """EWMA SELECT shared VERBATIM by Spark and DuckDB — the lag-chain
+    approximation of the recursive EWMA (truncating the tail at 2^-7
+    bounds the error at <1% of the smoothed value), with dyadic
+    weights so every product is exact in double and both engines fold
+    the identical expression tree. Missing lags (series head) drop
+    out of numerator AND denominator, so early rows are exact partial
+    averages, not zero-padded."""
+    terms, dens = [], []
+    for k in range(EWMA_K):
+        w = repr(1 / (1 << k))
+        lagk = f"lag(value, {k}) OVER w" if k else "value"
+        terms.append(
+            f"CASE WHEN {lagk} IS NOT NULL THEN {lagk} * {w} ELSE 0 END"
+        )
+        dens.append(f"CASE WHEN {lagk} IS NOT NULL THEN {w} ELSE 0 END")
+    return (
+        f"SELECT event_id, user_id, "
+        f"round(({' + '.join(terms)}) / ({' + '.join(dens)}), 6) AS ewma "
+        f"FROM {table} "
+        f"WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    )
+
+
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user — the smoothing
+    primitive of telemetry dashboards, as a lag-chain window (true
+    recursion is not SQL-expressible; the 8-term dyadic truncation
+    is, identically on both engines — the ORACLE RUNS THE SAME
+    GENERATED SQL STRING, so drift is impossible by construction).
+    One keyed shuffle; the lag chain reads the same sorted partition
+    eight times with no extra exchange."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__ewma_events")
+    return spark.sql(_ewma_sql("__ewma_events"))
+
+
 def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-fill + linear interpolation: each user's hourly mean value
     on a dense hour spine from their first to last event; missing
@@ -8886,6 +8926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_top_direction": q_emb_top_direction,
         "ts_ohlc": q_ts_ohlc,
         "ts_interpolate": q_ts_interpolate,
+        "ts_ewma": q_ts_ewma,
         "agg_mode": q_agg_mode,
         "sample_exact_k": q_sample_exact_k,
         "sketch_bloom_orders": q_sketch_bloom_orders,
@@ -11957,6 +11998,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS sum_value
             FROM events GROUP BY 1, 2""",
+        "ts_ewma": _ewma_sql("events"),
         "ts_interpolate": """
             WITH hourly AS (
               SELECT user_id, date_trunc('hour', ts) AS h,
