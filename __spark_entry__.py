@@ -865,31 +865,21 @@ def q_j4_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg shuffle), the self-join keys on the block token
     (AQE-skew-eligible equi-join), and `a.name < b.name` halves the
     candidate set before the distance filter."""
+    from broadway_spark.operators import fuzzy as FZ
+
     part = _t(spark, sf_dir, "part")
-    names = (
-        part.groupBy(F.col("p_name").alias("name"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
-        .withColumn("__blk", F.expr("split_part(name, ' ', 1)"))
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
     )
     a = names.select(
-        "__blk",
-        F.col("name").alias("name_a"),
-        F.col("n_parts").alias("n_a"),
+        F.col("name").alias("name_a"), F.col("n_parts").alias("n_a")
     )
     b = names.select(
-        "__blk",
-        F.col("name").alias("name_b"),
-        F.col("n_parts").alias("n_b"),
+        F.col("name").alias("name_b"), F.col("n_parts").alias("n_b")
     )
-    return (
-        a.join(b, "__blk")
-        .where(F.col("name_a") < F.col("name_b"))
-        .withColumn(
-            "dist", F.levenshtein("name_a", "name_b").cast("bigint")
-        )
-        .where(F.col("dist") <= 3)
-        .select("name_a", "name_b", "n_a", "n_b", "dist")
-    )
+    return FZ.blocked_fuzzy_join(
+        a, b, "name_a", "name_b", max_dist=3, self_dedup=True
+    ).select("name_a", "name_b", "n_a", "n_b", "dist")
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3142,32 +3132,16 @@ DECON_SHINGLE_K = 3
 DECON_MIN_SHARED = 3
 
 
-Z_BITS = 8  # interleaved bits per (range-normalized) dimension
+# Z-order machinery lives in operators/layout.py (with the write-side
+# `write_zordered` + `file_extents` pair that proves the data-skipping
+# claim); the audit query here shares its exact expression builders.
+from broadway_spark.operators.layout import Z_BITS  # noqa: E402
+from broadway_spark.operators.layout import (  # noqa: E402
+    zorder_expr as _zorder_expr,
+    znorm_expr as _znorm_expr,
+)
+
 Z_BUCKETS = 64  # z-range buckets reported
-
-
-def _znorm_expr(col: str, lo: str, hi: str, div_op: str) -> str:
-    """Range-normalize ``col`` into [0, 2^Z_BITS) by integer division —
-    how a real z-order pass maps arbitrary key domains onto the Morton
-    grid. Identical arithmetic in Spark (`DIV`) and DuckDB (`//`)."""
-    return (
-        f"(((CAST({col} AS BIGINT) - {lo}) * {1 << Z_BITS})"
-        f" {div_op} ({hi} - {lo} + 1))"
-    )
-
-
-def _zorder_expr(xexpr: str, yexpr: str, div_op: str) -> str:
-    """Bit-interleave (Morton/Z-order) of two {Z_BITS}-bit values as
-    pure integer arithmetic — no engine-specific bit intrinsics."""
-    terms = []
-    for i in range(Z_BITS):
-        terms.append(
-            f"((({xexpr}) {div_op} {1 << i}) % 2) * {1 << (2 * i)}"
-        )
-        terms.append(
-            f"((({yexpr}) {div_op} {1 << i}) % 2) * {1 << (2 * i + 1)}"
-        )
-    return " + ".join(terms)
 
 
 def q_pack_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,100 @@
+"""Z-order (Morton) data layout — the OPTIMIZE ZORDER primitive.
+
+Multi-dimensional data skipping: interleave the bits of two
+range-normalized keys so rows close in EITHER dimension land close in
+the one-dimensional sort order, then range-partition the write on the
+Morton code. Each output file then covers a narrow min/max extent on
+BOTH columns, which is exactly what parquet row-group / file-level
+stats pruning needs for predicates on either key.
+
+Everything is pure integer arithmetic (DIV / %), so the same formula
+runs as codegen in Spark and verbatim SQL in DuckDB (the oracle twin
+of `__spark_entry__.q_pack_zorder`). No UDFs, no bit intrinsics.
+
+`write_zordered` + `file_extents` make the claim testable: write a
+table z-ordered, read back per-file extents, and assert they are
+narrow (tests/test_round7_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Z_BITS = 8  # interleaved bits per (range-normalized) dimension
+
+
+def znorm_expr(col: str, lo: str, hi: str, div_op: str = "DIV") -> str:
+    """Range-normalize ``col`` into [0, 2^Z_BITS) by integer division.
+    ``div_op`` is ``DIV`` for Spark SQL, ``//`` for DuckDB."""
+    return (
+        f"(((CAST({col} AS BIGINT) - {lo}) * {1 << Z_BITS})"
+        f" {div_op} ({hi} - {lo} + 1))"
+    )
+
+
+def zorder_expr(xexpr: str, yexpr: str, div_op: str = "DIV") -> str:
+    """Bit-interleave (Morton code) of two Z_BITS-wide values as pure
+    integer arithmetic."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(
+            f"((({xexpr}) {div_op} {1 << i}) % 2) * {1 << (2 * i)}"
+        )
+        terms.append(
+            f"((({yexpr}) {div_op} {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        )
+    return " + ".join(terms)
+
+
+def with_zcode(df: DataFrame, xcol: str, ycol: str) -> DataFrame:
+    """Add a ``__z`` Morton-code column over two numeric columns,
+    range-normalized from a broadcast 1-row bounds aggregate."""
+    bounds = df.agg(
+        F.min(xcol).cast("bigint").alias("__xlo"),
+        F.max(xcol).cast("bigint").alias("__xhi"),
+        F.min(ycol).cast("bigint").alias("__ylo"),
+        F.max(ycol).cast("bigint").alias("__yhi"),
+    )
+    xn = znorm_expr(xcol, "__xlo", "__xhi")
+    yn = znorm_expr(ycol, "__ylo", "__yhi")
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__z", F.expr(f"CAST(({zorder_expr(xn, yn)}) AS BIGINT)")
+        )
+        .drop("__xlo", "__xhi", "__ylo", "__yhi")
+    )
+
+
+def write_zordered(
+    df: DataFrame, xcol: str, ycol: str, path: str, n_files: int = 8
+) -> None:
+    """Write ``df`` as parquet z-ordered on (xcol, ycol): compute the
+    Morton code, range-partition on it (one file per contiguous
+    z-range), sort within partitions, drop the helper column. At
+    cluster scale this is the OPTIMIZE ZORDER rewrite; file/row-group
+    stats then prune on either key."""
+    (
+        with_zcode(df, xcol, ycol)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_extents(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """Per-file min/max extents of ``cols`` — what a stats-pruning
+    reader sees. One scan grouped by input_file_name()."""
+    df = spark.read.parquet(path).withColumn(
+        "__file", F.input_file_name()
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    return df.groupBy("__file").agg(*aggs)

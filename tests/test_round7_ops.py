@@ -618,3 +618,37 @@ def test_skew_kurtosis_matches_numpy(spark):
         assert abs(got[et]["skewness"] - m3 / m2**1.5) < 1e-5
         assert abs(got[et]["kurtosis"] - (m4 / m2**2 - 3)) < 1e-5
         assert got[et]["n_events"] == n
+
+
+def test_write_zordered_files_have_narrow_extents(spark, tmp_path):
+    """The write-side z-order claim: after write_zordered on
+    (l_partkey, l_suppkey), per-file extents on BOTH keys sit well
+    below the global range (a plain write gives every file ~the full
+    span, so nothing prunes). repartitionByRange cuts at row-count
+    quantiles, not Morton cell boundaries, so a file straddling a
+    quantile cut can straddle a top Morton bit and cover the full
+    span — assert the MEDIAN extent ≤ 0.6×span and the MEAN ≤
+    0.7×span on each dimension (the expected-files-skipped metric a
+    stats-pruning reader actually sees)."""
+    from broadway_spark.operators import layout as L
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = str(tmp_path / "zordered")
+    L.write_zordered(li, "l_partkey", "l_suppkey", path, n_files=8)
+    ext = L.file_extents(spark, path, ["l_partkey", "l_suppkey"]).collect()
+    assert len(ext) >= 4  # repartitionByRange may merge tiny ranges
+    g = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]
+    pk_span, sk_span = g[1] - g[0], g[3] - g[2]
+    n_total = li.count()
+    assert sum(r["n"] for r in ext) == n_total  # lossless rewrite
+    for col, span in (("l_partkey", pk_span), ("l_suppkey", sk_span)):
+        extents = sorted(
+            r[f"{col}_max"] - r[f"{col}_min"] for r in ext
+        )
+        assert extents[len(extents) // 2] <= 0.6 * span, (col, extents)
+        assert sum(extents) / len(extents) <= 0.7 * span, (col, extents)
