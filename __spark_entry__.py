@@ -8523,6 +8523,120 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 EDGE_TOPK = 20  # strongest edges reported
 
 
+KCORE_ROUNDS = 5  # peeling rounds; row r==r-1 in the output = converged
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling over the parts-co-order graph (Seidman 1983; the
+    iterative-delete formulation): repeatedly drop vertices with
+    degree < k and re-count until the core stabilizes. k is DATA-
+    ADAPTIVE -- the exact median degree via integer rank selection
+    (the fixed-k form is degenerate here: the co-order graph's min
+    degree is 42 at sf0.01, so any small constant peels nothing at
+    any scale). Output: one row per round with the surviving vertex
+    and directed-edge counts -- equal consecutive rows certify
+    convergence in-band.
+
+    Scale shape: the directed edge list materializes ONCE; peeling is
+    monotone (alive_{r+1} is a subset of alive_r), so round r's edge
+    set is e0 semi-joined against the LATEST alive set directly --
+    only the tiny per-VERTEX alive/degree tables materialize per
+    round (broadcast into the next round's two semi-joins), never a
+    per-round edge copy. Each round is one partial-agg shuffle over
+    the filtered edges; n_edges falls out of the same degree table
+    as its sum, so no separate edge-count branch exists. The k
+    rank-selection sorts only the vertex degree table (<< edges)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pp = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    und = (
+        pp.alias("a")
+        .join(
+            pp.alias("b"),
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    # localCheckpoint per round, not materialize(): the fixpoint
+    # pattern from near_dup_clusters -- persist alone leaves each
+    # round's LOGICAL plan containing the whole history, and driver-
+    # side re-analysis of the deepening tree grew measurably per round
+    # (deg5 took 24.8 s on 0 rows); checkpointing cuts lineage flat.
+    e0 = (
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e0.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    wr = Window.orderBy("d")
+    kdf = (
+        deg.select(
+            "d",
+            F.row_number().over(wr).alias("__rn"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy(F.lit(1))
+            ).alias("__n"),
+        )
+        .where(F.expr("__rn = (__n + 1) DIV 2"))
+        .select(F.col("d").cast("bigint").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    stats = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        alive = (
+            deg.crossJoin(F.broadcast(kdf))
+            .where(F.col("d") >= F.col("k"))
+            .select(F.col("src").alias("id"))
+            .localCheckpoint(eager=True)
+        )
+        # Next round's degrees over e0 semi-joined to alive (monotone
+        # peeling makes the direct filter exact); sum(d) doubles as
+        # THIS round's edge count -- no separate edge-count branch.
+        deg = (
+            e0.join(
+                F.broadcast(alive.select(F.col("id").alias("src"))),
+                "src",
+            )
+            .join(
+                F.broadcast(alive.select(F.col("id").alias("dst"))),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        stats.append(
+            alive.agg(F.count(F.lit(1)).cast("bigint").alias("n_alive"))
+            .crossJoin(
+                F.broadcast(
+                    deg.agg(
+                        F.coalesce(F.sum("d"), F.lit(0))
+                        .cast("bigint")
+                        .alias("n_edges")
+                    )
+                )
+            )
+            .crossJoin(F.broadcast(kdf))
+            .select(
+                F.lit(r).cast("bigint").alias("round"),
+                "k",
+                "n_alive",
+                "n_edges",
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out
+
+
 def q_graph_edge_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge embeddedness / tie strength: for every co-order edge, the
     number of triangles through it (= common neighbors of its
@@ -8975,6 +9089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s21_restart_upsert": q_s21_restart_upsert,
         "s23_snapshot_diff": q_s23_snapshot_diff,
         "graph_pagerank": q_graph_pagerank,
+        "graph_kcore": q_graph_kcore,
         "graph_edge_strength": q_graph_edge_strength,
         "sketch_hll_intersection": q_sketch_hll_intersection,
         "sample_ks_audit": q_sample_ks_audit,
@@ -9057,6 +9172,42 @@ def _profile_oracle() -> str:
         + " FROM lineitem) "
         + " UNION ALL ".join(rows)
     )
+
+
+def _kcore_oracle() -> str:
+    """DuckDB twin of q_graph_kcore: KCORE_ROUNDS chained peeling CTEs
+    with the identical median-rank k selection."""
+    parts = [
+        "pp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,"
+        " l_partkey AS pk FROM lineitem)",
+        "und AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v"
+        " FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk)",
+        "e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM und"
+        " UNION ALL SELECT v, u FROM und)",
+        "deg0 AS MATERIALIZED (SELECT src, count(*) AS d FROM e0"
+        " GROUP BY src)",
+        "kv AS MATERIALIZED (SELECT CAST(d AS BIGINT) AS k FROM"
+        " (SELECT d, row_number() OVER (ORDER BY d) AS rn,"
+        " count(*) OVER () AS n FROM deg0) WHERE rn = (n + 1) // 2)",
+    ]
+    rows = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT src AS id FROM e{r - 1}"
+            f" GROUP BY src HAVING count(*) >= (SELECT k FROM kv))"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r - 1} e"
+            f" JOIN a{r} x ON e.src = x.id"
+            f" JOIN a{r} y ON e.dst = y.id)"
+        )
+        rows.append(
+            f"SELECT CAST({r} AS BIGINT) AS round,"
+            f" (SELECT k FROM kv) AS k,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM a{r}) AS n_alive,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + " UNION ALL ".join(rows)
 
 
 def _corr_oracle() -> str:
@@ -13046,6 +13197,7 @@ def oracle_sql() -> dict[str, str]:
             )"""
         for i in range(PR_ITERS)
     )
+    sql["graph_kcore"] = _kcore_oracle()
     sql["graph_pagerank"] = f"""
             WITH pp AS (
               SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
