@@ -652,3 +652,42 @@ def test_write_zordered_files_have_narrow_extents(spark, tmp_path):
         )
         assert extents[len(extents) // 2] <= 0.6 * span, (col, extents)
         assert sum(extents) / len(extents) <= 0.7 * span, (col, extents)
+
+
+def test_kcore_monotone_and_k_is_median_degree(spark):
+    """Peeling must be monotone (alive and edge counts non-increasing
+    by round) and k must equal the median degree recomputed in
+    Python; round 1 must count exactly the vertices with deg >= k."""
+    from collections import defaultdict
+
+    rows = sorted(
+        entry.q_graph_kcore(spark, SF).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == list(
+        range(1, entry.KCORE_ROUNDS + 1)
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_alive"] <= a["n_alive"]
+        assert b["n_edges"] <= a["n_edges"]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    pairs = {
+        (r["ok"], r["pk"])
+        for r in li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct().collect()
+    }
+    by_order = defaultdict(set)
+    for ok, pk in pairs:
+        by_order[ok].add(pk)
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                adj[u].add(v)
+                adj[v].add(u)
+    degs = sorted(len(v) for v in adj.values())
+    k = degs[(len(degs) + 1) // 2 - 1]
+    assert rows[0]["k"] == k
+    assert rows[0]["n_alive"] == sum(1 for d in degs if d >= k)
