@@ -391,6 +391,8 @@ def test_no_unguarded_cartesian_in_any_query(spark):
         "sketch_hll_intersection",  # 1-row exact-count broadcast
         "text_collocations",  # 1-row token-total broadcast
         "pack_zorder",  # 1-row dimension-bounds broadcast
+        "pipeline_profile",  # 1-row distinct-agg broadcast (split agg)
+        "graph_kcore",  # 1-row adaptive-k broadcast per peel round
         "pipeline_curation_funnel",  # 1-row stage-total broadcasts
         "pipeline_dq_audit",  # broadcast 1-row check-assembly joins
         "text_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
