@@ -46,15 +46,52 @@ _NOISE = re.compile(
 )
 
 
+_FLAT_BRACKET = re.compile(r"\[([^\[\]]*)\]")
+
+
+def _canon_brackets(s: str) -> str:
+    """Sort comma-separated items inside non-nested [...] groups:
+    Spark's multi-distinct rewrite enumerates Expand projection /
+    grouping attribute lists in hash-set order, which flips run to
+    run (observed on agg_multi_distinct / pipeline_profile — three
+    calls, three hashes). Sorting flat bracket groups makes the
+    fingerprint order-insensitive without losing plan structure;
+    applied innermost-out so nested lists flatten deterministically."""
+    prev = None
+    while prev != s:
+        prev = s
+        s = _FLAT_BRACKET.sub(
+            lambda m: "{"
+            + ", ".join(sorted(p.strip() for p in m.group(1).split(",")))
+            + "}",
+            s,
+        )
+    return s
+
+
 def plan_fingerprint(df) -> str:
     """8-hex digest of the initial physical plan, normalized so
-    expression ids / paths / stats don't churn the hash."""
+    expression ids / paths / stats / attribute-list ORDER don't churn
+    the hash."""
     try:
         s = df._jdf.queryExecution().executedPlan().toString()
     except Exception:
         return "noplan"
     s = _NOISE.sub("", s)
     s = re.sub(r"\s+", " ", s)
+    # The multi-distinct rewrite assigns gid literals in hash-set
+    # order (flips run to run); mask the number, keep the occurrence.
+    s = re.sub(r"\bgid = \d+\b", "gid = N", s)
+    # ...and emits its Expand exchange keys in hash-set order too:
+    # sort flat hashpartitioning argument lists.
+    s = re.sub(
+        r"hashpartitioning\(([^()]*)\)",
+        lambda m: "hashpartitioning("
+        + ", ".join(sorted(p.strip() for p in m.group(1).split(",")))
+        + ")",
+        s,
+    )
+    s = _canon_brackets(s)
     return hashlib.sha256(s.encode()).hexdigest()[:8]
 
 
