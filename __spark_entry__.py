@@ -3736,6 +3736,68 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KFOLD_K = 5
+
+
+def q_sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: each doc
+    hashes into one of {KFOLD_K} folds (same md5 scheme as
+    sample_split — stable across runs, engines, and cluster layouts),
+    and the report shows per-fold doc/token counts plus the
+    integer-ppm share so fold balance is auditable. Pure codegen hash
+    + one partial-agg shuffle; the ppm window runs over K rows."""
+    docs = _t(spark, sf_dir, "documents")
+    fold = F.expr(
+        "CAST(conv(substring(md5(concat('fold:', CAST(doc_id AS"
+        f" STRING))), 1, 15), 16, 10) AS BIGINT) % {KFOLD_K}"
+    )
+    agg = (
+        docs.select(
+            fold.alias("fold"), T.token_count("text").alias("__tok")
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return agg.select(
+        "fold",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            "CAST((n_docs * CAST(1000000 AS BIGINT))"
+            " DIV sum(n_docs) OVER () AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+def q_evt_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-burst alerting: users whose error events cluster — for
+    every error, count the same user's errors in the trailing 5
+    minutes (event-time RANGE frame over micros, the w13 machinery);
+    a burst is ≥3 in-window. Report per user: total errors, burst
+    events, and the peak in-window count — the alert feed of an
+    operations dashboard. One keyed shuffle over errors only (the
+    filter reaches the scan), then a per-user aggregate."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-(300_000_000 - 1), 0)
+    )
+    per = ev.select(
+        "user_id", F.count(F.lit(1)).over(w).cast("bigint").alias("__inw")
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.sum((F.col("__inw") >= 3).cast("int"))
+        .cast("bigint")
+        .alias("n_burst_events"),
+        F.max("__inw").alias("peak_5min"),
+    )
+
+
 def q_sample_split_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: the split key is the doc's
     near-dup CLUSTER representative (min-id of its LSH connected
@@ -8995,6 +9057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h2_min_cost": q_h2_min_cost,
         "sample_split": q_sample_split,
         "sample_split_safe": q_sample_split_safe,
+        "sample_kfold": q_sample_kfold,
+        "evt_error_burst": q_evt_error_burst,
         "dedup_char_ngram": q_dedup_char_ngram,
         "h11_important": q_h11_important,
         "sample_token_budget": q_sample_token_budget,
@@ -11812,6 +11876,35 @@ def oracle_sql() -> dict[str, str]:
               )
             )
             GROUP BY split, lang""",
+        "sample_kfold": f"""
+            WITH f AS (
+              SELECT CAST(concat('0x', substr(md5(concat('fold:',
+                       CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                       % {KFOLD_K} AS fold,
+                     CAST({T.token_count_sql('text')} AS BIGINT) AS toks
+              FROM documents
+            ), agg AS (
+              SELECT fold, count(*) AS n_docs,
+                     CAST(SUM(toks) AS BIGINT) AS n_tokens
+              FROM f GROUP BY fold)
+            SELECT fold, n_docs, n_tokens,
+                   CAST((n_docs * 1000000)
+                        // sum(n_docs) OVER () AS BIGINT) AS share_ppm
+            FROM agg""",
+        "evt_error_burst": """
+            WITH per AS (
+              SELECT user_id,
+                     CAST(count(*) OVER w AS BIGINT) AS inw
+              FROM events WHERE event_type = 'error'
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 299999999 PRECEDING
+                             AND CURRENT ROW)
+            )
+            SELECT user_id, count(*) AS n_errors,
+                   CAST(SUM(CASE WHEN inw >= 3 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_burst_events,
+                   max(inw) AS peak_5min
+            FROM per GROUP BY user_id""",
         "sample_split_safe": f"""
             WITH RECURSIVE pairs AS ({_minhash_oracle()}),
             edges AS (
