@@ -6097,13 +6097,27 @@ def q_s22_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gap_micros"),
     )
     qname = f"s22_stream_outer_join_{_uuid.uuid4().hex[:8]}"
-    with _pinned_state_partitions(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+    # The NULL rows only emit in the final NO-DATA micro-batch (the
+    # advanced watermark evicting left-join state after the last data
+    # batch); if a session had disabled no-data batches the inner rows
+    # would still appear and the gate would fail with a confusing
+    # diff — pin the conf for this drain (r7 advisor item 3).
+    prev_ndmb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try:
+        with _pinned_state_partitions(spark):
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndmb
         )
     if not q.awaitTermination(240):
         q.stop()
@@ -8235,6 +8249,14 @@ def _manifest_upsert_sink(
                 F.sum(F.col("value").cast(dec)).cast(dec).alias("spend"),
             )
         )
+        # ONE evaluation of the batch delta: `affected` (collected
+        # below) and the staged write both read this materialized
+        # snapshot, so a nondeterministic upstream transform can never
+        # leave a bucket written-but-unreferenced in the manifest (or
+        # vice versa). localCheckpoint truncates lineage — the delta
+        # is micro-batch-sized, so executor-local storage is the right
+        # cost even at cluster scale. (r7 advisor item 4.)
+        part = part.localCheckpoint(eager=True)
         affected = sorted(
             r["bucket"] for r in part.select("bucket").distinct().collect()
         )

@@ -46,27 +46,61 @@ _NOISE = re.compile(
 )
 
 
-_FLAT_BRACKET = re.compile(r"\[([^\[\]]*)\]")
+def _split_top(s: str) -> list[str]:
+    """Split on commas at bracket/paren depth 0 — `decimal(18,2)` or a
+    nested `[a, b]` stays one piece (the naive `.split(",")` the r7
+    advisor flagged reassembled such fragments out of order)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([<":
+            depth += 1
+        elif ch in ")]>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
 
 
-def _canon_brackets(s: str) -> str:
-    """Sort comma-separated items inside non-nested [...] groups:
-    Spark's multi-distinct rewrite enumerates Expand projection /
-    grouping attribute lists in hash-set order, which flips run to
-    run (observed on agg_multi_distinct / pipeline_profile — three
-    calls, three hashes). Sorting flat bracket groups makes the
-    fingerprint order-insensitive without losing plan structure;
-    applied innermost-out so nested lists flatten deterministically."""
+def _sort_brackets(s: str) -> str:
+    """Canonicalize every [...] group in `s` by sorting its top-level
+    items (nesting-aware), innermost-out. Applied ONLY to plan nodes
+    whose bracket lists Spark emits in hash-set order (Expand
+    projections / aggregate grouping sets from the multi-distinct
+    rewrite) — order-significant lists (Sort keys, window ORDER BY
+    specs) elsewhere in the plan are left untouched."""
+    flat = re.compile(r"\[([^\[\]]*)\]")
     prev = None
     while prev != s:
         prev = s
-        s = _FLAT_BRACKET.sub(
-            lambda m: "{"
-            + ", ".join(sorted(p.strip() for p in m.group(1).split(",")))
-            + "}",
+        s = flat.sub(
+            lambda m: "{" + ", ".join(sorted(_split_top(m.group(1)))) + "}",
             s,
         )
     return s
+
+
+# Physical-plan nodes whose attribute lists the multi-distinct rewrite
+# enumerates in hash-set order (flips run to run — observed on
+# agg_multi_distinct / pipeline_profile: three calls, three hashes).
+_HASHSET_NODE = re.compile(
+    r"\b(Expand|HashAggregate|ObjectHashAggregate|SortAggregate)\b([^\n]*)"
+)
+
+
+def _canon_brackets(s: str) -> str:
+    """Sort bracket-list contents on hash-set-ordered nodes only; the
+    rest of the plan string (sort keys, window order specs, projection
+    lists) keeps its order — a sort-key flip must change the
+    fingerprint (r7 advisor item 1)."""
+    return _HASHSET_NODE.sub(
+        lambda m: m.group(1) + _sort_brackets(m.group(2)), s
+    )
 
 
 def plan_fingerprint(df) -> str:
@@ -78,20 +112,23 @@ def plan_fingerprint(df) -> str:
     except Exception:
         return "noplan"
     s = _NOISE.sub("", s)
+    # Node-scoped bracket sorting runs while nodes are still one line
+    # each (the _HASHSET_NODE regex is line-bounded).
+    s = _canon_brackets(s)
     s = re.sub(r"\s+", " ", s)
     # The multi-distinct rewrite assigns gid literals in hash-set
     # order (flips run to run); mask the number, keep the occurrence.
     s = re.sub(r"\bgid = \d+\b", "gid = N", s)
     # ...and emits its Expand exchange keys in hash-set order too:
-    # sort flat hashpartitioning argument lists.
+    # sort hashpartitioning argument lists (nesting-aware split so
+    # decimal(18,2) casts stay intact).
     s = re.sub(
         r"hashpartitioning\(([^()]*)\)",
         lambda m: "hashpartitioning("
-        + ", ".join(sorted(p.strip() for p in m.group(1).split(",")))
+        + ", ".join(sorted(_split_top(m.group(1))))
         + ")",
         s,
     )
-    s = _canon_brackets(s)
     return hashlib.sha256(s.encode()).hexdigest()[:8]
 
 

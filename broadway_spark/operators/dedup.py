@@ -319,6 +319,25 @@ def band_values(sig_col: Column | str, num_hashes: int, bands: int) -> Column:
     return F.array(*vals)
 
 
+def _banded_keys(shingled: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(__id, __band) band-bucket keys from a shingle table — the ONE
+    place the banding scheme lives. Both the symmetric pair generator
+    (``minhash_lsh_pairs``) and the asymmetric ingest-vs-archive
+    matcher (``incremental_lsh_matches``) derive their candidate keys
+    here, so the schemes cannot silently diverge (the asymmetric
+    matcher's subset contract depends on byte-identical band keys)."""
+    sigs = _signature_from_shingles(shingled, num_hashes)
+    rows_per_band = num_hashes // bands
+    band_exprs = []
+    for b in range(bands):
+        elems = [
+            F.col(f"m{b * rows_per_band + j}").cast("string")
+            for j in range(rows_per_band)
+        ]
+        band_exprs.append(F.concat_ws("-", F.lit(str(b)), *elems))
+    return sigs.select("__id", F.explode(F.array(*band_exprs)).alias("__band"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -355,16 +374,7 @@ def minhash_lsh_pairs(
     shingled = materialize(
         shingle_table(df, id_col, text_col, shingle_k), "lsh_shingles"
     )
-    sigs = _signature_from_shingles(shingled, num_hashes)
-    rows_per_band = num_hashes // bands
-    band_exprs = []
-    for b in range(bands):
-        elems = [
-            F.col(f"m{b * rows_per_band + j}").cast("string")
-            for j in range(rows_per_band)
-        ]
-        band_exprs.append(F.concat_ws("-", F.lit(str(b)), *elems))
-    banded = sigs.select("__id", F.explode(F.array(*band_exprs)).alias("__band"))
+    banded = _banded_keys(shingled, num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -416,18 +426,7 @@ def incremental_lsh_matches(
     """
 
     def banded(shingled: DataFrame) -> DataFrame:
-        sigs = _signature_from_shingles(shingled, num_hashes)
-        rows_per_band = num_hashes // bands
-        exprs = []
-        for b in range(bands):
-            elems = [
-                F.col(f"m{b * rows_per_band + j}").cast("string")
-                for j in range(rows_per_band)
-            ]
-            exprs.append(F.concat_ws("-", F.lit(str(b)), *elems))
-        return sigs.select(
-            "__id", F.explode(F.array(*exprs)).alias("__band")
-        )
+        return _banded_keys(shingled, num_hashes, bands)
 
     sh_new = materialize(
         shingle_table(new_df, id_col, text_col, shingle_k), "inc_sh_new"
