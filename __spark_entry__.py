@@ -8951,6 +8951,222 @@ def q_pipeline_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round 8: interval-overlap join (binned, count-once), 2-D skyline,
+# time-decay multi-touch attribution, item-item co-occurrence cosine,
+# point-in-time SCD2 join, and the new streaming shapes.
+# ---------------------------------------------------------------------------
+
+
+IJ_BIN_DAYS = 8  # interval-join bin width (covers the 0-6 day spans)
+
+
+def _ij_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared interval set for the interval-join family: 1995
+    shipments, span = shipdate .. shipdate + (quantity mod 7) days,
+    epoch-day ints, iid = orderkey*10 + linenumber (linenumber < 10
+    in TPC-H, so the composite is collision-free)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+    )
+    s = F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date"))
+    return li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("iid"),
+        s.alias("s"),
+        (s + F.col("l_quantity").cast("int") % 7).alias("e"),
+    )
+
+
+def q_ij1_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP JOIN, the binned form: per supplier, every
+    pair of 1995 shipment intervals that overlap in time — the query
+    shape behind concurrency analysis, double-booking detection, and
+    temporal containment, which naive SQL writes as an inequality
+    self-join (quadratic candidates).
+
+    Scale shape: each interval explodes into the fixed-width time
+    bins it covers (sequence(), ≤ ceil(span/bin)+1 rows — spans are
+    bounded by construction), candidates come from a plain EQUI-join
+    on (suppkey, bin) — hash-shuffle, AQE-splittable — and each
+    overlapping pair is counted exactly ONCE without a pair-level
+    distinct: only the bin containing the LATER start may emit the
+    pair (the standard dedup-free binned interval join). At 100 TB
+    the bin width is the knob: wider bins = fewer index rows, more
+    verify work; the overlap verify is a codegen filter either way.
+    Oracle twin is the direct inequality self-join."""
+    iv = _ij_intervals(spark, sf_dir)
+    binned = iv.select(
+        "suppkey",
+        "iid",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / IJ_BIN_DAYS).cast("int"),
+                F.floor(F.col("e") / IJ_BIN_DAYS).cast("int"),
+            )
+        ).alias("bin"),
+    )
+    a = binned.alias("a")
+    b = binned.alias("b")
+    ov_start = F.greatest(F.col("a.s"), F.col("b.s"))
+    ov_days = (
+        F.least(F.col("a.e"), F.col("b.e")) - ov_start + F.lit(1)
+    ).cast("long")
+    pairs = a.join(
+        b,
+        (F.col("a.suppkey") == F.col("b.suppkey"))
+        & (F.col("a.bin") == F.col("b.bin"))
+        & (F.col("a.iid") < F.col("b.iid"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e"))
+        # count-once: only the bin holding the later start emits
+        & (F.col("a.bin") == F.floor(ov_start / IJ_BIN_DAYS).cast("int")),
+    )
+    return (
+        pairs.groupBy(F.col("a.suppkey").alias("suppkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(ov_days).cast("long").alias("sum_overlap_days"),
+            F.max(ov_days).cast("long").alias("max_overlap_days"),
+        )
+    )
+
+
+def q_rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier): parts not dominated on
+    (retail price ↓, size ↑) — no other part is at most as expensive
+    AND at least as large with one strict. The classic formulation is
+    a quadratic NOT EXISTS self-join (the oracle twin keeps that as
+    the independent spec); the engine computes it in O(n log n):
+
+      1. collapse to one row per price with the group-max size
+         (partial-agg shuffle);
+      2. running max of size over strictly cheaper price groups —
+         ONE ordered window over |distinct prices| rows (tiny after
+         step 1; at 100 TB this stays a single near-degenerate-cost
+         pass because the frontier input is already aggregated);
+      3. join back: a part is on the skyline iff no cheaper group
+         reaches its size and it holds its own group's max.
+
+    Duplicated (price, size) points co-exist on the frontier (neither
+    strictly dominates), which the group-max formulation preserves."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    pg = p.groupBy("p_retailprice").agg(F.max("p_size").alias("msize"))
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pr = pg.withColumn("prev_max", F.max("msize").over(w))
+    return (
+        p.join(pr, "p_retailprice")
+        .filter(
+            (F.col("prev_max").isNull() | (F.col("prev_max") < F.col("p_size")))
+            & (F.col("msize") == F.col("p_size"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+DECAY_MAX_DAYS = 20  # attribution horizon; weight halves per day
+
+
+def q_evt_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY MULTI-TOUCH ATTRIBUTION: every purchase credits ALL
+    of the user's prior touches within a 20-day horizon, weight
+    halving per elapsed day — the fractional-credit counterpart of
+    evt_attribution's last-touch rule. Weights are INTEGER units
+    (1 << (20 - whole_days)), so per-channel credit sums are exact
+    BIGINTs — engine- and order-independent, no float accumulation.
+
+    Scale shape: a per-user time-range self-join (purchases ×
+    touches) — shuffles both sides on user_id once; the horizon
+    bounds the fan-out per purchase the way a stream-stream join's
+    watermark bounds state. Credit aggregation is one partial-agg
+    shuffle on the ~channels key space."""
+    ev = _t(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    joined = pur.join(
+        touch,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_us") <= F.col("p_us"))
+        & (
+            F.col("t_us")
+            > F.col("p_us") - F.lit(DECAY_MAX_DAYS * 86_400_000_000)
+        ),
+    )
+    credit = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"CAST({DECAY_MAX_DAYS} - (p_us - t_us) DIV 86400000000 AS INT))"
+    )
+    return joined.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum(credit).cast("long").alias("credit_units"),
+    )
+
+
+REC_TOPK = 100  # item-pair recommendations reported
+
+
+def q_rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITEM-ITEM CO-OCCURRENCE COSINE (the collaborative-filtering
+    similarity): treating each order as a basket, score part pairs by
+    cosine over binary basket vectors = co_count / sqrt(deg_a·deg_b).
+    Reported as exact integer ppm of cosine² (co²·1e6 DIV deg_a·deg_b)
+    so ranking needs no float math — rank by cos² ≡ rank by cosine.
+
+    Scale shape: pair generation is the within-basket self-join —
+    TPC-H baskets hold ≤ 7 items, so candidates are O(rows·basket),
+    LINEAR, never all-pairs; degree join inputs are part-keyed
+    aggregates (broadcast-able dims at any corpus size); final top-k
+    is TakeOrderedAndProject, no global sort materialization."""
+    bi = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    deg = bi.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("deg"))
+    a = bi.alias("a")
+    b = bi.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    scored = (
+        co.join(deg.select(F.col("l_partkey").alias("part_a"), F.col("deg").alias("deg_a")), "part_a")
+        .join(deg.select(F.col("l_partkey").alias("part_b"), F.col("deg").alias("deg_b")), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("co").cast("long").alias("co"),
+            F.expr("co * co * CAST(1000000 AS BIGINT) DIV (deg_a * deg_b)")
+            .cast("long")
+            .alias("cos2_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("cos2_ppm"), F.desc("co"), "part_a", "part_b"
+    ).limit(REC_TOPK)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan": q_s1_scan,
@@ -9181,6 +9397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_ks_audit": q_sample_ks_audit,
         "pipeline_filter_report": q_pipeline_filter_report,
         "s22_stream_outer_join": q_s22_stream_outer_join,
+        "ij1_interval_overlap": q_ij1_interval_overlap,
+        "rel_skyline": q_rel_skyline,
+        "evt_attribution_decay": q_evt_attribution_decay,
+        "rec_item_cosine": q_rec_item_cosine,
     }
 
 
@@ -13513,4 +13733,76 @@ def oracle_sql() -> dict[str, str]:
                        u, v) AS INT) AS rk
               FROM scored
             ) WHERE rk <= {EDGE_TOPK}"""
+    sql["ij1_interval_overlap"] = """
+            WITH iv AS (
+              SELECT l_suppkey AS suppkey,
+                     l_orderkey * 10 + l_linenumber AS iid,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(l_shipdate AS DATE)) AS s,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(l_shipdate AS DATE))
+                       + CAST(l_quantity AS INT) % 7 AS e
+              FROM lineitem
+              WHERE l_shipdate >= '1995-01-01'
+                AND l_shipdate < '1996-01-01'
+            )
+            SELECT a.suppkey AS suppkey, count(*) AS n_pairs,
+                   CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s) + 1)
+                     AS BIGINT) AS sum_overlap_days,
+                   CAST(MAX(least(a.e, b.e) - greatest(a.s, b.s) + 1)
+                     AS BIGINT) AS max_overlap_days
+            FROM iv a JOIN iv b
+              ON a.suppkey = b.suppkey AND a.iid < b.iid
+             AND a.s <= b.e AND b.s <= a.e
+            GROUP BY a.suppkey"""
+    sql["rel_skyline"] = """
+            SELECT p1.p_partkey, p1.p_retailprice, p1.p_size
+            FROM part p1
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part p2
+              WHERE p2.p_retailprice <= p1.p_retailprice
+                AND p2.p_size >= p1.p_size
+                AND (p2.p_retailprice < p1.p_retailprice
+                     OR p2.p_size > p1.p_size))"""
+    sql["evt_attribution_decay"] = f"""
+            SELECT t.event_type AS channel,
+                   count(*) AS n_credits,
+                   CAST(SUM(CAST(1 AS BIGINT)
+                        << CAST({DECAY_MAX_DAYS}
+                           - (epoch_us(p.ts) - epoch_us(t.ts))
+                             // 86400000000 AS INT)) AS BIGINT)
+                     AS credit_units
+            FROM events p JOIN events t
+              ON t.user_id = p.user_id
+             AND t.event_type <> 'purchase'
+             AND epoch_us(t.ts) <= epoch_us(p.ts)
+             AND epoch_us(t.ts) > epoch_us(p.ts)
+                 - CAST({DECAY_MAX_DAYS} AS BIGINT) * 86400000000
+            WHERE p.event_type = 'purchase'
+            GROUP BY t.event_type"""
+    sql["rec_item_cosine"] = f"""
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), deg AS (
+              SELECT l_partkey, count(*) AS deg FROM bi GROUP BY l_partkey
+            ), co AS (
+              SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                     count(*) AS co
+              FROM bi a JOIN bi b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY a.l_partkey, b.l_partkey
+            ), scored AS (
+              SELECT part_a, part_b, CAST(co AS BIGINT) AS co,
+                     CAST(co * co * CAST(1000000 AS BIGINT)
+                          // (da.deg * db.deg) AS BIGINT) AS cos2_ppm
+              FROM co
+              JOIN deg da ON da.l_partkey = part_a
+              JOIN deg db ON db.l_partkey = part_b
+            )
+            SELECT part_a, part_b, co, cos2_ppm FROM (
+              SELECT *, row_number() OVER (ORDER BY cos2_ppm DESC, co DESC,
+                       part_a, part_b) AS rk
+              FROM scored
+            ) WHERE rk <= {REC_TOPK}"""
     return sql

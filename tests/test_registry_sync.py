@@ -41,7 +41,8 @@ def test_query_names_are_snake_case_and_unique_prefix_taxonomy():
         "set", "str", "date", "math", "arr", "json", "null", "bit",
         "regex", "agg", "sketch", "text", "dedup", "sim", "emb",
         "sample", "pipeline", "multimodal", "skew", "ts", "aj", "rj",
-        "pv", "evt", "pack", "cdc", "graph", "ds", "l",
+        "pv", "evt", "pack", "cdc", "graph", "ds", "l", "ij", "rel",
+        "rec",
     )
     for name in entry.queries():
         assert re.fullmatch(r"[a-z0-9_]+", name), name
