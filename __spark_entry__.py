@@ -9167,6 +9167,122 @@ def q_rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(REC_TOPK)
 
 
+def q_cdc_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME JOIN against a versioned (SCD2) dimension: every
+    purchase fact picks the profile version that was valid AT its
+    event time — the warehouse query every feature-store lookup and
+    Kimball dimension probe reduces to (no future leakage, no stale
+    overwrite). The dimension is the user's change feed (signup/view
+    events as profile updates); facts before the first version emit
+    NULL attrs — a PIT join never drops facts.
+
+    Scale shape: the naive form is an interval join fact.ts BETWEEN
+    [valid_from, valid_to) (the oracle twin keeps that spec); the
+    engine computes it as the as-of union + ONE keyed sort + carried
+    last-version window (operators/temporal.py::asof_join) — one
+    shuffle on user_id, zero joins, the same plan at any fact:dim
+    ratio. Ties (a fact at exactly a version's start) take the new
+    version, matching BETWEEN-inclusive-start semantics."""
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.filter(F.col("event_type").isin("signup", "view")).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("dim_event_id"),
+        F.col("value").alias("attr_value"),
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    j = TM.asof_join(
+        fact,
+        dim,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["dim_event_id", "attr_value"],
+        order_col="dim_event_id",
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("dim_event_id_right").alias("dim_event_id"),
+        F.col("attr_value_right").alias("attr_value"),
+    )
+
+
+BFS_MAX_DEPTH = 6  # frontier rounds (bounded barriers)
+BFS_SEED_MOD = 100  # seed set: graph nodes with partkey % 100 == 0
+BFS_MIN_CO = 2  # edge = parts co-ordered in >= 2 distinct orders
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-SOURCE BFS with bounded depth: shortest hop-distance from
+    a seed set over the sparse parts-affinity graph (edge = two parts
+    co-ordered in ≥ 2 distinct orders — the repeat-co-purchase filter
+    keeps the graph sparse where raw co-order is near-complete). The
+    reachability primitive behind blast-radius, related-items, and
+    taint-propagation queries.
+
+    Scale shape: the frontier loop — per round, ONE equi-join of the
+    (small) frontier against the materialized edge list, a distinct,
+    and an anti-join against visited; localCheckpoint flattens the
+    plan each round so round r never replays rounds 1..r-1 (the
+    dedup_clusters discipline), and rounds are CAPPED at
+    BFS_MAX_DEPTH, so driver barriers are bounded. Frontiers shrink
+    monotonically on sparse graphs; min-dist semantics are
+    execution-order independent. Oracle: recursive CTE with UNION
+    dedup + min(dist).
+
+    The early-exit isEmpty() per round is a 1-row driver check on an
+    already-checkpointed frontier, not a data collect."""
+    bi = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = bi.alias("a")
+    b = bi.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= BFS_MIN_CO)
+        .select("u", "v")
+    )
+    edges = materialize(
+        half.unionByName(
+            half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ),
+        "bfs_edges",
+    )
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    seeds = nodes.filter(F.col("node") % BFS_SEED_MOD == 0)
+    dist = seeds.withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for d in range(1, BFS_MAX_DEPTH + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist.select(
+        F.col("node").alias("p_partkey"), F.col("dist").cast("int").alias("dist")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan": q_s1_scan,
@@ -9401,6 +9517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_skyline": q_rel_skyline,
         "evt_attribution_decay": q_evt_attribution_decay,
         "rec_item_cosine": q_rec_item_cosine,
+        "cdc_pit_join": q_cdc_pit_join,
+        "graph_bfs": q_graph_bfs,
     }
 
 
@@ -13805,4 +13923,42 @@ def oracle_sql() -> dict[str, str]:
                        part_a, part_b) AS rk
               FROM scored
             ) WHERE rk <= {REC_TOPK}"""
+    sql["cdc_pit_join"] = """
+            WITH dim AS (
+              SELECT user_id, ts AS valid_from,
+                     coalesce(lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id),
+                              TIMESTAMP '9999-12-31') AS valid_to,
+                     event_id AS dim_event_id, value AS attr_value
+              FROM events WHERE event_type IN ('signup', 'view')
+            )
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   d.dim_event_id, d.attr_value
+            FROM events p LEFT JOIN dim d
+              ON d.user_id = p.user_id
+             AND p.ts >= d.valid_from AND p.ts < d.valid_to
+            WHERE p.event_type = 'purchase'"""
+    sql["graph_bfs"] = f"""
+            WITH RECURSIVE bi AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), half AS (
+              SELECT a.l_partkey AS u, b.l_partkey AS v
+              FROM bi a JOIN bi b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY a.l_partkey, b.l_partkey
+              HAVING count(*) >= {BFS_MIN_CO}
+            ), e AS (
+              SELECT u, v FROM half UNION ALL SELECT v, u FROM half
+            ), seeds AS (
+              SELECT DISTINCT u AS node FROM e
+              WHERE u % {BFS_SEED_MOD} = 0
+            ), walk AS (
+              SELECT node, 0 AS dist FROM seeds
+              UNION
+              SELECT e.v, w.dist + 1 FROM walk w JOIN e ON e.u = w.node
+              WHERE w.dist < {BFS_MAX_DEPTH}
+            )
+            SELECT node AS p_partkey, CAST(min(dist) AS INT) AS dist
+            FROM walk GROUP BY node"""
     return sql
