@@ -6050,11 +6050,15 @@ def q_s22_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows emit when the join watermark passes the purchase's maximum
     admissible click time (= p_ts), which the availableNow drain's
     finalizing batch evaluates under the final watermark
-    (max ts − 1 h — the same mechanism s13's session cutoff relies
-    on). The gate hashes only purchases at least 3 h below max ts
-    (2 h of margin under the final watermark), making the emitted set
-    deterministic regardless of batch packing; the DuckDB twin is the
-    batch LEFT JOIN under the same cutoff.
+    (the same mechanism s13's session cutoff relies on). With two
+    watermarked inputs the final watermark is the MIN of the two
+    sides' (max event time − 1 h), so the gate hashes only purchases
+    at least 3 h below min(max purchase ts, max click ts) — the
+    max-over-all-events cutoff this query originally used held only
+    while the click side's max happened to sit close enough to the
+    global max (s24's click-side NULLs surfaced the policy), making
+    the emitted set deterministic regardless of batch packing; the
+    DuckDB twin is the batch LEFT JOIN under the same cutoff.
 
     Scale shape: identical to s12 — both sides shuffle on user, the
     range condition bounds per-key state to one hour; the outer
@@ -6125,9 +6129,23 @@ def q_s22_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = (
         _t(spark, sf_dir, "events")
         .agg(
-            (F.unix_micros(F.max("ts")) - F.lit(3 * 3600 * 1000000)).alias(
-                "c"
-            )
+            (
+                F.least(
+                    F.max(
+                        F.when(
+                            F.col("event_type") == "purchase",
+                            F.unix_micros("ts"),
+                        )
+                    ),
+                    F.max(
+                        F.when(
+                            F.col("event_type") == "click",
+                            F.unix_micros("ts"),
+                        )
+                    ),
+                )
+                - F.lit(3 * 3600 * 1000000)
+            ).alias("c")
         )
         .collect()[0]["c"]  # 1-row driver literal, not a hot path
     )
@@ -9210,6 +9228,158 @@ def q_cdc_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s24_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER WATERMARKED STREAM-STREAM JOIN: purchases ×
+    same-user clicks in the preceding hour, emitting BOTH unmatched
+    sides with NULLs once the watermark proves no partner can arrive
+    — the s22 left-outer semantics plus click-side NULL emission (a
+    click is provably unmatched only once the watermark passes
+    c_ts + 1 h, the last purchase time that could claim it). With two
+    watermarked inputs the FINAL watermark is the MIN of the two
+    sides' (max event time − 1 h) — NOT max-ts-overall − 1 h; the
+    first cut of this query missed exactly the max-ts click because
+    the purchase side's higher max masked that. The gate therefore
+    hashes rows whose non-NULL event times sit at least 3 h below
+    min(max purchase ts, max click ts) — ≥ 1 h of margin under the
+    true final watermark even for the click side's + 1 h eviction
+    bound — so the emitted set is batch-packing independent; DuckDB
+    twin is the batch FULL JOIN under the same per-side cutoffs.
+
+    Scale shape: identical to s12/s22 — both sides shuffle on user,
+    the 1 h range bound caps per-key state; full-outer adds only
+    eviction-time NULL emission on both sides, no extra state."""
+    import uuid as _uuid
+
+    ev = _events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        "click_id",
+        F.unix_micros("c_ts").alias("c_ts_us"),
+    )
+    qname = f"s24_stream_full_outer_{_uuid.uuid4().hex[:8]}"
+    # NULL rows emit only in the final no-data micro-batch (same
+    # mechanism as s22) — pin the conf that enables it.
+    prev_ndmb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try:
+        with _pinned_state_partitions(spark):
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndmb
+        )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise RuntimeError(f"{qname} did not drain in 240s")
+    cutoff = (
+        _t(spark, sf_dir, "events")
+        .agg(
+            (
+                F.least(
+                    F.max(
+                        F.when(
+                            F.col("event_type") == "purchase",
+                            F.unix_micros("ts"),
+                        )
+                    ),
+                    F.max(
+                        F.when(
+                            F.col("event_type") == "click",
+                            F.unix_micros("ts"),
+                        )
+                    ),
+                )
+                - F.lit(3 * 3600 * 1000000)
+            ).alias("c")
+        )
+        .collect()[0]["c"]  # 1-row driver literal, not a hot path
+    )
+    return spark.table(qname).filter(
+        (F.col("p_ts_us").isNull() | (F.col("p_ts_us") <= F.lit(cutoff)))
+        & (F.col("c_ts_us").isNull() | (F.col("c_ts_us") <= F.lit(cutoff)))
+    )
+
+
+S25_BUCKET_US = 600_000_000  # 10-min dedup buckets (< the 1 h watermark)
+
+
+def q_s25_stream_dropdup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DEDUP VIA dropDuplicatesWithinWatermark — the
+    built-in state-TTL dedup API (state for a key is dropped once the
+    watermark passes its event time + delay, so state is bounded
+    without a TTL knob; contrast s10's hand-rolled transformWithState
+    ValueState). Key = (user, 10-min bucket, type): all duplicates of
+    a key are at most 10 min apart — far inside the 1 h watermark —
+    so exactly one survivor per key is guaranteed regardless of batch
+    packing; projecting survivors to the KEY columns makes the output
+    the distinct key set, independent of which physical row survived.
+    Oracle: SELECT DISTINCT of the same key.
+
+    Scale shape: one shuffle on the dedup key; state is per live key
+    and watermark-evicted — the canonical at-scale streaming dedup."""
+    import uuid as _uuid
+
+    ev = _events_stream(spark, sf_dir)
+    keyed = (
+        ev.withWatermark("ts", "1 hour")
+        .withColumn(
+            "bucket_us",
+            F.expr(
+                f"unix_micros(ts) DIV {S25_BUCKET_US} * {S25_BUCKET_US}"
+            ),
+        )
+        .dropDuplicatesWithinWatermark(["user_id", "bucket_us", "event_type"])
+        .select("user_id", "bucket_us", "event_type")
+    )
+    qname = f"s25_stream_dropdup_{_uuid.uuid4().hex[:8]}"
+    with _pinned_state_partitions(spark):
+        q = (
+            keyed.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise RuntimeError(f"{qname} did not drain in 240s")
+    return spark.table(qname)
+
+
 BFS_MAX_DEPTH = 6  # frontier rounds (bounded barriers)
 BFS_SEED_MOD = 100  # seed set: graph nodes with partkey % 100 == 0
 BFS_MIN_CO = 2  # edge = parts co-ordered in >= 2 distinct orders
@@ -9519,6 +9689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_item_cosine": q_rec_item_cosine,
         "cdc_pit_join": q_cdc_pit_join,
         "graph_bfs": q_graph_bfs,
+        "s24_stream_full_outer": q_s24_stream_full_outer,
+        "s25_stream_dropdup_watermark": q_s25_stream_dropdup_watermark,
     }
 
 
@@ -9548,6 +9720,8 @@ STREAMING_DRAINS = frozenset(
         "s21_restart_upsert",
         "s22_stream_outer_join",
         "s23_snapshot_diff",
+        "s24_stream_full_outer",
+        "s25_stream_dropdup_watermark",
     }
 )
 
@@ -13762,7 +13936,10 @@ def oracle_sql() -> dict[str, str]:
             FROM flags GROUP BY lang"""
     sql["s22_stream_outer_join"] = """
             WITH cutoff AS (
-              SELECT epoch_us(max(ts)) - CAST(10800000000 AS BIGINT) AS c
+              SELECT least(
+                       epoch_us(max(ts) FILTER (event_type = 'purchase')),
+                       epoch_us(max(ts) FILTER (event_type = 'click')))
+                     - CAST(10800000000 AS BIGINT) AS c
               FROM events
             )
             SELECT p.event_id AS purchase_id, p.user_id,
@@ -13961,4 +14138,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS p_partkey, CAST(min(dist) AS INT) AS dist
             FROM walk GROUP BY node"""
+    sql["s24_stream_full_outer"] = """
+            WITH cutoff AS (
+              SELECT least(
+                       epoch_us(max(ts) FILTER (event_type = 'purchase')),
+                       epoch_us(max(ts) FILTER (event_type = 'click')))
+                     - CAST(10800000000 AS BIGINT) AS c
+              FROM events
+            ), p AS (
+              SELECT event_id AS purchase_id, user_id, ts AS p_ts
+              FROM events WHERE event_type = 'purchase'
+            ), cl AS (
+              SELECT event_id AS click_id, user_id, ts AS c_ts
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT p.purchase_id,
+                   coalesce(p.user_id, cl.user_id) AS user_id,
+                   epoch_us(p.p_ts) AS p_ts_us,
+                   cl.click_id,
+                   epoch_us(cl.c_ts) AS c_ts_us
+            FROM p FULL JOIN cl
+              ON p.user_id = cl.user_id
+             AND cl.c_ts >= p.p_ts - INTERVAL 1 HOUR
+             AND cl.c_ts <= p.p_ts
+            WHERE (p.p_ts IS NULL
+                   OR epoch_us(p.p_ts) <= (SELECT c FROM cutoff))
+              AND (cl.c_ts IS NULL
+                   OR epoch_us(cl.c_ts) <= (SELECT c FROM cutoff))"""
+    sql["s25_stream_dropdup_watermark"] = f"""
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // {S25_BUCKET_US} * {S25_BUCKET_US}
+                     AS bucket_us,
+                   event_type
+            FROM events"""
     return sql
