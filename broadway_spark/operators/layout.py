@@ -98,3 +98,36 @@ def file_extents(
         aggs.append(F.min(c).alias(f"{c}_min"))
         aggs.append(F.max(c).alias(f"{c}_max"))
     return df.groupBy("__file").agg(*aggs)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a BUCKETED parquet table (external, at
+    ``path``): rows are hash-partitioned into ``num_buckets`` files
+    per write-task group on ``bucket_cols``, optionally sorted within
+    buckets, and the bucket spec is recorded in the catalog. A join
+    or aggregation keyed on ``bucket_cols`` between tables bucketed
+    the SAME way then reads co-located data and plans with NO
+    Exchange on the bucketed sides — the shuffle is paid once at
+    write time and amortized over every downstream query, which is
+    the canonical 100 TB strategy for a fact table joined on the
+    same key by many consumers (Spark's equivalent of Hive bucketing
+    / Iceberg bucket partition transforms).
+
+    ``saveAsTable`` (not ``save``) is required: bucket metadata lives
+    in the catalog, and a path-only parquet read cannot recover it.
+    Mode is overwrite, so re-running is idempotent."""
+    writer = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
