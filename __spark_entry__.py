@@ -9054,6 +9054,104 @@ def q_ij1_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ij2_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-CONTAINMENT JOIN, the binned form: per supplier,
+    pairs where one 1995 shipment interval FULLY CONTAINS another —
+    the second predicate class the same bin index serves (overlap in
+    ij1, containment here; the only changes are the verify filter and
+    the count-once anchor, now the CONTAINED interval's start bin).
+    Reported per container interval: how many other intervals it
+    swallows and the widest span it covers — the nesting profile a
+    scheduling/temporal-QA pass reads.
+
+    Scale shape: identical to ij1 — the bin explode is bounded by the
+    span cap, candidates come from the (suppkey, bin) EQUI-join, and
+    each contained pair is emitted exactly once (only the bin holding
+    the contained start). Strictness: proper containment — equal
+    intervals are excluded by requiring a strictly larger span, so
+    the relation is antisymmetric and the oracle can't double-count
+    mirror pairs."""
+    iv = _ij_intervals(spark, sf_dir)
+    binned = iv.select(
+        "suppkey",
+        "iid",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / IJ_BIN_DAYS).cast("int"),
+                F.floor(F.col("e") / IJ_BIN_DAYS).cast("int"),
+            )
+        ).alias("bin"),
+    )
+    a = binned.alias("a")  # container
+    b = binned.alias("b")  # contained
+    pairs = a.join(
+        b,
+        (F.col("a.suppkey") == F.col("b.suppkey"))
+        & (F.col("a.bin") == F.col("b.bin"))
+        & (F.col("a.iid") != F.col("b.iid"))
+        & (F.col("a.s") <= F.col("b.s"))
+        & (F.col("b.e") <= F.col("a.e"))
+        # proper containment: the container is strictly wider
+        & (F.col("a.e") - F.col("a.s") > F.col("b.e") - F.col("b.s"))
+        # count-once: only the bin holding the contained start emits
+        & (F.col("b.bin") == F.floor(F.col("b.s") / IJ_BIN_DAYS).cast("int")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.suppkey").alias("suppkey"), F.col("a.iid").alias("iid")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_contained"),
+            F.max(F.col("b.e") - F.col("b.s")).cast("long").alias(
+                "max_inner_span"
+            ),
+        )
+    )
+
+
+SKEW_TOPK = 5  # heaviest keys reported by the advisor
+
+
+def q_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-SKEW ADVISOR: the pre-flight report a 100 TB job runs
+    before keying a join or aggregation on a column — for the
+    heaviest keys of lineitem.l_suppkey: row share in ppm, the ratio
+    to a perfectly uniform key (avg rows/key), and the salting factor
+    that would level the key (ceil(count/avg), integer arithmetic).
+    A top key at ~uniform share says hash partitioning is safe; a
+    1000× key says salt it or let AQE split it — this query is the
+    evidence either way.
+
+    Scale shape: ONE partial-agg shuffle to per-key counts, a 1-row
+    global aggregate broadcast back, and a top-k
+    TakeOrderedAndProject over the (tiny) per-key table. Nothing
+    touches raw rows twice."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = per_key.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("l_suppkey").alias("key"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("cnt * CAST(1000000 AS BIGINT) DIV total").alias(
+                "share_ppm"
+            ),
+            # salt factor that levels this key: ceil(cnt / avg)
+            F.expr(
+                "CAST((cnt * n_keys + total - 1) DIV total AS BIGINT)"
+            ).alias("salt_factor"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(SKEW_TOPK)
+    )
+
+
 def q_rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D SKYLINE (Pareto frontier): parts not dominated on
     (retail price ↓, size ↑) — no other part is at most as expensive
@@ -9433,6 +9531,130 @@ def q_s25_stream_dropdup_watermark(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table(qname)
 
 
+def q_s26_restart_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT-RESTART EQUIVALENCE, full-outer stream-stream join:
+    the s24 join killed after the first committed batch — BOTH sides'
+    join buffers plus the outer-join "emitted yet?" markers live in
+    the state store — resumed, drained availableNow. The riskiest
+    restart in the matrix: losing a buffer drops matches, but losing
+    the emission markers DUPLICATES NULL rows on replay (an unmatched
+    row emitted pre-kill must not emit again post-resume). The
+    idempotent batch-id-keyed sink absorbs replayed in-flight
+    batches; the s24 min-per-side-watermark cutoff makes the hashed
+    set deterministic. Extends the s14–s18/s21 restart matrix to the
+    outer-join state family."""
+    import os
+    import tempfile
+
+    watch, schema, _n = _stage_event_files(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="bw_s26_")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+
+    def build():
+        ev = _staged_events_stream(spark, watch, schema)
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        return purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "fullOuter",
+        ).select(
+            "purchase_id",
+            F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+            F.unix_micros("p_ts").alias("p_ts_us"),
+            "click_id",
+            F.unix_micros("c_ts").alias("c_ts_us"),
+        )
+
+    writer = _idempotent_parquet_writer(sink)
+    prev_ndmb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try:
+        with _pinned_state_partitions(spark):
+            q = (
+                build()
+                .writeStream.foreachBatch(writer)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="1 second")
+                .start()
+            )
+        _kill_mid_drain(q)
+        with _pinned_state_partitions(spark):
+            q2 = (
+                build()
+                .writeStream.foreachBatch(writer)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        try:
+            if not q2.awaitTermination(600):
+                raise RuntimeError("s26 resume did not complete in 600s")
+        finally:
+            if q2.isActive:
+                q2.stop()
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndmb
+        )
+    cutoff = (
+        _t(spark, sf_dir, "events")
+        .agg(
+            (
+                F.least(
+                    F.max(
+                        F.when(
+                            F.col("event_type") == "purchase",
+                            F.unix_micros("ts"),
+                        )
+                    ),
+                    F.max(
+                        F.when(
+                            F.col("event_type") == "click",
+                            F.unix_micros("ts"),
+                        )
+                    ),
+                )
+                - F.lit(3 * 3600 * 1000000)
+            ).alias("c")
+        )
+        .collect()[0]["c"]  # 1-row driver literal, not a hot path
+    )
+    return (
+        spark.read.parquet(sink)
+        .select("purchase_id", "user_id", "p_ts_us", "click_id", "c_ts_us")
+        .filter(
+            (F.col("p_ts_us").isNull() | (F.col("p_ts_us") <= F.lit(cutoff)))
+            & (
+                F.col("c_ts_us").isNull()
+                | (F.col("c_ts_us") <= F.lit(cutoff))
+            )
+        )
+    )
+
+
 BFS_MAX_DEPTH = 6  # frontier rounds (bounded barriers)
 BFS_SEED_MOD = 100  # seed set: graph nodes with partkey % 100 == 0
 BFS_MIN_CO = 2  # edge = parts co-ordered in >= 2 distinct orders
@@ -9745,6 +9967,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s24_stream_full_outer": q_s24_stream_full_outer,
         "s25_stream_dropdup_watermark": q_s25_stream_dropdup_watermark,
         "pack_bucket_join": q_pack_bucket_join,
+        "ij2_interval_containment": q_ij2_interval_containment,
+        "skew_advisor": q_skew_advisor,
+        "s26_restart_full_outer": q_s26_restart_full_outer,
     }
 
 
@@ -9776,6 +10001,7 @@ STREAMING_DRAINS = frozenset(
         "s23_snapshot_diff",
         "s24_stream_full_outer",
         "s25_stream_dropdup_watermark",
+        "s26_restart_full_outer",
     }
 )
 
@@ -14230,4 +14456,44 @@ def oracle_sql() -> dict[str, str]:
                    {_dsum_sql('l_extendedprice')} AS sum_price
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority"""
+    sql["ij2_interval_containment"] = """
+            WITH iv AS (
+              SELECT l_suppkey AS suppkey,
+                     l_orderkey * 10 + l_linenumber AS iid,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(l_shipdate AS DATE)) AS s,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(l_shipdate AS DATE))
+                       + CAST(l_quantity AS INT) % 7 AS e
+              FROM lineitem
+              WHERE l_shipdate >= '1995-01-01'
+                AND l_shipdate < '1996-01-01'
+            )
+            SELECT a.suppkey AS suppkey, a.iid AS iid,
+                   count(*) AS n_contained,
+                   CAST(MAX(b.e - b.s) AS BIGINT) AS max_inner_span
+            FROM iv a JOIN iv b
+              ON a.suppkey = b.suppkey AND a.iid <> b.iid
+             AND a.s <= b.s AND b.e <= a.e
+             AND a.e - a.s > b.e - b.s
+            GROUP BY a.suppkey, a.iid"""
+    sql["skew_advisor"] = f"""
+            WITH per_key AS (
+              SELECT l_suppkey AS key, count(*) AS cnt
+              FROM lineitem GROUP BY l_suppkey
+            ), tot AS (
+              SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                     CAST(count(*) AS BIGINT) AS n_keys
+              FROM per_key
+            )
+            SELECT key, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(cnt * CAST(1000000 AS BIGINT) // total AS BIGINT)
+                     AS share_ppm,
+                   CAST((cnt * n_keys + total - 1) // total AS BIGINT)
+                     AS salt_factor
+            FROM (
+              SELECT *, row_number() OVER (ORDER BY cnt DESC, key) AS rk
+              FROM per_key CROSS JOIN tot
+            ) WHERE rk <= {SKEW_TOPK}"""
+    sql["s26_restart_full_outer"] = sql["s24_stream_full_outer"]
     return sql

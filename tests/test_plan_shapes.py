@@ -396,6 +396,7 @@ def test_no_unguarded_cartesian_in_any_query(spark):
         "pipeline_curation_funnel",  # 1-row stage-total broadcasts
         "pipeline_dq_audit",  # broadcast 1-row check-assembly joins
         "text_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
+        "skew_advisor",  # 1-row (total, n_keys) broadcast
     }
     offenders = {}
     for name, fn in entry.queries().items():
