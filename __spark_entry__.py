@@ -9129,7 +9129,12 @@ def q_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject over the (tiny) per-key table. Nothing
     touches raw rows twice."""
     li = _t(spark, sf_dir, "lineitem")
-    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    # per-key counts feed both the report and the 1-row totals —
+    # materialize the (tiny) aggregate so the corpus scans once.
+    per_key = materialize(
+        li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt")),
+        "skew_per_key",
+    )
     tot = per_key.agg(
         F.sum("cnt").cast("long").alias("total"),
         F.count(F.lit(1)).cast("long").alias("n_keys"),
@@ -9247,10 +9252,14 @@ def q_rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     LINEAR, never all-pairs; degree join inputs are part-keyed
     aggregates (broadcast-able dims at any corpus size); final top-k
     is TakeOrderedAndProject, no global sort materialization."""
-    bi = (
+    # The basket-item table feeds THREE consumers (both sides of the
+    # pair join and the degree table) — materialize it once or the
+    # corpus scans four times (the r8 plan audit caught 4 FileScans).
+    bi = materialize(
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .distinct(),
+        "rec_bi",
     )
     deg = bi.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("deg"))
     a = bi.alias("a")
