@@ -9336,6 +9336,45 @@ def q_cdc_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE ANSI-SQL text, executed verbatim by BOTH engines (Spark via
+# spark.sql over temp views, DuckDB via the oracle gate) — the
+# engine-portability contract for the SQL API surface: no dialect
+# functions, explicit casts where return types differ (EXTRACT,
+# ROW_NUMBER), decimal-exact money sums.
+ANSI_SHARED_SQL = """
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS yr,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT)
+    )
+    SELECT nation, yr, revenue, n_orders,
+           CAST(ROW_NUMBER() OVER (PARTITION BY yr
+                ORDER BY revenue DESC, nation) AS BIGINT) AS rk
+    FROM rev
+"""
+
+
+def q_sql1_shared_ansi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API SURFACE: the engine runs plain ANSI SQL over registered
+    views — this query's text is BYTE-IDENTICAL to its oracle twin
+    (module constant ANSI_SHARED_SQL), so the two engines execute the
+    same program, not a translation. The portability rules it
+    demonstrates: dialect-free functions only, explicit casts where
+    default return types differ (EXTRACT year, ROW_NUMBER), and
+    decimal-exact money sums. Catalyst plans it like any DataFrame
+    query — broadcast dims, partial-agg shuffle, window over the
+    ~nations×years rows."""
+    for t in ("orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(ANSI_SHARED_SQL)
+
+
 BUCKET_JOIN_N = 8  # bucket count for the co-located join pair
 
 
@@ -9979,6 +10018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ij2_interval_containment": q_ij2_interval_containment,
         "skew_advisor": q_skew_advisor,
         "s26_restart_full_outer": q_s26_restart_full_outer,
+        "sql1_shared_ansi": q_sql1_shared_ansi,
     }
 
 
@@ -14505,4 +14545,5 @@ def oracle_sql() -> dict[str, str]:
               FROM per_key CROSS JOIN tot
             ) WHERE rk <= {SKEW_TOPK}"""
     sql["s26_restart_full_outer"] = sql["s24_stream_full_outer"]
+    sql["sql1_shared_ansi"] = ANSI_SHARED_SQL
     return sql
