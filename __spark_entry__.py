@@ -9336,6 +9336,71 @@ def q_cdc_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s27_restart_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT-RESTART EQUIVALENCE, dropDuplicatesWithinWatermark:
+    the s25 built-in state-TTL dedup killed after the first committed
+    batch and resumed — its dedup state (key → first-seen event time)
+    uses Spark's own streaming-dedup state format, a different store
+    layout than the transformWithState path s18 already restarts. If
+    resume lost state, keys seen before the kill would re-emit in the
+    resumed drain and the key-set hash would gain duplicates; the
+    idempotent batch-id sink absorbs the replayed in-flight batch.
+    Output is the distinct key set (s25 contract), so the oracle is
+    the same SELECT DISTINCT."""
+    import os
+    import tempfile
+
+    watch, schema, _n = _stage_event_files(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="bw_s27_")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+
+    def build():
+        ev = _staged_events_stream(spark, watch, schema)
+        return (
+            ev.withWatermark("ts", "1 hour")
+            .withColumn(
+                "bucket_us",
+                F.expr(
+                    f"unix_micros(ts) DIV {S25_BUCKET_US} * {S25_BUCKET_US}"
+                ),
+            )
+            .dropDuplicatesWithinWatermark(
+                ["user_id", "bucket_us", "event_type"]
+            )
+            .select("user_id", "bucket_us", "event_type")
+        )
+
+    writer = _idempotent_parquet_writer(sink)
+    with _pinned_state_partitions(spark):
+        q = (
+            build()
+            .writeStream.foreachBatch(writer)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+    _kill_mid_drain(q)
+    with _pinned_state_partitions(spark):
+        q2 = (
+            build()
+            .writeStream.foreachBatch(writer)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    try:
+        if not q2.awaitTermination(600):
+            raise RuntimeError("s27 resume did not complete in 600s")
+    finally:
+        if q2.isActive:
+            q2.stop()
+    return spark.read.parquet(sink).select(
+        "user_id", "bucket_us", "event_type"
+    )
+
+
 # ONE ANSI-SQL text, executed verbatim by BOTH engines (Spark via
 # spark.sql over temp views, DuckDB via the oracle gate) — the
 # engine-portability contract for the SQL API surface: no dialect
@@ -10019,6 +10084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_advisor": q_skew_advisor,
         "s26_restart_full_outer": q_s26_restart_full_outer,
         "sql1_shared_ansi": q_sql1_shared_ansi,
+        "s27_restart_dropdup": q_s27_restart_dropdup,
     }
 
 
@@ -10051,6 +10117,7 @@ STREAMING_DRAINS = frozenset(
         "s24_stream_full_outer",
         "s25_stream_dropdup_watermark",
         "s26_restart_full_outer",
+        "s27_restart_dropdup",
     }
 )
 
@@ -14546,4 +14613,5 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rk <= {SKEW_TOPK}"""
     sql["s26_restart_full_outer"] = sql["s24_stream_full_outer"]
     sql["sql1_shared_ansi"] = ANSI_SHARED_SQL
+    sql["s27_restart_dropdup"] = sql["s25_stream_dropdup_watermark"]
     return sql
