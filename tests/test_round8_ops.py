@@ -185,3 +185,86 @@ def test_pit_join_never_leaks_future_versions(spark):
             else None
         )
         assert out[f["event_id"]] == want, f["event_id"]
+
+
+def _skewed_pair(spark):
+    left = (
+        spark.range(0, 2_000_000)
+        .select(F.lit(0).alias("k"), F.col("id").alias("v"))
+        .unionAll(
+            spark.range(0, 200_000).select(
+                (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("v")
+            )
+        )
+    )
+    right = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    return left, right
+
+
+def _with_skew_confs(spark):
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    return prev
+
+
+def _restore_confs(spark, prev):
+    for k, v in prev.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The AQE skew-join safety net the 100 TB story leans on,
+    PROVEN at runtime: one join key holding ~90% of the left side is
+    split by OptimizeSkewedJoin (SortMergeJoin(skew=true) in the
+    final adaptive plan) when nothing downstream needs the join's
+    output partitioning. Broadcast is disabled on both the static and
+    adaptive paths — otherwise the tiny dim side broadcasts and the
+    skew never reaches a shuffled join (which is itself the right
+    adaptive outcome, but vacuous for this proof)."""
+    prev = _with_skew_confs(spark)
+    try:
+        left, right = _skewed_pair(spark)
+        j = left.join(right, "k").select(
+            F.sum(F.col("v") + F.col("w")).alias("s")
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        _restore_confs(spark, prev)
+    assert "skew=true" in plan, plan[:2000]
+
+
+def test_keyed_downstream_agg_suppresses_skew_split(spark):
+    """The documented LIMIT of the AQE safety net: when the join feeds
+    an aggregation keyed on the join key, splitting the skewed
+    partition would break the co-partitioning the agg requires, so
+    OptimizeSkewedJoin declines — the skewed task runs whole. This is
+    exactly the shape where explicit salting
+    (operators/skew.py::salted_aggregate) is the right tool, and why
+    the engine ships it despite AQE."""
+    prev = _with_skew_confs(spark)
+    try:
+        left, right = _skewed_pair(spark)
+        j = (
+            left.join(right, "k")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.sum("n").alias("s"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        _restore_confs(spark, prev)
+    assert "skew=true" not in plan
