@@ -9793,10 +9793,14 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The early-exit isEmpty() per round is a 1-row driver check on an
     already-checkpointed frontier, not a data collect."""
-    bi = (
+    # Both sides of the co-occurrence self-join read this table —
+    # materialize it once (the rec_item_cosine discipline) or the
+    # corpus scans and distinct-shuffles twice.
+    bi = materialize(
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .distinct(),
+        "bfs_bi",
     )
     a = bi.alias("a")
     b = bi.alias("b")

@@ -48,13 +48,21 @@ _NOISE = re.compile(
 
 def _split_top(s: str) -> list[str]:
     """Split on commas at bracket/paren depth 0 — `decimal(18,2)` or a
-    nested `[a, b]` stays one piece (the naive `.split(",")` the r7
-    advisor flagged reassembled such fragments out of order)."""
+    nested `[a, b]` / rewritten `{a, b}` stays one piece (the naive
+    `.split(",")` the r7 advisor flagged reassembled such fragments
+    out of order). Depth tracks only the BALANCED pair characters
+    `([{`/`)]}` — `<`/`>` are deliberately excluded and depth is
+    clamped at 0: a bare comparison `(x > 5)` or lambda arrow in an
+    aggregate expression would otherwise drive depth negative and
+    silently disable all further splitting (non-canonical output);
+    the cost is that `struct<a,b>` type args fragment-split, which
+    stays canonical because sorting a fragment multiset is input-
+    order independent."""
     parts, depth, cur = [], 0, []
     for ch in s:
-        if ch in "([<":
+        if ch in "([{":
             depth += 1
-        elif ch in ")]>":
+        elif ch in ")]}" and depth > 0:
             depth -= 1
         if ch == "," and depth == 0:
             parts.append("".join(cur).strip())
@@ -73,15 +81,29 @@ def _sort_brackets(s: str) -> str:
     whose bracket lists Spark emits in hash-set order (Expand
     projections / aggregate grouping sets from the multi-distinct
     rewrite) — order-significant lists (Sort keys, window ORDER BY
-    specs) elsewhere in the plan are left untouched."""
+    specs) elsewhere in the plan are left untouched.
+
+    Bare-integer atoms are masked to N before sorting: Expand
+    projections carry the gid as a positional integer literal
+    ([..., null, 1]), and the rewrite ASSIGNS those digits in
+    hash-set order — two runs attach gid 1 to different projection
+    lists, so without the mask the sorted outer list still differs
+    run-to-run (found when the structured splitter replaced the old
+    flatten-all-atoms behavior, which had destroyed the digit-to-list
+    attachment and was accidentally canonical)."""
     flat = re.compile(r"\[([^\[\]]*)\]")
+
+    def canon(m):
+        items = [
+            "N" if re.fullmatch(r"\d+", p) else p
+            for p in _split_top(m.group(1))
+        ]
+        return "{" + ", ".join(sorted(items)) + "}"
+
     prev = None
     while prev != s:
         prev = s
-        s = flat.sub(
-            lambda m: "{" + ", ".join(sorted(_split_top(m.group(1)))) + "}",
-            s,
-        )
+        s = flat.sub(canon, s)
     return s
 
 
@@ -112,13 +134,16 @@ def plan_fingerprint(df) -> str:
     except Exception:
         return "noplan"
     s = _NOISE.sub("", s)
+    # The multi-distinct rewrite assigns gid literals in hash-set
+    # order (flips run to run); mask the number BEFORE sorting —
+    # raw gid digits acting as sort keys would reintroduce the very
+    # churn the mask kills (two runs sort 'gid = 1' items into
+    # different slots, then mask to different strings).
+    s = re.sub(r"\bgid = \d+\b", "gid = N", s)
     # Node-scoped bracket sorting runs while nodes are still one line
     # each (the _HASHSET_NODE regex is line-bounded).
     s = _canon_brackets(s)
     s = re.sub(r"\s+", " ", s)
-    # The multi-distinct rewrite assigns gid literals in hash-set
-    # order (flips run to run); mask the number, keep the occurrence.
-    s = re.sub(r"\bgid = \d+\b", "gid = N", s)
     # ...and emits its Expand exchange keys in hash-set order too:
     # sort hashpartitioning argument lists (nesting-aware split so
     # decimal(18,2) casts stay intact).
