@@ -9293,6 +9293,108 @@ def q_rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(REC_TOPK)
 
 
+def q_ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR-SPINE GAP DETECTION: for each supplier, the number of
+    calendar days in its own [first ship, last ship] range with NO
+    shipment, plus the longest silent streak — the data-freshness /
+    SLA audit every time-series warehouse runs. The spine is
+    GENERATED (sequence() over the per-supplier day range, exploded),
+    never stored; missing days fall out of an anti-join against the
+    observed day set.
+
+    Scale shape: per-supplier bounds come from one partial-agg
+    shuffle; the spine explode is bounded by the date range (a
+    generated dimension, not a corpus scan); the anti-join and streak
+    window both key on supplier — one shuffle each. The longest-gap
+    streak uses the classic islands trick (day − dense_rank is
+    constant within a consecutive run) over MISSING days only, which
+    are few; nothing quadratic anywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    days = li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.datediff(
+            F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+    ).distinct()
+    bounds = days.groupBy("suppkey").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = bounds.select(
+        "suppkey", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    missing = spine.join(days, ["suppkey", "d"], "left_anti")
+    w = Window.partitionBy(
+        "suppkey", F.col("d") - F.dense_rank().over(
+            Window.partitionBy("suppkey").orderBy("d")
+        )
+    )
+    streaks = missing.select(
+        "suppkey", F.count(F.lit(1)).over(w).alias("run_len")
+    )
+    return (
+        streaks.groupBy("suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_missing_days"),
+            F.max("run_len").cast("long").alias("longest_gap"),
+        )
+    )
+
+
+GINI_SCALE = 1_000_000  # Gini reported in integer ppm
+
+
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE-CONCENTRATION GINI per nation: how unequally order
+    revenue distributes across a nation's customers — the
+    inequality/concentration metric a marketplace-health or
+    data-mix-balance report leads with. Exact integer formulation
+    (no floats until nothing is left to round): revenue in cents,
+    customers ranked ascending within nation, and
+    gini_ppm = (2·Σ(rank·x) − (n+1)·Σx) · 1e6 DIV (n·Σx) — the
+    closed-form rank formulation of the Lorenz area, engine-identical
+    under truncating integer division.
+
+    Scale shape: one join (orders→customer, broadcast-able dim), one
+    partial-agg shuffle to per-customer cents, ONE ranked window per
+    nation (the same single sort a percentile pays), and a final
+    ~nations-sized aggregate."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("p")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            (F.sum("p") * 100).cast("long").alias("cents")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    ranked = per_cust.select(
+        "c_nationkey",
+        "cents",
+        F.row_number().over(w).cast("long").alias("rk"),
+    )
+    return (
+        ranked.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            # DECIMAL(38,0) numerator: the ppm scaling pushes the
+            # product past BIGINT at sf0.1+ (n² growth in Σ(rank·x));
+            # DuckDB's integer SUM already widens to HUGEINT, so the
+            # 128-bit path keeps the two engines bit-identical under
+            # truncating division.
+            F.expr(
+                f"CAST((CAST(2 AS DECIMAL(38,0)) * SUM(rk * cents)"
+                f" - (count(*) + 1) * SUM(cents))"
+                f" * CAST({GINI_SCALE} AS DECIMAL(38,0))"
+                f" DIV (count(*) * SUM(cents)) AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
 def q_cdc_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POINT-IN-TIME JOIN against a versioned (SCD2) dimension: every
     purchase fact picks the profile version that was valid AT its
@@ -10089,6 +10191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s26_restart_full_outer": q_s26_restart_full_outer,
         "sql1_shared_ansi": q_sql1_shared_ansi,
         "s27_restart_dropdup": q_s27_restart_dropdup,
+        "ts_gaps": q_ts_gaps,
+        "agg_gini": q_agg_gini,
     }
 
 
@@ -14618,4 +14722,53 @@ def oracle_sql() -> dict[str, str]:
     sql["s26_restart_full_outer"] = sql["s24_stream_full_outer"]
     sql["sql1_shared_ansi"] = ANSI_SHARED_SQL
     sql["s27_restart_dropdup"] = sql["s25_stream_dropdup_watermark"]
+    sql["ts_gaps"] = """
+            WITH days AS (
+              SELECT DISTINCT l_suppkey AS suppkey,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(l_shipdate AS DATE)) AS d
+              FROM lineitem
+            ), bounds AS (
+              SELECT suppkey, min(d) AS lo, max(d) AS hi
+              FROM days GROUP BY suppkey
+            ), spine AS (
+              SELECT suppkey, unnest(generate_series(lo, hi)) AS d
+              FROM bounds
+            ), missing AS (
+              SELECT s.suppkey, s.d FROM spine s
+              LEFT JOIN days o ON o.suppkey = s.suppkey AND o.d = s.d
+              WHERE o.d IS NULL
+            ), grouped AS (
+              SELECT suppkey, d,
+                     d - dense_rank() OVER (PARTITION BY suppkey
+                                            ORDER BY d) AS grp
+              FROM missing
+            ), runs AS (
+              SELECT suppkey, grp, count(*) AS run_len
+              FROM grouped GROUP BY suppkey, grp
+            )
+            SELECT suppkey,
+                   CAST(SUM(run_len) AS BIGINT) AS n_missing_days,
+                   CAST(max(run_len) AS BIGINT) AS longest_gap
+            FROM runs GROUP BY suppkey"""
+    sql["agg_gini"] = f"""
+            WITH per_cust AS (
+              SELECT c_nationkey, c_custkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS BIGINT) AS cents
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_nationkey, c_custkey
+            ), ranked AS (
+              SELECT c_nationkey, cents,
+                     CAST(row_number() OVER (PARTITION BY c_nationkey
+                          ORDER BY cents, c_custkey) AS BIGINT) AS rk
+              FROM per_cust
+            )
+            SELECT c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST((2 * SUM(rk * cents) - (count(*) + 1) * SUM(cents))
+                        * CAST({GINI_SCALE} AS BIGINT)
+                        // (count(*) * SUM(cents)) AS BIGINT) AS gini_ppm
+            FROM ranked GROUP BY c_nationkey"""
     return sql
