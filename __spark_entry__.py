@@ -9380,16 +9380,25 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
             F.sum("cents").cast("long").alias("total_cents"),
-            # DECIMAL(38,0) numerator: the ppm scaling pushes the
-            # product past BIGINT at sf0.1+ (n² growth in Σ(rank·x));
-            # DuckDB's integer SUM already widens to HUGEINT, so the
-            # 128-bit path keeps the two engines bit-identical under
-            # truncating division.
+            # DECIMAL(38,0) widening happens INSIDE every aggregate
+            # (SUM(CAST(rk AS DECIMAL(38,0)) * cents), not
+            # CAST(...)*SUM(rk*cents)): Σ(rank·cents) grows ~n² per
+            # nation and crosses 2^63 near sf1000, where a BIGINT
+            # inner sum would wrap silently in non-ANSI mode while
+            # DuckDB's integer SUM auto-widens to HUGEINT. The
+            # (n+1)·Σx term and the n·Σx denominator get the same
+            # treatment — at sf1000 (n+1)·Σcents ≈ 5e19 also exceeds
+            # BIGINT. 128-bit throughout keeps the engines
+            # bit-identical under truncating division.
+            # Overflow pinned by tests/test_round9_ops.py::
+            # test_gini_no_bigint_overflow (products past 2^63).
             F.expr(
-                f"CAST((CAST(2 AS DECIMAL(38,0)) * SUM(rk * cents)"
-                f" - (count(*) + 1) * SUM(cents))"
+                f"CAST((CAST(2 AS DECIMAL(38,0))"
+                f" * SUM(CAST(rk AS DECIMAL(38,0)) * cents)"
+                f" - (count(*) + 1) * SUM(CAST(cents AS DECIMAL(38,0))))"
                 f" * CAST({GINI_SCALE} AS DECIMAL(38,0))"
-                f" DIV (count(*) * SUM(cents)) AS BIGINT)"
+                f" DIV (count(*) * SUM(CAST(cents AS DECIMAL(38,0))))"
+                f" AS BIGINT)"
             ).alias("gini_ppm"),
         )
     )
