@@ -743,8 +743,12 @@ def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "lang_pred",
             "n",
+            # DECIMAL(38,0) ppm numerator: n·1e6 in BIGINT wraps once
+            # the counted population passes 9.2e12 rows — widen BEFORE
+            # the multiply (r9 overflow sweep).
             F.expr(
-                "CAST((n * CAST(1000000 AS BIGINT)) DIV __tot AS BIGINT)"
+                "CAST((n * CAST(1000000 AS DECIMAL(38,0))) DIV __tot"
+                " AS BIGINT)"
             ).alias("recall_ppm"),
         )
     )
@@ -849,8 +853,10 @@ def q_pipeline_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "redacted_ppm",
+            # DECIMAL(38,0) before the ·1e6 multiply: spans_total is an
+            # unbounded corpus aggregate (r9 overflow sweep).
             F.expr(
-                "CAST((spans_total * CAST(1000000 AS BIGINT))"
+                "CAST((spans_total * CAST(1000000 AS DECIMAL(38,0)))"
                 " DIV tokens_total AS BIGINT)"
             ),
         )
@@ -3766,8 +3772,10 @@ def q_sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fold",
         "n_docs",
         "n_tokens",
+        # DECIMAL(38,0) ppm numerator — n_docs·1e6 in BIGINT wraps
+        # past 9.2e12 docs (r9 overflow sweep).
         F.expr(
-            "CAST((n_docs * CAST(1000000 AS BIGINT))"
+            "CAST((n_docs * CAST(1000000 AS DECIMAL(38,0)))"
             " DIV sum(n_docs) OVER () AS BIGINT)"
         ).alias("share_ppm"),
     )
@@ -4412,8 +4420,10 @@ def q_evt_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "pattern",
         "n_users",
+        # DECIMAL(38,0) ppm numerator (r9 overflow sweep).
         F.expr(
-            "CAST((n_users * CAST(1000000 AS BIGINT)) DIV __n AS BIGINT)"
+            "CAST((n_users * CAST(1000000 AS DECIMAL(38,0))) DIV __n"
+            " AS BIGINT)"
         ).alias("share_ppm"),
     )
 
@@ -8900,9 +8910,12 @@ def q_sample_ks_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qty",
         "n_full",
         F.col("n_samp").cast("long").alias("n_samp"),
-        (cf * 1000000).alias("__cfm"),
+        # DECIMAL(38,0) before the ·1e6 multiply: cf is a cumulative
+        # FACT-ROW count, which crosses 9.2e12 at ~sf1500 and the
+        # BIGINT product wraps silently (r9 overflow sweep).
+        (cf * F.lit(1000000).cast("decimal(38,0)")).alias("__cfm"),
         tf.alias("__tf"),
-        (cs * 1000000).alias("__csm"),
+        (cs * F.lit(1000000).cast("decimal(38,0)")).alias("__csm"),
         ts.alias("__ts"),
     ).select(
         "qty",
@@ -9144,12 +9157,17 @@ def q_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l_suppkey").alias("key"),
             F.col("cnt").cast("long").alias("cnt"),
-            F.expr("cnt * CAST(1000000 AS BIGINT) DIV total").alias(
-                "share_ppm"
-            ),
+            # DECIMAL(38,0) before both products: cnt is a fact-row
+            # count (6e14 at sf100k), so cnt·1e6 and cnt·n_keys both
+            # blow BIGINT exactly on the skewed keys this advisor
+            # exists to find (r9 overflow sweep).
+            F.expr(
+                "cnt * CAST(1000000 AS DECIMAL(38,0)) DIV total"
+            ).alias("share_ppm"),
             # salt factor that levels this key: ceil(cnt / avg)
             F.expr(
-                "CAST((cnt * n_keys + total - 1) DIV total AS BIGINT)"
+                "CAST((CAST(cnt AS DECIMAL(38,0)) * n_keys + total - 1)"
+                " DIV total AS BIGINT)"
             ).alias("salt_factor"),
         )
         .orderBy(F.desc("cnt"), "key")
@@ -9233,7 +9251,15 @@ def q_evt_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("channel").agg(
         F.count(F.lit(1)).alias("n_credits"),
-        F.sum(credit).cast("long").alias("credit_units"),
+        # widen INSIDE the sum: credits are ≤2^20 each but the credit
+        # row count is unbounded, so a BIGINT SUM wraps near 1e13
+        # credits while DuckDB's integer SUM auto-widens to HUGEINT
+        # (r9 overflow sweep — same class as agg_gini). The output
+        # cast to BIGINT is the declared result domain, shared with
+        # the oracle twin's CAST AS BIGINT.
+        F.sum(credit.cast("decimal(38,0)")).cast("long").alias(
+            "credit_units"
+        ),
     )
 
 
@@ -9283,7 +9309,14 @@ def q_rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_a",
             "part_b",
             F.col("co").cast("long").alias("co"),
-            F.expr("co * co * CAST(1000000 AS BIGINT) DIV (deg_a * deg_b)")
+            # DECIMAL(38,0) before the square: co²·1e6 wraps BIGINT
+            # once a pair co-occurs >3e6 times — routine for popular
+            # item pairs at corpus scale (r9 overflow sweep). The
+            # degree product gets the same widening.
+            F.expr(
+                "CAST(co AS DECIMAL(38,0)) * co * 1000000"
+                " DIV (CAST(deg_a AS DECIMAL(38,0)) * deg_b)"
+            )
             .cast("long")
             .alias("cos2_ppm"),
         )

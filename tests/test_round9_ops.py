@@ -88,3 +88,70 @@ def test_gini_oracle_parity_on_overflow_fixture(spark, tmp_path):
         for r in entry.q_agg_gini(spark, str(tmp_path)).collect()
     ]
     assert sorted(got) == sorted(tuple(r) for r in oracle)
+
+
+# ---------------------------------------------------------------------------
+# r9 overflow sweep: the widened formula shapes, evaluated with
+# past-2^63 operands and pinned to arbitrary-precision Python. A
+# count-based overflow can't be materialized as a physical fixture
+# (it needs >9.2e12 rows), so the sweep proves the EXPRESSION forms:
+# the same DECIMAL(38,0)-widened SQL the queries now use, fed the
+# operand magnitudes a 100 TB run would produce.
+# ---------------------------------------------------------------------------
+
+# (label, spark SQL over a 1-row table, python closed form)
+_SWEEP_CASES = [
+    (
+        "ppm_numerator",  # lang_confusion / redaction / kfold / journey
+        "CAST((n * CAST(1000000 AS DECIMAL(38,0))) DIV tot AS BIGINT)",
+        lambda n, tot, nk: (n * 1_000_000) // tot,
+    ),
+    (
+        "skew_share_ppm",
+        "CAST(n * CAST(1000000 AS DECIMAL(38,0)) DIV tot AS BIGINT)",
+        lambda n, tot, nk: (n * 1_000_000) // tot,
+    ),
+    (
+        "skew_salt_factor",
+        "CAST((CAST(n AS DECIMAL(38,0)) * nk + tot - 1) DIV tot"
+        " AS BIGINT)",
+        lambda n, tot, nk: (n * nk + tot - 1) // tot,
+    ),
+    (
+        "cosine_sq_ppm",  # rec_item_cosine with co=n, deg_a=tot, deg_b=nk
+        "CAST(CAST(n AS DECIMAL(38,0)) * n * 1000000"
+        " DIV (CAST(tot AS DECIMAL(38,0)) * nk) AS BIGINT)",
+        lambda n, tot, nk: (n * n * 1_000_000) // (tot * nk),
+    ),
+]
+
+
+@pytest.mark.parametrize("label,sql,pyform", _SWEEP_CASES)
+def test_overflow_sweep_formula_shapes(spark, label, sql, pyform):
+    # skewed-key magnitudes at sf100k: n = 6e14 rows on one key,
+    # tot = 6.01e14 total, nk = 1e7 keys. Every product here is past
+    # 2^63 (n·1e6 = 6e20, n·nk = 6e21, n²·1e6 = 3.6e35).
+    n, tot, nk = 600_000_000_000_000, 601_000_000_000_000, 10_000_000
+    assert n * 1_000_000 > 2**63  # the sweep's premise
+    row = (
+        spark.createDataFrame([(n, tot, nk)], "n long, tot long, nk long")
+        .selectExpr(f"{sql} AS v")
+        .collect()[0]
+    )
+    assert row["v"] == pyform(n, tot, nk), label
+
+
+def test_decay_credit_sum_widens(spark):
+    """evt_attribution_decay's credit sum: DECIMAL(38,0) inside the
+    aggregate must carry Σ(2^20-unit credits) past 2^63 exactly.
+    9e12 rows can't be materialized, so prove the same sum form on
+    few rows of maximal synthetic magnitude (the per-row cap doesn't
+    constrain the aggregate buffer type)."""
+    big = 6 * 10**18  # three of these cross 2^63
+    df = spark.createDataFrame([(big,), (big,), (big,)], "c long")
+    got = (
+        df.agg(
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+    )
+    assert int(got) == 3 * big
