@@ -324,8 +324,15 @@ class SpoolSource:
         cap at runtime; the reader re-reads it on the next trigger.
         None resets to unlimited."""
         os.makedirs(self.path, exist_ok=True)
-        with open(os.path.join(self.path, RATE_CONTROL_FILE), "w") as fh:
+        # atomic rename: latestOffset re-reads this file every trigger,
+        # and a torn read would fall back to the ORIGINAL constructor
+        # rate — exactly wrong mid-update. Write-then-rename means a
+        # racing trigger sees the old complete file or the new one.
+        target = os.path.join(self.path, RATE_CONTROL_FILE)
+        tmp = target + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump({"allowed_per_trigger": allowed_per_trigger}, fh)
+        os.rename(tmp, target)
 
     def get_rate_limiting(self) -> int | None:
         """F3: Broadway.get_rate_limiting/1."""
