@@ -9296,6 +9296,9 @@ def q_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKYLINE_BUCKETS = 64  # range-partition fan-out of the prefix-max merge
+
+
 def q_rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D SKYLINE (Pareto frontier): parts not dominated on
     (retail price ↓, size ↑) — no other part is at most as expensive
@@ -9305,10 +9308,17 @@ def q_rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       1. collapse to one row per price with the group-max size
          (partial-agg shuffle);
-      2. running max of size over strictly cheaper price groups —
-         ONE ordered window over |distinct prices| rows (tiny after
-         step 1; at 100 TB this stays a single near-degenerate-cost
-         pass because the frontier input is already aggregated);
+      2. prefix max of size over strictly cheaper price groups,
+         computed as a RANGE-PARTITIONED MERGE (the r8 verdict's
+         watch item: the previous single global Window.orderBy was a
+         one-partition sort, fine for the bounded TPC-H price domain
+         but a scale-killer if the frontier dimension were unbounded):
+         price groups bucket by value range (monotone, so bucket
+         order == price order), each bucket computes its LOCAL
+         running max in parallel, a SKYLINE_BUCKETS-row window
+         produces each bucket's strictly-before carry-in, and
+         prev_max = greatest(carry_in, local) — the only ordered
+         window over unbounded data is now per-bucket;
       3. join back: a part is on the skyline iff no cheaper group
          reaches its size and it holds its own group's max.
 
@@ -9318,10 +9328,38 @@ def q_rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_retailprice", "p_size"
     )
     pg = p.groupBy("p_retailprice").agg(F.max("p_size").alias("msize"))
-    w = Window.orderBy("p_retailprice").rowsBetween(
+    bounds = pg.agg(
+        F.min("p_retailprice").cast("double").alias("__lo"),
+        F.max("p_retailprice").cast("double").alias("__hi"),
+    )
+    # monotone non-decreasing in price (IEEE subtraction/division by
+    # positive constants preserve order), so bucket b's prices all
+    # precede bucket b+1's — the merge below needs only that.
+    bucket = F.least(
+        F.lit(SKYLINE_BUCKETS - 1),
+        F.floor(
+            (F.col("p_retailprice").cast("double") - F.col("__lo"))
+            * F.lit(float(SKYLINE_BUCKETS))
+            / (F.col("__hi") - F.col("__lo") + F.lit(1e-9))
+        ),
+    ).cast("long")
+    pgb = pg.crossJoin(F.broadcast(bounds)).withColumn(  # 1-row scalar attach
+        "__b", bucket
+    )
+    wloc = Window.partitionBy("__b").orderBy("p_retailprice").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    pr = pg.withColumn("prev_max", F.max("msize").over(w))
+    loc = pgb.withColumn("__loc_prev", F.max("msize").over(wloc))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        pgb.groupBy("__b")
+        .agg(F.max("msize").alias("__bmax"))
+        .withColumn("__carry_in", F.max("__bmax").over(wb))  # ≤64 rows
+        .select("__b", "__carry_in")
+    )
+    pr = loc.join(F.broadcast(carry), "__b").withColumn(
+        "prev_max", F.greatest("__carry_in", "__loc_prev")
+    )
     return (
         p.join(pr, "p_retailprice")
         .filter(

@@ -397,6 +397,7 @@ def test_no_unguarded_cartesian_in_any_query(spark):
         "pipeline_dq_audit",  # broadcast 1-row check-assembly joins
         "text_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
         "skew_advisor",  # 1-row (total, n_keys) broadcast
+        "rel_skyline",  # 1-row price-bounds broadcast (range buckets)
     }
     offenders = {}
     for name, fn in entry.queries().items():
