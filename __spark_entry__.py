@@ -10148,6 +10148,126 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r9 adversarial-input edge family -------------------------------------
+# Degenerate corpora (empty strings, whitespace-only, single-token docs,
+# all-identical texts, 0/1-byte media) as ORACLE-CHECKED gate rows, not
+# just property tests — the r5 NULL-sentinel fix for ≤10-token docs
+# showed this input class bites silently. Inputs are DERIVED from the
+# driver's documents table by a deterministic doc_id-keyed CASE, so the
+# DuckDB twin applies the byte-identical derivation and every divergence
+# in empty/short-input semantics between the engines becomes a hash
+# mismatch.
+
+EDGE_CONST_TEXT = "the the the"  # the all-identical corpus text
+
+
+def _edge_text(doc_id_col: str = "doc_id", text_col: str = "text"):
+    """doc_id%5-keyed degenerate derivation (engine side)."""
+    m = F.col(doc_id_col) % 5
+    return (
+        F.when(m == 0, F.lit(""))  # empty string
+        .when(  # single whitespace token
+            m == 1, F.element_at(F.split(F.col(text_col), " "), 1)
+        )
+        .when(m == 2, F.lit("   "))  # whitespace-only
+        .when(m == 3, F.lit(EDGE_CONST_TEXT))  # all-identical
+        .otherwise(F.col(text_col))  # unchanged control
+    )
+
+
+def _edge_text_sql(text_expr: str = "text") -> str:
+    """The byte-identical derivation for the DuckDB twin."""
+    return (
+        "CASE WHEN doc_id % 5 = 0 THEN ''"
+        f" WHEN doc_id % 5 = 1 THEN string_split({text_expr}, ' ')[1]"
+        " WHEN doc_id % 5 = 2 THEN '   '"
+        f" WHEN doc_id % 5 = 3 THEN '{EDGE_CONST_TEXT}'"
+        f" ELSE {text_expr} END"
+    )
+
+
+def q_edge_text_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis functions over the degenerate corpus: per
+    derivation bucket, token counts (whitespace + BPE-ish), the
+    distinct fingerprint count (whitespace-only must COLLIDE with
+    empty after normalization), and token-count extrema. Pins the
+    empty-string semantics of split/regexp/fingerprint to the oracle
+    — exactly where engines love to differ ([''] vs [])."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("doc_id") % 5).cast("long").alias("bucket"),
+        _edge_text().alias("text"),
+    )
+    return d.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text")).cast("long").alias("sum_tokens"),
+        F.sum(T.bpe_ish_token_count("text")).cast("long").alias("sum_bpe"),
+        F.countDistinct(H.fingerprint("text")).alias("n_fingerprints"),
+        F.min(T.token_count("text")).cast("long").alias("min_tokens"),
+        F.max(T.token_count("text")).cast("long").alias("max_tokens"),
+    )
+
+
+def q_edge_dedup_identical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the two-value corpus (every doc is either the
+    constant text or empty): the keeper aggregate must collapse the
+    whole table to exactly two groups with min-id keepers — the
+    worst-case duplication ratio, where any per-group work that is
+    accidentally quadratic explodes. One hash-aggregate, map-side
+    partials carry (text → min_id, count)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(EDGE_CONST_TEXT))
+        .otherwise(F.lit(""))
+        .alias("text"),
+    )
+    return D.exact_dedup_stats(d, ["text"], "doc_id").select(
+        "text", "keeper_id", "n_copies"
+    )
+
+
+def q_edge_winnow_short(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints over the degenerate corpus — documents
+    far shorter than the k-gram/window sizes (empty, whitespace-only,
+    single-token). The ≤k-token path must yield exactly one partial
+    shingle per doc (never an empty array, never NULL) so no document
+    silently drops out of the partial-copy index; the r5
+    NULL-sentinel bug lived on this path."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _edge_text().alias("text")).where(
+        F.col("doc_id") % 5 != 4  # degenerate rows only
+    )
+    return d.select(
+        "doc_id", F.explode(T.winnow_fingerprints("text")).alias("fp")
+    )
+
+
+def q_edge_media_1byte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal envelope + featurizer over 0- and 1-byte payloads
+    (content = first character of the text, utf-8 encoded; empty
+    texts give 0-byte media). The Arrow-batched stub featurizer must
+    produce its md5-derived features for degenerate bytes identically
+    to the oracle's md5 math — no crash, no NULL row loss."""
+    from broadway_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.substring(F.col("text"), 1, 1), "utf-8").alias(
+            "content"
+        ),
+    )
+    media = MM.attach_media(docs, "content", "application/octet-stream")
+    feats = MM.featurize(media, "content", backend="deterministic_stub")
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        "content_md5",
+        F.element_at("feature", 1).cast("double").alias("f0"),
+        F.element_at("feature", 2).cast("double").alias("f1"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan": q_s1_scan,
@@ -10395,6 +10515,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s27_restart_dropdup": q_s27_restart_dropdup,
         "ts_gaps": q_ts_gaps,
         "agg_gini": q_agg_gini,
+        "edge_text_degenerate": q_edge_text_degenerate,
+        "edge_dedup_identical": q_edge_dedup_identical,
+        "edge_winnow_short": q_edge_winnow_short,
+        "edge_media_1byte": q_edge_media_1byte,
     }
 
 
@@ -14993,4 +15117,47 @@ def oracle_sql() -> dict[str, str]:
                         * CAST({GINI_SCALE} AS BIGINT)
                         // (count(*) * SUM(cents)) AS BIGINT) AS gini_ppm
             FROM ranked GROUP BY c_nationkey"""
+    # r9 adversarial edge family: the byte-identical degenerate
+    # derivation (see _edge_text_sql) applied in DuckDB, then the same
+    # *_sql twins as the production text queries.
+    sql["edge_text_degenerate"] = f"""
+            WITH d AS (
+              SELECT CAST(doc_id % 5 AS BIGINT) AS bucket,
+                     {_edge_text_sql()} AS text
+              FROM documents
+            )
+            SELECT bucket,
+                   count(*) AS n_docs,
+                   CAST(SUM({T.token_count_sql('text')}) AS BIGINT)
+                     AS sum_tokens,
+                   CAST(SUM({T.bpe_ish_token_count_sql('text')}) AS BIGINT)
+                     AS sum_bpe,
+                   CAST(count(DISTINCT {H.fingerprint_sql('text')})
+                     AS BIGINT) AS n_fingerprints,
+                   CAST(MIN({T.token_count_sql('text')}) AS BIGINT)
+                     AS min_tokens,
+                   CAST(MAX({T.token_count_sql('text')}) AS BIGINT)
+                     AS max_tokens
+            FROM d GROUP BY bucket"""
+    sql["edge_dedup_identical"] = f"""
+            SELECT CASE WHEN doc_id % 2 = 0 THEN '{EDGE_CONST_TEXT}'
+                        ELSE '' END AS text,
+                   min(doc_id) AS keeper_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1"""
+    sql["edge_winnow_short"] = f"""
+            SELECT doc_id,
+                   unnest({T.winnow_fingerprints_sql(_edge_text_sql())})
+                     AS fp
+            FROM documents WHERE doc_id % 5 <> 4"""
+    sql["edge_media_1byte"] = """
+            SELECT doc_id,
+                   CAST(octet_length(encode(substr(text, 1, 1))) AS INT)
+                     AS byte_len,
+                   md5(substr(text, 1, 1)) AS content_md5,
+                   CAST(concat('0x', substr(md5(substr(text, 1, 1)), 1, 4))
+                        AS INT) / 65536.0 AS f0,
+                   CAST(concat('0x', substr(md5(substr(text, 1, 1)), 5, 4))
+                        AS INT) / 65536.0 AS f1
+            FROM documents"""
     return sql

@@ -42,7 +42,7 @@ def test_query_names_are_snake_case_and_unique_prefix_taxonomy():
         "regex", "agg", "sketch", "text", "dedup", "sim", "emb",
         "sample", "pipeline", "multimodal", "skew", "ts", "aj", "rj",
         "pv", "evt", "pack", "cdc", "graph", "ds", "l", "ij", "rel",
-        "rec", "sql",
+        "rec", "sql", "edge",
     )
     for name in entry.queries():
         assert re.fullmatch(r"[a-z0-9_]+", name), name
