@@ -9795,6 +9795,63 @@ def q_pack_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s28_restart_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KILL-AND-RESUME FOR THE BUCKETED-LAYOUT WRITE (the r8 verdict's
+    item 7): pack_bucket_join's two saveAsTable writes are a torn-state
+    window — a job that dies after table 1 but before table 2 must not
+    leave readers a half-published layout. publish_bucketed_pair
+    closes it with the s21 manifest-commit pattern: both tables write
+    under version-suffixed names, then ONE atomic manifest rename
+    publishes the pair. The gate drives the fault for real: attempt 1
+    writes the lineitem side and raises the injected crash before the
+    orders side; the query then CHECKS the manifest does not exist
+    (the reader-visible catalog is untouched); attempt 2 — the resume
+    — publishes a fresh version, and the returned aggregate over the
+    manifest-resolved pair is hash-checked against the plain-join
+    oracle. The orphaned attempt-1 staging table is present in the
+    catalog throughout, proving the resume neither reads nor trips
+    over it.
+
+    Scale shape: identical to pack_bucket_join (the shuffle is paid
+    at write time; the join plans with no Exchange below it) plus an
+    O(1) manifest commit — the Iceberg/Delta atomic-swap idea at its
+    minimum viable size."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="bw_s28_")
+    manifest = os.path.join(base, "layout_manifest.json")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    specs = [
+        (li, f"bw_s28_li_{tag}", os.path.join(base, "li"), ["l_orderkey"], BUCKET_JOIN_N),
+        (od, f"bw_s28_od_{tag}", os.path.join(base, "od"), ["o_orderkey"], BUCKET_JOIN_N),
+    ]
+    try:
+        LY.publish_bucketed_pair(specs, manifest, "v1", fail_between=True)
+        raise RuntimeError("s28: injected crash did not fire")
+    except LY.InjectedLayoutCrash:
+        pass
+    if os.path.exists(manifest):
+        raise RuntimeError(
+            "s28: torn layout published — manifest exists after a crash"
+            " between the two bucketed writes"
+        )
+    # the resume: a fresh publish under a new version; the v1 orphan
+    # stays in the catalog and must be ignored.
+    LY.publish_bucketed_pair(specs, manifest, "v2")
+    a, b = LY.read_bucketed_pair(spark, manifest)
+    j = a.join(b, F.col("l_orderkey") == F.col("o_orderkey"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
 def q_s24_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-OUTER WATERMARKED STREAM-STREAM JOIN: purchases ×
     same-user clicks in the preceding hour, emitting BOTH unmatched
@@ -10508,6 +10565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s24_stream_full_outer": q_s24_stream_full_outer,
         "s25_stream_dropdup_watermark": q_s25_stream_dropdup_watermark,
         "pack_bucket_join": q_pack_bucket_join,
+        "s28_restart_bucketed": q_s28_restart_bucketed,
         "ij2_interval_containment": q_ij2_interval_containment,
         "skew_advisor": q_skew_advisor,
         "s26_restart_full_outer": q_s26_restart_full_outer,
@@ -15026,6 +15084,9 @@ def oracle_sql() -> dict[str, str]:
                    {_dsum_sql('l_extendedprice')} AS sum_price
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority"""
+    # the restart twin's post-resume layout must answer identically to
+    # the plain join — same spec as pack_bucket_join.
+    sql["s28_restart_bucketed"] = sql["pack_bucket_join"]
     sql["ij2_interval_containment"] = """
             WITH iv AS (
               SELECT l_suppkey AS suppkey,

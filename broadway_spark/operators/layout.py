@@ -131,3 +131,61 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
+
+
+class InjectedLayoutCrash(RuntimeError):
+    """Raised by publish_bucketed_pair's fault-injection seam."""
+
+
+def publish_bucketed_pair(
+    specs: list[tuple[DataFrame, str, str, list[str], int]],
+    manifest_path: str,
+    version: str,
+    fail_between: bool = False,
+) -> list[str]:
+    """TRANSACTIONAL two-table bucketed layout: write every table of
+    the pair under a version-suffixed catalog name and path, then
+    publish them ALL in one atomic manifest rename. Readers resolve
+    table names through the manifest, so a crash after the first
+    write but before the second (the exact window a naive two-write
+    layout job leaves torn) is invisible: the manifest still names
+    the previous consistent pair (or nothing), and the orphaned
+    versioned staging table is ignorable garbage a later publish
+    never reads. This is the s21 manifest-commit pattern applied to
+    the bucketed-layout write path.
+
+    ``specs``: (df, table_base_name, path_base, bucket_cols,
+    num_buckets) per table. ``fail_between=True`` raises
+    InjectedLayoutCrash after the first table's write — the
+    kill-between-the-writes fault the restart twin drives.
+    Returns the published versioned table names."""
+    import json
+    import os
+
+    names = []
+    for i, (df, tname, pbase, cols, n) in enumerate(specs):
+        versioned = f"{tname}_{version}"
+        write_bucketed(df, versioned, f"{pbase}_{version}", cols, n)
+        names.append(versioned)
+        if fail_between and i == 0:
+            raise InjectedLayoutCrash(
+                "injected crash between bucketed writes"
+            )
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "tables": names}, fh)
+    os.rename(tmp, manifest_path)
+    return names
+
+
+def read_bucketed_pair(
+    spark: SparkSession, manifest_path: str
+) -> list[DataFrame]:
+    """Resolve the current consistent bucketed pair via the manifest.
+    Raises FileNotFoundError if no version was ever published — the
+    correct outcome after a crash that preceded the first commit."""
+    import json
+
+    with open(manifest_path) as fh:
+        m = json.load(fh)
+    return [spark.table(t) for t in m["tables"]]

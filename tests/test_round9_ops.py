@@ -141,6 +141,51 @@ def test_overflow_sweep_formula_shapes(spark, label, sql, pyform):
     assert row["v"] == pyform(n, tot, nk), label
 
 
+def test_bucketed_pair_publish_is_transactional(spark, tmp_path):
+    """publish_bucketed_pair: a crash between the two writes leaves
+    NO manifest (readers keep seeing nothing/the prior version), the
+    resume publishes both tables, and the manifest-resolved pair
+    still joins with zero Exchange below the join (bucketed layout
+    survived the crash-and-resume)."""
+    from broadway_spark.operators import layout as LY
+
+    SF = "/root/testdata/sf0.001"
+    li = entry._t(spark, SF, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    od = entry._t(spark, SF, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    manifest = str(tmp_path / "manifest.json")
+    specs = [
+        (li, "t9_s28_li", str(tmp_path / "li"), ["l_orderkey"], 8),
+        (od, "t9_s28_od", str(tmp_path / "od"), ["o_orderkey"], 8),
+    ]
+    with pytest.raises(LY.InjectedLayoutCrash):
+        LY.publish_bucketed_pair(specs, manifest, "v1", fail_between=True)
+    import os
+
+    assert not os.path.exists(manifest), "torn layout was published"
+    # the orphaned v1 staging table exists in the catalog — the resume
+    # must neither read nor trip over it.
+    assert spark.catalog.tableExists("t9_s28_li_v1")
+    LY.publish_bucketed_pair(specs, manifest, "v2")
+    a, b = LY.read_bucketed_pair(spark, manifest)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            a.join(b, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("Bucketed: true") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan  # agg only
+
+
 def test_decay_credit_sum_widens(spark):
     """evt_attribution_decay's credit sum: DECIMAL(38,0) inside the
     aggregate must carry Σ(2^20-unit credits) past 2^63 exactly.
