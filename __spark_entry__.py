@@ -10205,6 +10205,360 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL FUSION (reciprocal rank fusion, Cormack et al.
+    SIGIR'09): the lexical ranking (BM25 top-k per query over the
+    documents corpus) and the dense ranking (exact cosine top-k of
+    the query embedding over the embeddings corpus, same id space)
+    are fused by rrf_ppm = Σ 1e6 DIV (K + rank) — the standard
+    RAG-retrieval combiner, in exact integer arithmetic so fusion
+    scores and the fused ordering are engine-identical. A doc ranked
+    by only one system contributes only that term (full-outer
+    semantics over the two candidate lists).
+
+    Scale shape: the lexical side is the BM25 plan (query-term
+    broadcast semi-join kills the corpus before any shuffle); the
+    dense side is a broadcast-query-side cosine scan (one corpus
+    pass); fusion itself joins two ≤ |queries|·k candidate lists —
+    driver-trivial at any corpus size."""
+    lex = q_text_bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("r_lex")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qvecs = emb.filter(F.col("vec_id").between(1, len(BM25_QUERIES)))
+    dense = S.ann_bruteforce_topk(
+        emb, qvecs, "vec_id", "embedding", k=BM25_TOPK
+    ).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("r_dense"),
+    )
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer")
+    rrf = F.expr(
+        f"coalesce(CAST(1000000 AS BIGINT) DIV ({RRF_K} + r_lex), 0)"
+        f" + coalesce(CAST(1000000 AS BIGINT) DIV ({RRF_K} + r_dense), 0)"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_ppm").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rrf_ppm", rrf)
+        .withColumn("fused_rank", F.row_number().over(w))
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("r_lex").cast("int").alias("r_lex"),
+            F.col("r_dense").cast("int").alias("r_dense"),
+            "rrf_ppm",
+            "fused_rank",
+        )
+    )
+
+
+def _rrf_oracle() -> str:
+    cos = V.cosine_similarity_sql("c.embedding", "q.embedding")
+    return f"""
+WITH lex AS ({_bm25_oracle()}),
+qv AS (SELECT vec_id, embedding FROM embeddings
+       WHERE vec_id BETWEEN 1 AND {len(BM25_QUERIES)}),
+dscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         round({cos}, 6) AS cos_sim
+  FROM embeddings c CROSS JOIN qv q
+  WHERE q.vec_id <> c.vec_id
+),
+dense AS (
+  SELECT CAST(query_id AS INT) AS query_id, doc_id, r_dense FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, doc_id ASC) AS INT) AS r_dense
+    FROM dscored
+  ) WHERE r_dense <= {BM25_TOPK}
+),
+fused AS (
+  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         CAST(l.rank AS INT) AS r_lex, d.r_dense,
+         coalesce(1000000 // (CAST({RRF_K} AS BIGINT) + l.rank), 0)
+           + coalesce(1000000 // (CAST({RRF_K} AS BIGINT) + d.r_dense), 0)
+           AS rrf_ppm
+  FROM lex l FULL JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, r_lex, r_dense, CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+       CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY rrf_ppm DESC, doc_id ASC) AS INT) AS fused_rank
+FROM fused
+"""
+
+
+CMS_DEPTH = 4  # count-min hash rows
+CMS_WIDTH = 256  # buckets per row
+CMS_SEEDS = (101, 202, 303, 404)
+CMS_TOPK = 10  # heavy hitters reported
+
+
+def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH heavy hitters (Cormode & Muthukrishnan '05):
+    the streaming-frequency sketch every ingest monitor runs — d=4
+    hash rows × w=256 counters over lineitem.l_suppkey, point
+    estimate = min over rows of the key's counter. The gate reports
+    the top-k TRUE-count keys with their CMS estimates: est ≥ true
+    ALWAYS (one-sided error, the sketch's defining guarantee — the
+    selfcheck hash proves the engines agree on the exact estimate,
+    and est < true would be an implementation bug).
+
+    Scale shape: CMS is ADDITIVE, so the sketch is built from the
+    per-key partial-agg counts, not from raw rows — one shuffle on
+    the key (whose cardinality is the small one), then a
+    d×w-cell aggregate that broadcast-joins back to the top-k keys.
+    Raw rows are scanned exactly once."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = materialize(
+        li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt")),
+        "cms_per_key",
+    )
+    keyed = per_key.select(
+        F.col("l_suppkey").alias("key"),
+        "cnt",
+        *[
+            (
+                H.portable_hash(
+                    F.col("l_suppkey").cast("string"), seed=s
+                )
+                % CMS_WIDTH
+            ).alias(f"b{d}")
+            for d, s in enumerate(CMS_SEEDS)
+        ],
+    )
+    # the sketch: one counter table per hash row, built by re-keying
+    # the per-key counts (additivity makes this identical to row-wise
+    # updates); each is ≤ CMS_WIDTH cells.
+    ests = None
+    top = keyed.orderBy(F.desc("cnt"), "key").limit(CMS_TOPK)
+    for d in range(CMS_DEPTH):
+        cells = keyed.groupBy(f"b{d}").agg(
+            F.sum("cnt").alias(f"c{d}")
+        )
+        top = top.join(F.broadcast(cells), f"b{d}")
+        e = F.col(f"c{d}")
+        ests = e if ests is None else F.least(ests, e)
+    return top.select(
+        "key",
+        F.col("cnt").cast("long").alias("true_cnt"),
+        ests.cast("long").alias("cms_est"),
+    ).orderBy(F.desc("true_cnt"), "key")
+
+
+def _cms_hh_oracle() -> str:
+    bexprs = [
+        f"{H.portable_hash_sql('CAST(l_suppkey AS VARCHAR)', seed=s)}"
+        f" % {CMS_WIDTH} AS b{d}"
+        for d, s in enumerate(CMS_SEEDS)
+    ]
+    cell_ctes = ", ".join(
+        f"cells{d} AS (SELECT b{d}, SUM(cnt) AS c{d} FROM keyed"
+        f" GROUP BY b{d})"
+        for d in range(CMS_DEPTH)
+    )
+    joins = " ".join(
+        f"JOIN cells{d} USING (b{d})" for d in range(CMS_DEPTH)
+    )
+    least = "least(" + ", ".join(f"c{d}" for d in range(CMS_DEPTH)) + ")"
+    return f"""
+WITH per_key AS (
+  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+), keyed AS (
+  SELECT l_suppkey AS key, cnt, {', '.join(bexprs)} FROM per_key
+), {cell_ctes},
+top AS (
+  SELECT * FROM keyed ORDER BY cnt DESC, key LIMIT {CMS_TOPK}
+)
+SELECT key, CAST(cnt AS BIGINT) AS true_cnt,
+       CAST({least} AS BIGINT) AS cms_est
+FROM top {joins}
+ORDER BY true_cnt DESC, key
+"""
+
+
+ASSOC_MIN_CO = 3  # minimum pair co-occurrence (support floor)
+ASSOC_TOPK = 50  # rules reported
+
+
+def q_rec_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSOCIATION RULES over order baskets (the Apriori/FP-growth
+    output surface): for part pairs co-occurring ≥ ASSOC_MIN_CO
+    times, both directed rules A→B with exact integer-ppm support
+    (co/n_baskets), confidence (co/deg_A), and lift
+    (co·n_baskets / (deg_A·deg_B)) — the market-basket triple every
+    recommender-feature pipeline derives. Top-k by (lift desc,
+    antecedent, consequent).
+
+    Scale shape: the pair generator is rec_item_cosine's
+    within-basket self-join (baskets ≤ 7 items in TPC-H → linear in
+    rows, never all-pairs); degrees and the basket count are
+    broadcast-sized aggregates; every ratio widens to DECIMAL(38,0)
+    BEFORE multiplying (the r9 overflow-sweep rule — co·n_baskets is
+    a fact-count product that wraps BIGINT at corpus scale)."""
+    bi = materialize(
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct(),
+        "assoc_bi",
+    )
+    n_baskets = bi.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("nb")
+    )
+    deg = bi.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = bi.alias("a"), bi.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= ASSOC_MIN_CO)
+    )
+    # both rule directions from the one undirected pair table
+    directed = co.select(
+        F.col("pa").alias("ante"), F.col("pb").alias("cons"), "co"
+    ).unionByName(
+        co.select(
+            F.col("pb").alias("ante"), F.col("pa").alias("cons"), "co"
+        )
+    )
+    scored = (
+        directed.join(
+            deg.select(
+                F.col("l_partkey").alias("ante"),
+                F.col("deg").alias("deg_a"),
+            ),
+            "ante",
+        )
+        .join(
+            deg.select(
+                F.col("l_partkey").alias("cons"),
+                F.col("deg").alias("deg_c"),
+            ),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n_baskets))  # 1-row scalar attach
+        .select(
+            "ante",
+            "cons",
+            F.col("co").cast("long").alias("co"),
+            F.expr(
+                "CAST(co AS DECIMAL(38,0)) * 1000000 DIV nb"
+            ).cast("long").alias("support_ppm"),
+            F.expr(
+                "CAST(co AS DECIMAL(38,0)) * 1000000 DIV deg_a"
+            ).cast("long").alias("confidence_ppm"),
+            F.expr(
+                "CAST(co AS DECIMAL(38,0)) * nb * 1000000"
+                " DIV (CAST(deg_a AS DECIMAL(38,0)) * deg_c)"
+            ).cast("long").alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_ppm"), "ante", "cons"
+    ).limit(ASSOC_TOPK)
+
+
+VOTE_ITEM_MOD = 101  # items in the synthetic labeling task
+
+
+def q_agg_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAJORITY-VOTE LABEL AGGREGATION (the crowd/ensemble label
+    resolver of a labeled-data curation pipeline): events play votes
+    — item = event_id % VOTE_ITEM_MOD, label = event_type; per item
+    the winning label (most votes, ties to the lexicographically
+    smallest label), its vote count, the total, and the agreement
+    rate in integer ppm — the per-item QA signal that decides
+    whether an item needs re-labeling.
+
+    Scale shape: one partial-agg shuffle to (item, label) counts, a
+    per-item arg-max window over ≤ |labels| rows per item, one final
+    projection. Raw votes never shuffle twice."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        (F.col("event_id") % VOTE_ITEM_MOD).cast("long").alias("item"),
+        F.col("event_type").alias("label"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("item").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    wt = Window.partitionBy("item")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .withColumn("total", F.sum("n").over(wt))
+        .filter(F.col("rk") == 1)
+        .select(
+            "item",
+            F.col("label").alias("majority_label"),
+            F.col("n").cast("long").alias("n_votes"),
+            F.col("total").cast("long").alias("n_total"),
+            F.expr(
+                "CAST(n * CAST(1000000 AS DECIMAL(38,0)) DIV total"
+                " AS BIGINT)"
+            ).alias("agree_ppm"),
+        )
+    )
+
+
+EWMA_HORIZON = 20  # most-recent events contributing; weight halves/step
+
+
+def q_evt_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT EWMA USER FEATURES: per user, the exponentially-decayed
+    recent-activity value — each of the EWMA_HORIZON most recent
+    events contributes value·2^(H−age) integer units (age 1 = most
+    recent), i.e. the weight halves per step back in time. The
+    feature-store recency feature computed in EXACT integer
+    arithmetic: dyadic weights on integer cents, so no float
+    accumulation order can perturb it (the evt_attribution_decay
+    trick applied to per-user recency rank instead of wall-clock
+    days).
+
+    Scale shape: ONE window pass per user (the same single sort a
+    sessionization pays) + one partial-agg shuffle; the sum widens
+    to DECIMAL(38,0) inside the aggregate (credits are ≤2^20·cents
+    each but the count is unbounded — r9 overflow-sweep rule)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .withColumn("age", F.row_number().over(w))
+        .filter(F.col("age") <= EWMA_HORIZON)
+    )
+    unit = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {EWMA_HORIZON} - age) * cents"
+    )
+    return recent.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_recent"),
+        F.max(F.when(F.col("age") == 1, F.col("cents")))
+        .cast("long")
+        .alias("latest_cents"),
+        F.sum(unit.cast("decimal(38,0)")).cast("long").alias("ewma_units"),
+    )
+
+
 # --- r9 adversarial-input edge family -------------------------------------
 # Degenerate corpora (empty strings, whitespace-only, single-token docs,
 # all-identical texts, 0/1-byte media) as ORACLE-CHECKED gate rows, not
@@ -10573,6 +10927,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s27_restart_dropdup": q_s27_restart_dropdup,
         "ts_gaps": q_ts_gaps,
         "agg_gini": q_agg_gini,
+        "sim_hybrid_rrf": q_sim_hybrid_rrf,
+        "sketch_cms_heavy_hitters": q_sketch_cms_heavy_hitters,
+        "rec_assoc_rules": q_rec_assoc_rules,
+        "agg_majority_vote": q_agg_majority_vote,
+        "evt_ewma_dyadic": q_evt_ewma_dyadic,
         "edge_text_degenerate": q_edge_text_degenerate,
         "edge_dedup_identical": q_edge_dedup_identical,
         "edge_winnow_short": q_edge_winnow_short,
@@ -15181,6 +15540,77 @@ def oracle_sql() -> dict[str, str]:
     # r9 adversarial edge family: the byte-identical degenerate
     # derivation (see _edge_text_sql) applied in DuckDB, then the same
     # *_sql twins as the production text queries.
+    sql["sim_hybrid_rrf"] = _rrf_oracle()
+    sql["sketch_cms_heavy_hitters"] = _cms_hh_oracle()
+    sql["rec_assoc_rules"] = f"""
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), nbt AS (
+              SELECT count(DISTINCT l_orderkey) AS nb FROM bi
+            ), deg AS (
+              SELECT l_partkey, count(*) AS deg FROM bi GROUP BY 1
+            ), co AS (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                     count(*) AS co
+              FROM bi a JOIN bi b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= {ASSOC_MIN_CO}
+            ), directed AS (
+              SELECT pa AS ante, pb AS cons, co FROM co
+              UNION ALL
+              SELECT pb AS ante, pa AS cons, co FROM co
+            ), scored AS (
+              SELECT ante, cons, CAST(co AS BIGINT) AS co,
+                     CAST(CAST(co AS HUGEINT) * 1000000 // nb
+                       AS BIGINT) AS support_ppm,
+                     CAST(CAST(co AS HUGEINT) * 1000000 // da.deg
+                       AS BIGINT) AS confidence_ppm,
+                     CAST(CAST(co AS HUGEINT) * nb * 1000000
+                          // (CAST(da.deg AS HUGEINT) * dc.deg)
+                       AS BIGINT) AS lift_ppm
+              FROM directed
+              JOIN deg da ON da.l_partkey = ante
+              JOIN deg dc ON dc.l_partkey = cons
+              CROSS JOIN nbt
+            )
+            SELECT * FROM scored
+            ORDER BY lift_ppm DESC, ante, cons LIMIT {ASSOC_TOPK}"""
+    sql["agg_majority_vote"] = f"""
+            WITH counts AS (
+              SELECT CAST(event_id % {VOTE_ITEM_MOD} AS BIGINT) AS item,
+                     event_type AS label, count(*) AS n
+              FROM events GROUP BY 1, 2
+            ), ranked AS (
+              SELECT item, label, n,
+                     row_number() OVER (PARTITION BY item
+                       ORDER BY n DESC, label ASC) AS rk,
+                     SUM(n) OVER (PARTITION BY item) AS total
+              FROM counts
+            )
+            SELECT item, label AS majority_label,
+                   CAST(n AS BIGINT) AS n_votes,
+                   CAST(total AS BIGINT) AS n_total,
+                   CAST(n * CAST(1000000 AS HUGEINT) // total
+                     AS BIGINT) AS agree_ppm
+            FROM ranked WHERE rk = 1"""
+    sql["evt_ewma_dyadic"] = f"""
+            WITH recent AS (
+              SELECT user_id,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS age
+              FROM events
+            )
+            SELECT user_id, count(*) AS n_recent,
+                   CAST(MAX(CASE WHEN age = 1 THEN cents END)
+                     AS BIGINT) AS latest_cents,
+                   CAST(SUM((CAST(1 AS BIGINT)
+                             << ({EWMA_HORIZON} - age)) * cents)
+                     AS BIGINT) AS ewma_units
+            FROM recent WHERE age <= {EWMA_HORIZON}
+            GROUP BY user_id"""
     sql["edge_text_degenerate"] = f"""
             WITH d AS (
               SELECT CAST(doc_id % 5 AS BIGINT) AS bucket,

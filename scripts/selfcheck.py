@@ -63,6 +63,16 @@ def main():
     from broadway_spark.operators import materialize as matz
 
     spark = get_spark("selfcheck")
+    # Scale-parity ritual (r8 verdict item 5): the standard session
+    # pins shuffle.partitions=32 for local[32]; setting
+    # SELFCHECK_SHUFFLE_PARTITIONS=200 re-runs queries under
+    # cluster-default partitioning + AQE to catch
+    # partition-count-sensitive bugs the pinned runs mask.
+    import os as _os
+
+    _sp = _os.environ.get("SELFCHECK_SHUFFLE_PARTITIONS")
+    if _sp:
+        spark.conf.set("spark.sql.shuffle.partitions", _sp)
     con = duck_con(sf_dir)
 
     qs = entrymod.queries()

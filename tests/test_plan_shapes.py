@@ -398,6 +398,8 @@ def test_no_unguarded_cartesian_in_any_query(spark):
         "text_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
         "skew_advisor",  # 1-row (total, n_keys) broadcast
         "rel_skyline",  # 1-row price-bounds broadcast (range buckets)
+        "sim_hybrid_rrf",  # broadcast query side (dense ranking)
+        "rec_assoc_rules",  # 1-row basket-count broadcast
     }
     offenders = {}
     for name, fn in entry.queries().items():
