@@ -169,6 +169,48 @@ HEADLINERS = {
         "adds repartitionByRange(z) before the write; the audit side "
         "is unchanged."
     ),
+    "rel_skyline": (
+        "Skyline (r9 rework): the prefix max over strictly cheaper "
+        "price groups is now a RANGE-PARTITIONED MERGE — price groups "
+        "bucket by a monotone value-range map, each bucket runs its "
+        "local running max in parallel, and a 64-row window derives "
+        "the per-bucket carry-in. The only ordered window over "
+        "unbounded data is per-bucket; the former global "
+        "Window.orderBy single-partition sort is gone."
+    ),
+    "sim_hybrid_rrf": (
+        "Hybrid RRF fusion (r9): the lexical branch is the BM25 plan "
+        "(query-term broadcast semi-join kills the corpus before any "
+        "shuffle); the dense branch is one corpus scan against a "
+        "broadcast 5-vector query side; fusion full-outer-joins two "
+        "≤|queries|·k candidate lists — sub-kilobyte at any corpus "
+        "size. Integer rrf_ppm keeps the fused ordering "
+        "engine-exact."
+    ),
+    "sketch_cms_heavy_hitters": (
+        "Count-min heavy hitters (r9): the sketch is built "
+        "ADDITIVELY from per-key partial-agg counts — raw rows scan "
+        "once and shuffle once (on the key); the d×w counter tables "
+        "are ≤256 cells each and broadcast back to the top-k keys. "
+        "At 100 TB the only full-data cost is the one partial "
+        "aggregate every frequency query pays anyway."
+    ),
+    "rec_assoc_rules": (
+        "Association rules (r9): pair generation is the within-"
+        "basket self-join (baskets ≤7 items → linear in rows, never "
+        "all-pairs); degrees and the basket count are broadcast-"
+        "sized; support/confidence/lift are integer-ppm with "
+        "DECIMAL(38,0) widening BEFORE every product (the overflow-"
+        "sweep rule), and the top-k is TakeOrderedAndProject — no "
+        "global sort materialization."
+    ),
+    "evt_ewma_dyadic": (
+        "Exact EWMA features (r9): one window pass per user (the "
+        "same single sort sessionization pays) ranks recency, dyadic "
+        "integer weights make the decayed sum bit-exact at any "
+        "parallelism, and the aggregate widens to DECIMAL(38,0) "
+        "inside the sum. No self-join, no float accumulation."
+    ),
 }
 
 

@@ -186,6 +186,72 @@ def test_bucketed_pair_publish_is_transactional(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning") == 1, plan  # agg only
 
 
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_cms_estimate_is_one_sided(spark):
+    """Count-min's defining guarantee: est ≥ true for EVERY reported
+    key (min over d counters can overcount via collisions, never
+    undercount)."""
+    rows = entry.q_sketch_cms_heavy_hitters(spark, SF001).collect()
+    assert rows, "no heavy hitters reported"
+    for r in rows:
+        assert r["cms_est"] >= r["true_cnt"], r
+
+
+def test_rrf_scores_bounded_and_fused(spark):
+    """RRF invariants: every fused candidate has at least one source
+    rank; rrf_ppm is bounded by 2·⌊1e6/(K+1)⌋; a doc ranked #1 by
+    both systems would hit exactly that bound; fused_rank is a
+    1-based dense sequence per query."""
+    rows = entry.q_sim_hybrid_rrf(spark, SF001).collect()
+    assert rows
+    bound = 2 * (1_000_000 // (entry.RRF_K + 1))
+    by_q = {}
+    for r in rows:
+        assert r["r_lex"] is not None or r["r_dense"] is not None, r
+        assert 0 < r["rrf_ppm"] <= bound, r
+        by_q.setdefault(r["query_id"], []).append(r["fused_rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_assoc_rule_measures_in_range(spark):
+    """support ≤ confidence (deg_A ≤ n_baskets), confidence ≤ 1e6,
+    and co ≥ the floor for every reported rule."""
+    rows = entry.q_rec_assoc_rules(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert r["co"] >= entry.ASSOC_MIN_CO, r
+        assert r["support_ppm"] <= r["confidence_ppm"] <= 1_000_000, r
+        assert r["lift_ppm"] > 0, r
+
+
+def test_majority_vote_agreement(spark):
+    """The winner's count is the per-item max, agreement is its exact
+    ppm share, and every item of the vote universe is resolved."""
+    rows = entry.q_agg_majority_vote(spark, SF001).collect()
+    assert len(rows) == min(
+        entry.VOTE_ITEM_MOD,
+        entry._t(spark, SF001, "events").count(),
+    )
+    for r in rows:
+        assert 0 < r["n_votes"] <= r["n_total"], r
+        assert r["agree_ppm"] == r["n_votes"] * 1_000_000 // r["n_total"]
+
+
+def test_ewma_recency_dominance(spark):
+    """Dyadic weighting: the head term latest_cents·2^(H−1) is
+    included in the sum (lower bound, values are non-negative in this
+    corpus), and no user reports more than H recent events."""
+    rows = entry.q_evt_ewma_dyadic(spark, SF001).collect()
+    assert rows
+    H = entry.EWMA_HORIZON
+    for r in rows:
+        assert 1 <= r["n_recent"] <= H, r
+        assert r["ewma_units"] >= r["latest_cents"] << (H - 1), r
+
+
 def test_decay_credit_sum_widens(spark):
     """evt_attribution_decay's credit sum: DECIMAL(38,0) inside the
     aggregate must carry Σ(2^20-unit credits) past 2^63 exactly.
