@@ -10559,6 +10559,36 @@ def q_evt_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_TARGET = 224  # letterbox side for the resize planner
+
+
+def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-path RESIZE plumbing, oracle-checked (completes the
+    decode / feature-extract / frame-sample / RESIZE quartet): source
+    dimensions derive deterministically from doc_id (the corpus
+    carries no real image headers — same stand-in trick as
+    frame_plan's byte_len duration), then
+    operators/multimodal.py::resize_plan computes the
+    aspect-preserving fit into a 224×224 letterbox in EXACT integer
+    arithmetic: long side pins to the target, short side scales by
+    truncating division, padding is the leftover box.
+
+    Scale shape: metadata-only codegen projection — the planner never
+    touches pixel bytes, so a 100 TB image table plans every resize
+    from its (w, h) columns in one scan with zero Python."""
+    from broadway_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(16) + F.col("doc_id") % 512).cast("int").alias("src_w"),
+        (F.lit(16) + (F.col("doc_id") * 7) % 512).cast("int").alias("src_h"),
+    )
+    planned = MM.resize_plan(docs, "src_w", "src_h", target=RESIZE_TARGET)
+    return planned.select(
+        "doc_id", "src_w", "src_h", "out_w", "out_h", "pad_x", "pad_y"
+    )
+
+
 # --- r9 adversarial-input edge family -------------------------------------
 # Degenerate corpora (empty strings, whitespace-only, single-token docs,
 # all-identical texts, 0/1-byte media) as ORACLE-CHECKED gate rows, not
@@ -10932,6 +10962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_assoc_rules": q_rec_assoc_rules,
         "agg_majority_vote": q_agg_majority_vote,
         "evt_ewma_dyadic": q_evt_ewma_dyadic,
+        "multimodal_resize_plan": q_multimodal_resize_plan,
         "edge_text_degenerate": q_edge_text_degenerate,
         "edge_dedup_identical": q_edge_dedup_identical,
         "edge_winnow_short": q_edge_winnow_short,
@@ -15594,6 +15625,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * CAST(1000000 AS HUGEINT) // total
                      AS BIGINT) AS agree_ppm
             FROM ranked WHERE rk = 1"""
+    sql["multimodal_resize_plan"] = f"""
+            WITH src AS (
+              SELECT doc_id,
+                     CAST(16 + doc_id % 512 AS INT) AS src_w,
+                     CAST(16 + (doc_id * 7) % 512 AS INT) AS src_h
+              FROM documents
+            )
+            SELECT doc_id, src_w, src_h,
+                   CAST(CASE WHEN src_w >= src_h THEN {RESIZE_TARGET}
+                        ELSE CAST(src_w AS BIGINT) * {RESIZE_TARGET}
+                             // src_h END AS BIGINT) AS out_w,
+                   CAST(CASE WHEN src_w >= src_h
+                        THEN CAST(src_h AS BIGINT) * {RESIZE_TARGET}
+                             // src_w
+                        ELSE {RESIZE_TARGET} END AS BIGINT) AS out_h,
+                   CAST({RESIZE_TARGET} - (CASE WHEN src_w >= src_h
+                        THEN {RESIZE_TARGET}
+                        ELSE CAST(src_w AS BIGINT) * {RESIZE_TARGET}
+                             // src_h END) AS BIGINT) AS pad_x,
+                   CAST({RESIZE_TARGET} - (CASE WHEN src_w >= src_h
+                        THEN CAST(src_h AS BIGINT) * {RESIZE_TARGET}
+                             // src_w
+                        ELSE {RESIZE_TARGET} END) AS BIGINT) AS pad_y
+            FROM src"""
     sql["evt_ewma_dyadic"] = f"""
             WITH recent AS (
               SELECT user_id,

@@ -261,3 +261,32 @@ def frame_sample_plan(
         "frame_idx",
         F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))),
     )
+
+
+def resize_plan(
+    df: DataFrame, w_col: str, h_col: str, target: int = 224
+) -> DataFrame:
+    """Aspect-preserving resize *plan* into a target×target letterbox:
+    the integer-exact geometry every image-preprocessing stage
+    computes before touching pixels (out dims via truncating division
+    on the long side, padding = the leftover box). Pure codegen
+    integer arithmetic — the planner runs on metadata columns only,
+    so a 100 TB image table plans its resizes without reading one
+    pixel byte; the actual resample is the featurizer's per-batch
+    concern. Adds out_w/out_h/pad_x/pad_y."""
+    w, h = F.col(w_col).cast("long"), F.col(h_col).cast("long")
+    t = F.lit(int(target)).cast("long")
+    out_w = F.when(w >= h, t).otherwise(F.expr(
+        f"CAST({w_col} AS BIGINT) * {int(target)}"
+        f" DIV CAST({h_col} AS BIGINT)"
+    ))
+    out_h = F.when(w >= h, F.expr(
+        f"CAST({h_col} AS BIGINT) * {int(target)}"
+        f" DIV CAST({w_col} AS BIGINT)"
+    )).otherwise(t)
+    return (
+        df.withColumn("out_w", out_w.cast("long"))
+        .withColumn("out_h", out_h.cast("long"))
+        .withColumn("pad_x", (t - F.col("out_w")).cast("long"))
+        .withColumn("pad_y", (t - F.col("out_h")).cast("long"))
+    )
