@@ -10589,6 +10589,44 @@ def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD generator — the one-row-per-source summary a
+    training-data release ships: documents, exact token total, mean
+    quality in integer micro-units, distinct predicted languages,
+    distinct exact-dup fingerprints, and the duplication rate in ppm
+    (docs − distinct fingerprints over docs). The composite reads the
+    corpus ONCE: every per-doc signal (tokens, quality, language,
+    fingerprint) is a codegen projection feeding a single partial-agg
+    shuffle on source.
+
+    Scale shape: one scan + one exchange carrying per-source partials
+    (count/sum/distinct-sketch inputs); the distinct counts shuffle
+    digests and 2-char language codes, never text."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        T.token_count("text").alias("n_tokens"),
+        F.round(T.quality_score("text") * F.lit(1e6))
+        .cast("bigint")
+        .alias("q_micro"),
+        T.language_id("text").alias("lang_pred"),
+        H.fingerprint("text").alias("fp"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.expr(
+            "CAST(SUM(q_micro) DIV count(*) AS BIGINT)"
+        ).alias("mean_quality_micro"),
+        F.countDistinct("lang_pred").cast("long").alias("n_langs"),
+        F.countDistinct("fp").cast("long").alias("n_unique"),
+        F.expr(
+            "CAST((count(*) - count(DISTINCT fp))"
+            " * CAST(1000000 AS DECIMAL(38,0)) DIV count(*) AS BIGINT)"
+        ).alias("dup_ppm"),
+    )
+
+
 # --- r9 adversarial-input edge family -------------------------------------
 # Degenerate corpora (empty strings, whitespace-only, single-token docs,
 # all-identical texts, 0/1-byte media) as ORACLE-CHECKED gate rows, not
@@ -10963,6 +11001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_majority_vote": q_agg_majority_vote,
         "evt_ewma_dyadic": q_evt_ewma_dyadic,
         "multimodal_resize_plan": q_multimodal_resize_plan,
+        "pipeline_dataset_card": q_pipeline_dataset_card,
         "edge_text_degenerate": q_edge_text_degenerate,
         "edge_dedup_identical": q_edge_dedup_identical,
         "edge_winnow_short": q_edge_winnow_short,
@@ -15625,6 +15664,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * CAST(1000000 AS HUGEINT) // total
                      AS BIGINT) AS agree_ppm
             FROM ranked WHERE rk = 1"""
+    sql["pipeline_dataset_card"] = f"""
+            WITH scored AS (
+              SELECT source,
+                     {T.token_count_sql('text')} AS n_tokens,
+                     CAST(round({T.quality_score_sql('text')} * 1e6)
+                       AS BIGINT) AS q_micro,
+                     {T.language_id_sql('text')} AS lang_pred,
+                     {H.fingerprint_sql('text')} AS fp
+              FROM documents
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(q_micro) // count(*) AS BIGINT)
+                     AS mean_quality_micro,
+                   CAST(count(DISTINCT lang_pred) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+                   CAST((count(*) - count(DISTINCT fp))
+                        * CAST(1000000 AS HUGEINT) // count(*)
+                     AS BIGINT) AS dup_ppm
+            FROM scored GROUP BY source"""
     sql["multimodal_resize_plan"] = f"""
             WITH src AS (
               SELECT doc_id,
