@@ -10722,6 +10722,29 @@ def q_edge_winnow_short(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edge_zero_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over a corpus with ZERO-NORM embeddings (every vec_id ≡ 0
+    mod 3 is zeroed, including query 0 and 3): the cosine guard must
+    emit similarity 0.0 — never NaN/Inf or a dropped row — for both
+    zero queries and zero corpus vectors, and the (cos desc, id asc)
+    tie-break must keep the fully-tied top-k deterministic. The
+    degenerate-input twin of sim_ann_bruteforce (division-by-zero is
+    the embedding pipeline's empty-string)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    derived = emb.select(
+        "vec_id",
+        F.expr(
+            "CASE WHEN vec_id % 3 = 0"
+            " THEN transform(embedding, x -> CAST(0.0 AS FLOAT))"
+            " ELSE embedding END"
+        ).alias("embedding"),
+    )
+    qs = derived.filter(F.col("vec_id") < ANN_NQUERY)
+    return S.ann_bruteforce_topk(
+        derived, qs, "vec_id", "embedding", k=ANN_K
+    )
+
+
 def q_edge_media_1byte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal envelope + featurizer over 0- and 1-byte payloads
     (content = first character of the text, utf-8 encoded; empty
@@ -11005,6 +11028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_text_degenerate": q_edge_text_degenerate,
         "edge_dedup_identical": q_edge_dedup_identical,
         "edge_winnow_short": q_edge_winnow_short,
+        "edge_zero_vectors": q_edge_zero_vectors,
         "edge_media_1byte": q_edge_media_1byte,
     }
 
@@ -15756,6 +15780,30 @@ def oracle_sql() -> dict[str, str]:
                    unnest({T.winnow_fingerprints_sql(_edge_text_sql())})
                      AS fp
             FROM documents WHERE doc_id % 5 <> 4"""
+    _zcos = V.cosine_similarity_sql("c.embedding", "q.embedding")
+    sql["edge_zero_vectors"] = f"""
+            WITH derived AS (
+              SELECT vec_id,
+                     CASE WHEN vec_id % 3 = 0
+                          THEN list_transform(embedding,
+                                              x -> CAST(0.0 AS FLOAT))
+                          ELSE embedding END AS embedding
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id, embedding FROM derived
+              WHERE vec_id < {ANN_NQUERY}
+            ), scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round({_zcos}, 6) AS cos_sim
+              FROM derived c CROSS JOIN q
+              WHERE q.vec_id <> c.vec_id
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id ASC)
+                       AS INT) AS rank
+              FROM scored
+            ) WHERE rank <= {ANN_K}"""
     sql["edge_media_1byte"] = """
             SELECT doc_id,
                    CAST(octet_length(encode(substr(text, 1, 1))) AS INT)

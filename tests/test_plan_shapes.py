@@ -400,6 +400,7 @@ def test_no_unguarded_cartesian_in_any_query(spark):
         "rel_skyline",  # 1-row price-bounds broadcast (range buckets)
         "sim_hybrid_rrf",  # broadcast query side (dense ranking)
         "rec_assoc_rules",  # 1-row basket-count broadcast
+        "edge_zero_vectors",  # broadcast query side (zero-norm ANN)
     }
     offenders = {}
     for name, fn in entry.queries().items():
