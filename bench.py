@@ -125,6 +125,33 @@ def _canon_brackets(s: str) -> str:
     )
 
 
+def _mask_cached_subtrees(s: str) -> str:
+    """Drop everything BELOW an InMemoryRelation node. The relation
+    inlines its cached child plan — an AdaptiveSparkPlan frozen in
+    whatever state (isFinalPlan, ResultQueryStage numbering) the FIRST
+    query to materialize that table left it in, so any query reading a
+    shared `materialize()` table would churn its fingerprint whenever
+    suite composition or execution order changes (r9 finding: three
+    untouched queries' fingerprints moved between rounds purely via
+    this). The cached CONTENT is the producing query's plan, already
+    fingerprinted under its own name; here only the fact that a cache
+    is read matters."""
+    out = []
+    skip_deeper_than = None
+    for line in s.split("\n"):
+        indent = len(line) - len(line.lstrip(" :+-"))
+        if skip_deeper_than is not None:
+            if indent > skip_deeper_than:
+                continue
+            skip_deeper_than = None
+        if "InMemoryRelation" in line:
+            skip_deeper_than = indent
+            out.append(line.split("InMemoryRelation")[0] + "InMemoryRelation [CACHED]")
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def plan_fingerprint(df) -> str:
     """8-hex digest of the initial physical plan, normalized so
     expression ids / paths / stats / attribute-list ORDER don't churn
@@ -133,6 +160,7 @@ def plan_fingerprint(df) -> str:
         s = df._jdf.queryExecution().executedPlan().toString()
     except Exception:
         return "noplan"
+    s = _mask_cached_subtrees(s)
     s = _NOISE.sub("", s)
     # The multi-distinct rewrite assigns gid literals in hash-set
     # order (flips run to run); mask the number BEFORE sorting —
