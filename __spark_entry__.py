@@ -6051,6 +6051,122 @@ def q_s12_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def q_s29_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-SEMI STREAM-STREAM JOIN ON THE ORACLE GATE: purchases
+    that had at least one same-user click in the preceding hour —
+    the streaming EXISTS, completing the stream-stream join family
+    (inner s12, left-outer s22, full-outer s24; left-anti is the one
+    variant Spark's state store does not support, documented here).
+    Semi semantics de-duplicate by construction: a purchase emits
+    exactly ONCE however many clicks match, which is what makes this
+    cheaper than inner-join-plus-distinct at scale — the click side
+    contributes existence bits, not rows. Matches emit as they
+    arrive, so a full availableNow drain equals the batch EXISTS —
+    the DuckDB twin verbatim.
+
+    Scale shape: identical to s12 — both sides shuffle on user, the
+    1 h range bound caps per-key state; the semi join's output never
+    multiplies rows, so downstream stages see ≤ |purchases|."""
+    import uuid as _uuid
+
+    ev = _events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_semi",
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros(F.col("p_ts")).alias("p_us"),
+    )
+    qname = f"s29_semi_{_uuid.uuid4().hex[:8]}"
+    with _pinned_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise RuntimeError(f"{qname} did not drain in 240s")
+    return spark.table(qname)
+
+
+S30_N = 5000  # events through the spool batch-read path
+
+
+def q_s30_spool_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CUSTOM PYTHON DATA SOURCE'S BATCH PATH ON THE ORACLE GATE:
+    the spool directory read with plain `spark.read` (DataSource
+    .reader(), no checkpoint, no admission) — the reprocessing /
+    backfill / audit read every queue-backed pipeline eventually
+    needs, sharing the streaming reader's partition split and row
+    decode byte for byte. The gate drains the first S30_N events into
+    a spool and hash-checks a grouped aggregate of the batch read
+    against the same aggregate straight off the table.
+
+    Scale shape: the row range fans out into contiguous per-task
+    chunks exactly like the streaming path (S4); decode is
+    partition-parallel JSONL; the aggregate is one partial-agg
+    shuffle."""
+    import tempfile
+
+    from broadway_spark.sources import SpoolSource
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(S30_N)
+    )
+    records = [
+        {
+            "event_id": r["event_id"],
+            "event_type": r["event_type"],
+            "value": r["value"],
+        }
+        for r in ev.collect()  # test-harness materialization, not a hot path
+    ]
+    base = tempfile.mkdtemp(prefix="bw_s30_")
+    src = SpoolSource(
+        name="s30spool",
+        path=f"{base}/spool",
+        schema_ddl="event_id long, event_type string, value double",
+        ack_data_column="event_id",
+    )
+    # two files so the read provably spans file boundaries
+    src.push_messages(records[: len(records) // 2], "000_a.jsonl")
+    src.push_messages(records[len(records) // 2 :], "001_b.jsonl")
+    df = src.read_batch(spark)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        _dsum("value").alias("sum_value"),
+    )
+
+
 def q_s22_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT-OUTER STREAM-STREAM JOIN ON THE ORACLE GATE: every
     purchase, attributed to same-user clicks in the preceding hour OR
@@ -11016,6 +11132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s26_restart_full_outer": q_s26_restart_full_outer,
         "sql1_shared_ansi": q_sql1_shared_ansi,
         "s27_restart_dropdup": q_s27_restart_dropdup,
+        "s29_stream_semi_join": q_s29_stream_semi_join,
+        "s30_spool_batch_read": q_s30_spool_batch_read,
         "ts_gaps": q_ts_gaps,
         "agg_gini": q_agg_gini,
         "sim_hybrid_rrf": q_sim_hybrid_rrf,
@@ -11064,6 +11182,7 @@ STREAMING_DRAINS = frozenset(
         "s25_stream_dropdup_watermark",
         "s26_restart_full_outer",
         "s27_restart_dropdup",
+        "s29_stream_semi_join",
     }
 )
 
@@ -12555,6 +12674,28 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts <= p.ts
             WHERE p.event_type = 'purchase'
               AND c.event_type = 'click'""",
+        # Semi emission == batch EXISTS (matches emit on arrival; semi
+        # de-duplicates by construction).
+        "s29_stream_semi_join": """
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   epoch_us(p.ts) AS p_us
+            FROM events p
+            WHERE p.event_type = 'purchase'
+              AND EXISTS (
+                SELECT 1 FROM events c
+                WHERE c.event_type = 'click'
+                  AND c.user_id = p.user_id
+                  AND c.ts >= p.ts - INTERVAL 1 HOUR
+                  AND c.ts <= p.ts)""",
+        # The batch read must agree with the table the spool was fed
+        # from — plain grouped aggregate over the same first-N slice.
+        "s30_spool_batch_read": f"""
+            SELECT event_type, count(*) AS n,
+                   min(event_id) AS min_id, max(event_id) AS max_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_value
+            FROM (SELECT * FROM events ORDER BY event_id LIMIT {S30_N})
+            GROUP BY event_type""",
         # Batch sessionization + the drain's final-watermark cutoff:
         # a session is emitted iff its end (last event + gap) is at or
         # below max(ts) - delay.

@@ -32,6 +32,7 @@ from datetime import date, datetime
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -262,6 +263,26 @@ class _SpoolStreamReader(DataSourceStreamReader):
         pass
 
 
+class _SpoolBatchReader(DataSourceReader):
+    """Batch read of the whole spool backlog: the at-rest complement
+    of the streaming reader (reprocessing / backfill / audit reads of
+    a queue directory without a checkpoint). Splits the row range
+    into the same contiguous partitions as the streaming path — the
+    read fans out identically; only admission (a streaming-only
+    concern) is absent."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._stream = _SpoolStreamReader(schema, options)
+        self.path = options["path"]
+
+    def partitions(self):
+        total = _count_rows(self.path)
+        return self._stream.partitions({"row": 0}, {"row": total})
+
+    def read(self, partition: _SpoolPartition):
+        return self._stream.read(partition)
+
+
 class SpoolDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -272,6 +293,9 @@ class SpoolDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> _SpoolStreamReader:
         return _SpoolStreamReader(schema, dict(self.options))
+
+    def reader(self, schema: StructType) -> "_SpoolBatchReader":
+        return _SpoolBatchReader(schema, dict(self.options))
 
 
 def register_spool_source(spark: SparkSession) -> None:
@@ -291,6 +315,18 @@ class SpoolSource:
     # F4 bounded buffer; None = the reference default (:infinity).
     # Overflow discards the oldest rows and journals the loss.
     max_backlog: int | None = None
+
+    def read_batch(self, spark: SparkSession) -> DataFrame:
+        """Batch read of the current backlog (reprocessing/backfill
+        path — no checkpoint, no admission)."""
+        register_spool_source(spark)
+        return (
+            spark.read.format(SPOOL_FORMAT)
+            .option("path", self.path)
+            .option("schema_ddl", self.schema_ddl)
+            .option("num_partitions", self.num_partitions)
+            .load()
+        )
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
         register_spool_source(spark)
