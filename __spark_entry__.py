@@ -8012,6 +8012,86 @@ def q_s17_restart_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s31_restart_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT-RESTART EQUIVALENCE, LEFT-SEMI stream-stream join:
+    the s29 streaming EXISTS killed after the first committed batch,
+    resumed, drained availableNow. Semi-join state is a DISTINCT
+    restart family from s17's inner join: besides both join buffers,
+    the store tracks which left rows ALREADY EMITTED — a lost
+    emission bit would re-emit a matched purchase on replay and the
+    duplicate breaks the hash (the inner join tolerates that
+    failure; output multiplicity hides it). In-order staged arrival
+    means no late data, so the resumed drain equals the batch EXISTS
+    — the s29 oracle verbatim."""
+    import os
+    import tempfile
+
+    watch, schema, _n = _stage_event_files(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="bw_s31_")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+
+    def build():
+        ev = _staged_events_stream(spark, watch, schema)
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        return purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "left_semi",
+        ).select(
+            "purchase_id",
+            "user_id",
+            F.unix_micros(F.col("p_ts")).alias("p_us"),
+        )
+
+    writer = _idempotent_parquet_writer(sink)
+    with _pinned_state_partitions(spark):
+        q = (
+            build()
+            .writeStream.foreachBatch(writer)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+    _kill_mid_drain(q)
+    with _pinned_state_partitions(spark):
+        q2 = (
+            build()
+            .writeStream.foreachBatch(writer)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    try:
+        if not q2.awaitTermination(600):
+            raise RuntimeError("s31 resume did not complete in 600s")
+    finally:
+        if q2.isActive:
+            q2.stop()
+    return spark.read.parquet(sink).select(
+        "purchase_id", "user_id", "p_us"
+    )
+
+
 def q_f3_restart_spool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHECKPOINT-RESTART EQUIVALENCE, custom Python data source: the
     f2 spool drain (DataSourceStreamReader with driver-side admission
@@ -11134,6 +11214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s27_restart_dropdup": q_s27_restart_dropdup,
         "s29_stream_semi_join": q_s29_stream_semi_join,
         "s30_spool_batch_read": q_s30_spool_batch_read,
+        "s31_restart_semi_join": q_s31_restart_semi_join,
         "ts_gaps": q_ts_gaps,
         "agg_gini": q_agg_gini,
         "sim_hybrid_rrf": q_sim_hybrid_rrf,
@@ -11183,6 +11264,7 @@ STREAMING_DRAINS = frozenset(
         "s26_restart_full_outer",
         "s27_restart_dropdup",
         "s29_stream_semi_join",
+        "s31_restart_semi_join",
     }
 )
 
@@ -15029,6 +15111,9 @@ def oracle_sql() -> dict[str, str]:
     # f3: same bucket table as f2 — restart-normalized batch numbering
     # (rank of min event_id) equals the uninterrupted numbering.
     sql["f3_restart_spool"] = sql["f2_rate_drain"]
+    # restart twin: the resumed semi-join drain must equal the batch
+    # EXISTS — the s29 oracle verbatim.
+    sql["s31_restart_semi_join"] = sql["s29_stream_semi_join"]
     sql["l4_topology"] = """
             SELECT 'producer' AS layer, 'events' AS name,
                    'kind' AS setting, 'FileStreamSource' AS value
