@@ -252,6 +252,47 @@ def test_ewma_recency_dominance(spark):
         assert r["ewma_units"] >= r["latest_cents"] << (H - 1), r
 
 
+def test_spool_batch_read_matches_pushed_records(spark, tmp_path):
+    """DataSource.reader(): the batch read returns exactly the pushed
+    backlog across file boundaries, decoding with the same coercers
+    as the streaming path."""
+    from broadway_spark.sources import SpoolSource
+
+    src = SpoolSource(
+        name="t9spool",
+        path=str(tmp_path / "spool"),
+        schema_ddl="event_id long, event_type string, value double",
+        ack_data_column="event_id",
+        num_partitions=3,
+    )
+    recs = [
+        {"event_id": i, "event_type": f"t{i % 3}", "value": i / 4.0}
+        for i in range(97)
+    ]
+    src.push_messages(recs[:40], "000_a.jsonl")
+    src.push_messages(recs[40:], "001_b.jsonl")
+    got = sorted(
+        (r["event_id"], r["event_type"], r["value"])
+        for r in src.read_batch(spark).collect()
+    )
+    assert got == [(r["event_id"], r["event_type"], r["value"]) for r in recs]
+
+
+def test_semi_join_equals_distinct_inner_lefts(spark):
+    """s29's emitted purchase set == the distinct purchase ids of the
+    s12 inner join — semi semantics, cross-checked between the two
+    live streaming drains."""
+    semi = {
+        r["purchase_id"]
+        for r in entry.q_s29_stream_semi_join(spark, SF001).collect()
+    }
+    inner = {
+        r["purchase_id"]
+        for r in entry.q_s12_stream_join(spark, SF001).collect()
+    }
+    assert semi == inner and semi
+
+
 def test_decay_credit_sum_widens(spark):
     """evt_attribution_decay's credit sum: DECIMAL(38,0) inside the
     aggregate must carry Σ(2^20-unit credits) past 2^63 exactly.
