@@ -10823,6 +10823,90 @@ def q_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL–HIRSCHMAN concentration INDEX per nation: Σ share²
+    over each nation's customers, shares of order revenue — the
+    market-concentration metric next to agg_gini's inequality metric
+    (HHI weights the head; Gini the whole Lorenz curve). Exact
+    integer formulation: hhi_ppm = Σ(cents_i²)·1e6 DIV (Σcents)² —
+    and BOTH quadratics widen to DECIMAL(38,0) INSIDE the aggregate
+    (cents² ≈ 2e16 per customer sums past 2^63 at ~6e5 customers, and
+    (Σcents)² always crosses it — the r9 overflow-sweep rule applied
+    from birth, with the DuckDB twin on HUGEINT). One step further
+    than gini: Σc²·1e6 itself can exceed even 128-bit range (the
+    overflow TEST found this — Σc² reaches ~8.5e37 since Σc is
+    BIGINT-bounded), so the formula BRANCHES: the exact ·1e6 form
+    while Σc² < 1e32 (always true for realistic money domains), else
+    the IDENTICAL IEEE-double expression floor(S2/T/T·1e6) on both
+    engines (Spark's DIV returns BIGINT, so a pre-scaled integer
+    intermediate would itself overflow — measured) — ±1 ppm of exact
+    and byte-identical across engines because both run the same CASE
+    with the same op order.
+
+    Scale shape: one broadcast-able dim join, one partial-agg shuffle
+    to per-customer cents, one ~nations-sized aggregate. No window at
+    all (unlike gini's rank) — HHI is order-free."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("p")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "c_custkey")
+        .agg((F.sum("p") * 100).cast("long").alias("cents"))
+    )
+    return per_cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST(CASE WHEN SUM(CAST(cents AS DECIMAL(38,0)) * cents)"
+            " < CAST(100000000000000000000000000000000 AS DECIMAL(38,0))"
+            " THEN SUM(CAST(cents AS DECIMAL(38,0)) * cents)"
+            "      * CAST(1000000 AS DECIMAL(38,0))"
+            "      DIV (SUM(CAST(cents AS DECIMAL(38,0)))"
+            "           * SUM(CAST(cents AS DECIMAL(38,0))))"
+            " ELSE CAST(floor("
+            "      CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)"
+            "           AS DOUBLE)"
+            "      / CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)"
+            "      / CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)"
+            "      * 1000000.0) AS DECIMAL(38,0))"
+            " END AS BIGINT)"
+        ).alias("hhi_ppm"),
+    )
+
+
+def q_edge_skew_constant_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOTAL SKEW through the salted aggregate: every row collapses
+    onto ONE key (the degenerate 100%-hot-key distribution the salting
+    operator exists for) — the two-phase salted plan must still give
+    exactly the plain global aggregate while its first shuffle spreads
+    the single key over all salt_n reducers. The skew counterpart of
+    the text family's all-identical corpus."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k", F.lit("the_only_key")
+    ).withColumn("__v", F.col("value").cast("decimal(18,2)"))
+    out = SK.salted_aggregate(
+        ev,
+        ["k"],
+        {
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "sum_value": (F.sum("__v"), F.sum("sum_value")),
+            "min_id": (F.min("event_id"), F.min("min_id")),
+            "max_id": (F.max("event_id"), F.max("max_id")),
+        },
+        salt_n=16,
+        salt_from=["event_id"],
+    )
+    return out.select(
+        "k",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_id",
+        "max_id",
+    )
+
+
 # --- r9 adversarial-input edge family -------------------------------------
 # Degenerate corpora (empty strings, whitespace-only, single-token docs,
 # all-identical texts, 0/1-byte media) as ORACLE-CHECKED gate rows, not
@@ -11224,6 +11308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_ewma_dyadic": q_evt_ewma_dyadic,
         "multimodal_resize_plan": q_multimodal_resize_plan,
         "pipeline_dataset_card": q_pipeline_dataset_card,
+        "agg_hhi_concentration": q_agg_hhi_concentration,
+        "edge_skew_constant_key": q_edge_skew_constant_key,
         "edge_text_degenerate": q_edge_text_degenerate,
         "edge_dedup_identical": q_edge_dedup_identical,
         "edge_winnow_short": q_edge_winnow_short,
@@ -15914,6 +16000,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * CAST(1000000 AS HUGEINT) // total
                      AS BIGINT) AS agree_ppm
             FROM ranked WHERE rk = 1"""
+    sql["agg_hhi_concentration"] = """
+            WITH per_cust AS (
+              SELECT c_nationkey, c_custkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS BIGINT) AS cents
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_nationkey, c_custkey
+            )
+            SELECT c_nationkey,
+                   count(*) AS n_customers,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(CASE WHEN SUM(CAST(cents AS HUGEINT) * cents)
+                             < CAST(1e32 AS HUGEINT)
+                        THEN SUM(CAST(cents AS HUGEINT) * cents)
+                             * CAST(1000000 AS HUGEINT)
+                             // (SUM(CAST(cents AS HUGEINT))
+                                 * SUM(CAST(cents AS HUGEINT)))
+                        ELSE CAST(floor(
+                             CAST(SUM(CAST(cents AS HUGEINT) * cents)
+                                  AS DOUBLE)
+                             / CAST(SUM(CAST(cents AS HUGEINT))
+                                    AS DOUBLE)
+                             / CAST(SUM(CAST(cents AS HUGEINT))
+                                    AS DOUBLE)
+                             * 1000000.0) AS HUGEINT)
+                        END AS BIGINT) AS hhi_ppm
+            FROM per_cust GROUP BY c_nationkey"""
+    sql["edge_skew_constant_key"] = """
+            SELECT 'the_only_key' AS k, count(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_value,
+                   min(event_id) AS min_id, max(event_id) AS max_id
+            FROM events"""
     sql["pipeline_dataset_card"] = f"""
             WITH scored AS (
               SELECT source,

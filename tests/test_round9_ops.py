@@ -71,6 +71,33 @@ def test_gini_no_bigint_overflow(spark, tmp_path):
     assert row["total_cents"] == sum(cents)
 
 
+def test_hhi_no_bigint_overflow(spark, tmp_path):
+    """agg_hhi_concentration on the same past-2^63 fixture: cents² ≈
+    6.4e35 per customer — any BIGINT intermediate wraps immediately;
+    the DECIMAL(38,0) aggregates must match the arbitrary-precision
+    closed form."""
+    cents = _write_gini_fixture(spark, str(tmp_path))
+    assert max(cents) ** 2 > 2**63
+    rows = entry.q_agg_hhi_concentration(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    tot = sum(cents)
+    s2 = sum(c * c for c in cents)
+    # the declared branched spec: exact ·1e6 form below 1e32, else the
+    # pre-scaled-denominator form (±1 ppm of exact)
+    if s2 < 10**32:
+        expected = s2 * 1_000_000 // (tot * tot)
+    else:
+        import math
+
+        expected = math.floor(
+            float(s2) / float(tot) / float(tot) * 1_000_000.0
+        )
+    assert rows[0]["hhi_ppm"] == expected
+    exact = s2 * 1_000_000 // (tot * tot)
+    assert abs(rows[0]["hhi_ppm"] - exact) <= 1
+    assert rows[0]["total_cents"] == tot
+
+
 def test_gini_oracle_parity_on_overflow_fixture(spark, tmp_path):
     """DuckDB (HUGEINT sums) and Spark (DECIMAL(38,0) sums) must agree
     bit-for-bit on the same past-2^63 fixture."""
