@@ -211,6 +211,23 @@ HEADLINERS = {
         "parallelism, and the aggregate widens to DECIMAL(38,0) "
         "inside the sum. No self-join, no float accumulation."
     ),
+    "agg_hhi_concentration": (
+        "HHI concentration (r9): order-free Σshare² — one "
+        "broadcast-able dim join, one partial-agg shuffle to "
+        "per-customer cents, one ~nations-sized aggregate whose "
+        "quadratics widen to DECIMAL(38,0) INSIDE the sums, with the "
+        "branch to the identical-IEEE-double form beyond 1e32 "
+        "compiled into the same codegen aggregate (the CASE is "
+        "visible in the plan's expression tree)."
+    ),
+    "s30_spool_batch_read": (
+        "Custom data source, batch path (r9): DataSource.reader() "
+        "over the spool directory plans a BatchScan whose partitions "
+        "are the streaming reader's contiguous row-range chunks — "
+        "decode fans out per task with no admission (a streaming-only "
+        "concern); the aggregate above it is one partial-agg "
+        "exchange."
+    ),
 }
 
 
