@@ -11025,6 +11025,38 @@ def q_edge_zero_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edge_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MALFORMED JSON through the transformer path: the events props
+    column is corrupted per event_id class — empty string, truncated
+    object ('{' and the props with its last char cut), bare 'null',
+    whitespace — and $.k is extracted with the engine's lenient
+    parser. The contract pinned to the oracle: every malformed class
+    yields NULL (never a crash, never a partial parse that invents a
+    value), and the intact class parses exactly; the DuckDB twin is
+    json_valid-guarded json_extract_string, verified case-aligned
+    with Spark's get_json_object across 9 degenerate probes before
+    this query was added. Per class: rows, parsed count, distinct
+    parsed values."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 5
+    corrupted = (
+        F.when(m == 0, F.lit(""))
+        .when(m == 1, F.lit("{"))
+        .when(m == 2, F.expr("substring(props, 1, length(props) - 1)"))
+        .when(m == 3, F.lit("null"))
+        .otherwise(F.col("props"))
+    )
+    d = ev.select(
+        m.cast("long").alias("bucket"),
+        F.get_json_object(corrupted, "$.k").alias("v"),
+    )
+    return d.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_parsed"),
+        F.countDistinct("v").cast("long").alias("n_distinct"),
+    )
+
+
 def q_edge_media_1byte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal envelope + featurizer over 0- and 1-byte payloads
     (content = first character of the text, utf-8 encoded; empty
@@ -11314,6 +11346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_dedup_identical": q_edge_dedup_identical,
         "edge_winnow_short": q_edge_winnow_short,
         "edge_zero_vectors": q_edge_zero_vectors,
+        "edge_json_malformed": q_edge_json_malformed,
         "edge_media_1byte": q_edge_media_1byte,
     }
 
@@ -16125,6 +16158,25 @@ def oracle_sql() -> dict[str, str]:
                    unnest({T.winnow_fingerprints_sql(_edge_text_sql())})
                      AS fp
             FROM documents WHERE doc_id % 5 <> 4"""
+    sql["edge_json_malformed"] = """
+            WITH d AS (
+              SELECT CAST(event_id % 5 AS BIGINT) AS bucket,
+                     CASE event_id % 5
+                       WHEN 0 THEN ''
+                       WHEN 1 THEN '{'
+                       WHEN 2 THEN substring(props, 1, len(props) - 1)
+                       WHEN 3 THEN 'null'
+                       ELSE props END AS t
+              FROM events
+            ), x AS (
+              SELECT bucket,
+                     CASE WHEN json_valid(t)
+                          THEN json_extract_string(t, '$.k') END AS v
+              FROM d
+            )
+            SELECT bucket, count(*) AS n_rows, count(v) AS n_parsed,
+                   CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+            FROM x GROUP BY bucket"""
     _zcos = V.cosine_similarity_sql("c.embedding", "q.embedding")
     sql["edge_zero_vectors"] = f"""
             WITH derived AS (
