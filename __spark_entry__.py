@@ -10811,8 +10811,12 @@ def q_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
+        # widen INSIDE the sum: q_micro ≤ 1e6/doc, so a BIGINT sum
+        # wraps past ~9.2e12 docs (r9 overflow-sweep rule; the review
+        # pass caught this one slipping in unwidened).
         F.expr(
-            "CAST(SUM(q_micro) DIV count(*) AS BIGINT)"
+            "CAST(SUM(CAST(q_micro AS DECIMAL(38,0))) DIV count(*)"
+            " AS BIGINT)"
         ).alias("mean_quality_micro"),
         F.countDistinct("lang_pred").cast("long").alias("n_langs"),
         F.countDistinct("fp").cast("long").alias("n_unique"),
@@ -11038,12 +11042,13 @@ def q_edge_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query was added. Per class: rows, parsed count, distinct
     parsed values."""
     ev = _t(spark, sf_dir, "events")
-    m = F.col("event_id") % 5
+    m = F.col("event_id") % 6
     corrupted = (
         F.when(m == 0, F.lit(""))
         .when(m == 1, F.lit("{"))
         .when(m == 2, F.expr("substring(props, 1, length(props) - 1)"))
         .when(m == 3, F.lit("null"))
+        .when(m == 4, F.lit("   "))
         .otherwise(F.col("props"))
     )
     d = ev.select(
@@ -16045,7 +16050,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_customers,
                    CAST(SUM(cents) AS BIGINT) AS total_cents,
                    CAST(CASE WHEN SUM(CAST(cents AS HUGEINT) * cents)
-                             < CAST(1e32 AS HUGEINT)
+                             < CAST('100000000000000000000000000000000'
+                                    AS HUGEINT)
                         THEN SUM(CAST(cents AS HUGEINT) * cents)
                              * CAST(1000000 AS HUGEINT)
                              // (SUM(CAST(cents AS HUGEINT))
@@ -16160,12 +16166,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 5 <> 4"""
     sql["edge_json_malformed"] = """
             WITH d AS (
-              SELECT CAST(event_id % 5 AS BIGINT) AS bucket,
-                     CASE event_id % 5
+              SELECT CAST(event_id % 6 AS BIGINT) AS bucket,
+                     CASE event_id % 6
                        WHEN 0 THEN ''
                        WHEN 1 THEN '{'
                        WHEN 2 THEN substring(props, 1, len(props) - 1)
                        WHEN 3 THEN 'null'
+                       WHEN 4 THEN '   '
                        ELSE props END AS t
               FROM events
             ), x AS (
