@@ -9120,9 +9120,12 @@ def q_graph_edge_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("common").cast("long").alias("common"),
             F.col("du").cast("long").alias("du"),
             F.col("dv").cast("long").alias("dv"),
+            # widen the ppm numerator: 1e6·common wraps BIGINT once an
+            # edge has >9.2e12 common neighbors; DECIMAL(38,0) holds
+            # the product exactly at any BIGINT count (≤9.2e24 ≪ 1e38)
             F.expr(
-                "CAST((1000000 * common) DIV (du + dv - 2 - common)"
-                " AS BIGINT)"
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * common)"
+                " DIV (du + dv - 2 - common) AS BIGINT)"
             ).alias("jacc_ppm"),
         )
     )
@@ -9667,13 +9670,24 @@ def q_rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             # DECIMAL(38,0) before the square: co²·1e6 wraps BIGINT
             # once a pair co-occurs >3e6 times — routine for popular
             # item pairs at corpus scale (r9 overflow sweep). The
-            # degree product gets the same widening.
+            # degree product gets the same widening. And since co²
+            # alone reaches 8.5e37, the ·1e6 form can exceed even
+            # 128-bit range — the r10 branch rule (same as
+            # agg_hhi_concentration): exact decimal while co² < 1e32
+            # (co < 1e16 — every realistic corpus), else the
+            # IDENTICAL IEEE-double expression on both engines.
             F.expr(
-                "CAST(co AS DECIMAL(38,0)) * co * 1000000"
-                " DIV (CAST(deg_a AS DECIMAL(38,0)) * deg_b)"
-            )
-            .cast("long")
-            .alias("cos2_ppm"),
+                "CAST(CASE WHEN CAST(co AS DECIMAL(38,0)) * co"
+                " < CAST(100000000000000000000000000000000"
+                "        AS DECIMAL(38,0))"
+                " THEN CAST(co AS DECIMAL(38,0)) * co * 1000000"
+                "      DIV (CAST(deg_a AS DECIMAL(38,0)) * deg_b)"
+                " ELSE CAST(floor(CAST(co AS DOUBLE)"
+                "      / CAST(deg_a AS DOUBLE) * CAST(co AS DOUBLE)"
+                "      / CAST(deg_b AS DOUBLE) * 1000000.0)"
+                "      AS DECIMAL(38,0))"
+                " END AS BIGINT)"
+            ).alias("cos2_ppm"),
         )
     )
     return scored.orderBy(
@@ -10028,24 +10042,39 @@ def q_s28_restart_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (od, f"bw_s28_od_{tag}", os.path.join(base, "od"), ["o_orderkey"], BUCKET_JOIN_N),
     ]
     try:
-        LY.publish_bucketed_pair(specs, manifest, "v1", fail_between=True)
-        raise RuntimeError("s28: injected crash did not fire")
-    except LY.InjectedLayoutCrash:
-        pass
-    if os.path.exists(manifest):
-        raise RuntimeError(
-            "s28: torn layout published — manifest exists after a crash"
-            " between the two bucketed writes"
+        try:
+            LY.publish_bucketed_pair(specs, manifest, "v1", fail_between=True)
+            raise RuntimeError("s28: injected crash did not fire")
+        except LY.InjectedLayoutCrash:
+            pass
+        if os.path.exists(manifest):
+            raise RuntimeError(
+                "s28: torn layout published — manifest exists after a crash"
+                " between the two bucketed writes"
+            )
+        # the resume: a fresh publish under a new version; the v1 orphan
+        # stays in the catalog and must be ignored.
+        LY.publish_bucketed_pair(specs, manifest, "v2")
+        a, b = LY.read_bucketed_pair(spark, manifest)
+        j = a.join(b, F.col("l_orderkey") == F.col("o_orderkey"))
+        res = j.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum("l_extendedprice").alias("sum_price"),
         )
-    # the resume: a fresh publish under a new version; the v1 orphan
-    # stays in the catalog and must be ignored.
-    LY.publish_bucketed_pair(specs, manifest, "v2")
-    a, b = LY.read_bucketed_pair(spark, manifest)
-    j = a.join(b, F.col("l_orderkey") == F.col("o_orderkey"))
-    return j.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        _dsum("l_extendedprice").alias("sum_price"),
-    )
+        # Materialize (5 rows, executor-side) BEFORE the finally drops
+        # the catalog tables the lazy plan would still need.
+        return res.localCheckpoint(eager=True)
+    finally:
+        # leave nothing behind: every tagged table this run created
+        # (the v1 orphan included) plus the tempdir data/manifest.
+        import shutil as _shutil
+
+        LY.drop_layout_tables(
+            spark,
+            [f"{s[1]}_{v}" for s in specs for v in ("v1", "v2")],
+            [],
+        )
+        _shutil.rmtree(base, ignore_errors=True)
 
 
 def q_s24_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10657,10 +10686,26 @@ def q_rec_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CAST(co AS DECIMAL(38,0)) * 1000000 DIV deg_a"
             ).cast("long").alias("confidence_ppm"),
+            # Three BIGINT factors: co·nb alone reaches 8.5e37, so the
+            # ·1e6 form can exceed even DECIMAL(38,0)/HUGEINT range —
+            # the r10 branch rule (same as agg_hhi_concentration):
+            # exact decimal while co·nb < 1e32 (every realistic corpus;
+            # co·nb ≥ 1e32 needs ≥1e16 baskets), else the IDENTICAL
+            # IEEE-double expression on both engines (±1 ppm, byte-
+            # identical because both run the same ops in the same
+            # order). The guard product co·nb ≤ 8.5e37 always fits.
             F.expr(
-                "CAST(co AS DECIMAL(38,0)) * nb * 1000000"
-                " DIV (CAST(deg_a AS DECIMAL(38,0)) * deg_c)"
-            ).cast("long").alias("lift_ppm"),
+                "CAST(CASE WHEN CAST(co AS DECIMAL(38,0)) * nb"
+                " < CAST(100000000000000000000000000000000"
+                "        AS DECIMAL(38,0))"
+                " THEN CAST(co AS DECIMAL(38,0)) * nb * 1000000"
+                "      DIV (CAST(deg_a AS DECIMAL(38,0)) * deg_c)"
+                " ELSE CAST(floor(CAST(co AS DOUBLE)"
+                "      / CAST(deg_a AS DOUBLE) / CAST(deg_c AS DOUBLE)"
+                "      * CAST(nb AS DOUBLE) * 1000000.0)"
+                "      AS DECIMAL(38,0))"
+                " END AS BIGINT)"
+            ).alias("lift_ppm"),
         )
     )
     return scored.orderBy(
@@ -15727,7 +15772,7 @@ def oracle_sql() -> dict[str, str]:
             scored AS (
               SELECT p.u, p.v, CAST(p.common AS BIGINT) AS common,
                      CAST(d1.d AS BIGINT) AS du, CAST(d2.d AS BIGINT) AS dv,
-                     CAST((1000000 * p.common)
+                     CAST((CAST(1000000 AS HUGEINT) * p.common)
                           // (d1.d + d2.d - 2 - p.common) AS BIGINT)
                        AS jacc_ppm
               FROM pairs p
@@ -15800,8 +15845,17 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY a.l_partkey, b.l_partkey
             ), scored AS (
               SELECT part_a, part_b, CAST(co AS BIGINT) AS co,
-                     CAST(co * co * CAST(1000000 AS BIGINT)
-                          // (da.deg * db.deg) AS BIGINT) AS cos2_ppm
+                     CAST(CASE WHEN CAST(co AS HUGEINT) * co
+                          < CAST('100000000000000000000000000000000'
+                                 AS HUGEINT)
+                          THEN CAST(co AS HUGEINT) * co * 1000000
+                               // (CAST(da.deg AS HUGEINT) * db.deg)
+                          ELSE CAST(floor(CAST(co AS DOUBLE)
+                               / CAST(da.deg AS DOUBLE)
+                               * CAST(co AS DOUBLE)
+                               / CAST(db.deg AS DOUBLE) * 1000000.0)
+                               AS HUGEINT)
+                          END AS BIGINT) AS cos2_ppm
               FROM co
               JOIN deg da ON da.l_partkey = part_a
               JOIN deg db ON db.l_partkey = part_b
@@ -16010,9 +16064,17 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS support_ppm,
                      CAST(CAST(co AS HUGEINT) * 1000000 // da.deg
                        AS BIGINT) AS confidence_ppm,
-                     CAST(CAST(co AS HUGEINT) * nb * 1000000
-                          // (CAST(da.deg AS HUGEINT) * dc.deg)
-                       AS BIGINT) AS lift_ppm
+                     CAST(CASE WHEN CAST(co AS HUGEINT) * nb
+                          < CAST('100000000000000000000000000000000'
+                                 AS HUGEINT)
+                          THEN CAST(co AS HUGEINT) * nb * 1000000
+                               // (CAST(da.deg AS HUGEINT) * dc.deg)
+                          ELSE CAST(floor(CAST(co AS DOUBLE)
+                               / CAST(da.deg AS DOUBLE)
+                               / CAST(dc.deg AS DOUBLE)
+                               * CAST(nb AS DOUBLE) * 1000000.0)
+                               AS HUGEINT)
+                          END AS BIGINT) AS lift_ppm
               FROM directed
               JOIN deg da ON da.l_partkey = ante
               JOIN deg dc ON dc.l_partkey = cons

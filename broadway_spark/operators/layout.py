@@ -154,6 +154,14 @@ def publish_bucketed_pair(
     never reads. This is the s21 manifest-commit pattern applied to
     the bucketed-layout write path.
 
+    After a successful publish, the PREVIOUS manifest version's tables
+    and data paths are garbage-collected (the Iceberg/Delta
+    expire-snapshots step at its minimum size): superseded staging
+    tables would otherwise accumulate in the catalog/warehouse without
+    bound across publishes. GC runs strictly AFTER the atomic rename,
+    so a crash anywhere before it leaves the old version fully
+    readable — readers never see a window with neither version intact.
+
     ``specs``: (df, table_base_name, path_base, bucket_cols,
     num_buckets) per table. ``fail_between=True`` raises
     InjectedLayoutCrash after the first table's write — the
@@ -162,20 +170,47 @@ def publish_bucketed_pair(
     import json
     import os
 
-    names = []
+    spark = specs[0][0].sparkSession
+    try:
+        with open(manifest_path) as fh:
+            prev = json.load(fh)
+    except FileNotFoundError:
+        prev = None
+    names, paths = [], []
     for i, (df, tname, pbase, cols, n) in enumerate(specs):
         versioned = f"{tname}_{version}"
-        write_bucketed(df, versioned, f"{pbase}_{version}", cols, n)
+        vpath = f"{pbase}_{version}"
+        write_bucketed(df, versioned, vpath, cols, n)
         names.append(versioned)
+        paths.append(vpath)
         if fail_between and i == 0:
             raise InjectedLayoutCrash(
                 "injected crash between bucketed writes"
             )
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "tables": names}, fh)
+        json.dump({"version": version, "tables": names, "paths": paths}, fh)
     os.rename(tmp, manifest_path)
+    if prev is not None and prev.get("version") != version:
+        drop_layout_tables(
+            spark, prev.get("tables", []), prev.get("paths", [])
+        )
     return names
+
+
+def drop_layout_tables(
+    spark: SparkSession, tables: list[str], paths: list[str]
+) -> None:
+    """Best-effort GC of superseded/orphaned versioned layout tables:
+    drop the catalog entries, then remove the external data dirs
+    (saveAsTable with an explicit path makes EXTERNAL tables, so DROP
+    alone leaves the parquet behind)."""
+    import shutil
+
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def read_bucketed_pair(

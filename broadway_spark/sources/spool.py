@@ -55,12 +55,31 @@ def _data_files(path: str) -> list[str]:
     return [os.path.join(path, f) for f in names]
 
 
-def _count_rows(path: str) -> int:
-    total = 0
+def _parse_pos_int(raw, name: str) -> int | None:
+    """Option parser mirroring the reference's ``pos_integer`` checks
+    (``options.ex``): absent/None means "not set"; anything present
+    must be a strictly positive integer — 0 is rejected loudly rather
+    than silently meaning "unlimited" (the reference treats
+    ``allowed_messages: 0`` as a config error, not infinity)."""
+    if raw is None or raw == "":
+        return None
+    v = int(raw)
+    if v <= 0:
+        raise ValueError(f"{name} must be a positive integer, got {raw!r}")
+    return v
+
+
+def _snapshot_files(path: str) -> list[tuple[str, int]]:
+    """Point-in-time (file, non-blank-row-count) snapshot of the spool.
+    Planning embeds this snapshot into every partition so executors
+    never re-list the directory: a file pushed concurrently whose name
+    sorts before existing files (or an append to an existing file)
+    cannot shift global row indices between planning and execution."""
+    snap = []
     for f in _data_files(path):
         with open(f, "rb") as fh:
-            total += sum(1 for line in fh if line.strip())
-    return total
+            snap.append((f, sum(1 for line in fh if line.strip())))
+    return snap
 
 
 class _RowCountCache:
@@ -77,8 +96,10 @@ class _RowCountCache:
         self._by_file: dict[str, tuple[int, int, int]] = {}
         self.files_read = 0  # actual content scans (observability/tests)
 
-    def total(self, path: str) -> int:
-        total = 0
+    def snapshot(self, path: str) -> list[tuple[str, int]]:
+        """(file, row-count) list via the cache — unchanged files cost
+        one stat; only new/appended files are re-read."""
+        snap = []
         live = set()
         for f in _data_files(path):
             live.add(f)
@@ -88,7 +109,7 @@ class _RowCountCache:
                 continue
             cached = self._by_file.get(f)
             if cached and cached[0] == st.st_size and cached[1] == st.st_mtime_ns:
-                total += cached[2]
+                snap.append((f, cached[2]))
                 continue
             with open(f, "rb") as fh:
                 n = sum(1 for line in fh if line.strip())
@@ -97,24 +118,45 @@ class _RowCountCache:
             # is newer than the recorded (size, mtime) and the next
             # trigger re-reads — conservative, never stale-low forever.
             self._by_file[f] = (st.st_size, st.st_mtime_ns, n)
-            total += n
+            snap.append((f, n))
         for gone in [f for f in self._by_file if f not in live]:
             del self._by_file[gone]
-        return total
+        return snap
+
+    def total(self, path: str) -> int:
+        return sum(n for _, n in self.snapshot(path))
 
 
 class _SpoolPartition(InputPartition):
-    def __init__(self, path: str, start: int, end: int):
+    """A contiguous row range [start, end) over a PLANNED file
+    snapshot. ``files`` is the (file, row-count) list frozen at
+    partition-planning time on the driver; executors read only this
+    snapshot (capped at the planned per-file counts) so concurrent
+    pushes/appends between planning and execution can't shift the
+    global row indexing."""
+
+    def __init__(
+        self,
+        path: str,
+        start: int,
+        end: int,
+        files: list[tuple[str, int]],
+    ):
         self.path = path
         self.start = start
         self.end = end
+        self.files = files
 
 
 class _SpoolStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.path = options["path"]
-        self.allowed = int(options.get("allowed_per_trigger", 0)) or None
-        self.max_backlog = int(options.get("max_backlog", 0)) or None
+        self.allowed = _parse_pos_int(
+            options.get("allowed_per_trigger"), "allowed_per_trigger"
+        )
+        self.max_backlog = _parse_pos_int(
+            options.get("max_backlog"), "max_backlog"
+        )
         self.num_partitions = int(options.get("num_partitions", 4))
         self.fields = [f.name for f in schema.fields]
         self.schema = schema
@@ -206,37 +248,61 @@ class _SpoolStreamReader(DataSourceStreamReader):
         )
 
     def _current_allowed(self) -> int | None:
+        # Error handling mirrors get_rate_limiting exactly: any
+        # unreadable/invalid control file (missing, torn despite the
+        # atomic rename, non-integer, non-positive) falls back to the
+        # constructor rate. An explicit null means unlimited; 0 is
+        # INVALID (reference pos_integer) and update_rate_limiting
+        # refuses to write it.
         ctrl = os.path.join(self.path, RATE_CONTROL_FILE)
         try:
             with open(ctrl) as fh:
                 v = json.load(fh).get("allowed_per_trigger")
-                return int(v) if v else None
-        except (FileNotFoundError, ValueError, json.JSONDecodeError):
+            return _parse_pos_int(v, "allowed_per_trigger")
+        except (FileNotFoundError, ValueError, TypeError, json.JSONDecodeError):
             return self.allowed
 
     def partitions(self, start: dict, end: dict):
         # S4 (producer concurrency): split the admitted row range into
         # contiguous chunks — one task per chunk. Admission stays global
         # and exact (decided in latestOffset); only the *read* fans out.
+        # The file list + per-file counts are SNAPSHOTTED here on the
+        # driver and baked into every partition: executors never
+        # re-list the directory, so a concurrently pushed file that
+        # sorts before existing files (or an append) can't shift row
+        # indices between planning and execution.
+        snap = self._counts.snapshot(self.path)
         lo, hi = start["row"], end["row"]
         n = max(1, min(self.num_partitions, hi - lo))
         step = (hi - lo + n - 1) // n if hi > lo else 1
         parts = []
         while lo < hi:
-            parts.append(_SpoolPartition(self.path, lo, min(lo + step, hi)))
+            parts.append(
+                _SpoolPartition(self.path, lo, min(lo + step, hi), snap)
+            )
             lo += step
-        return parts or [_SpoolPartition(self.path, start["row"], end["row"])]
+        return parts or [
+            _SpoolPartition(self.path, start["row"], end["row"], snap)
+        ]
 
     def read(self, partition: _SpoolPartition):
         idx = 0
-        for f in _data_files(partition.path):
-            with open(f, "r", encoding="utf-8") as fh:
+        for fpath, n_planned in partition.files:
+            if idx >= partition.end:
+                return
+            if idx + n_planned <= partition.start:
+                idx += n_planned  # skip whole file without opening it
+                continue
+            taken = 0
+            with open(fpath, "r", encoding="utf-8") as fh:
                 for line in fh:
+                    # cap at the PLANNED count: rows appended to this
+                    # file after planning belong to a later batch
+                    if taken >= n_planned or idx >= partition.end:
+                        break
                     line = line.strip()
                     if not line:
                         continue
-                    if idx >= partition.end:
-                        return
                     if idx >= partition.start:
                         rec = json.loads(line)
                         yield tuple(
@@ -245,6 +311,7 @@ class _SpoolStreamReader(DataSourceStreamReader):
                             for name, c in zip(self.fields, self.coercers)
                         )
                     idx += 1
+                    taken += 1
 
     def commit(self, end: dict) -> None:
         # Source-side ack: journal the committed offset (at-least-once;
@@ -276,8 +343,15 @@ class _SpoolBatchReader(DataSourceReader):
         self.path = options["path"]
 
     def partitions(self):
-        total = _count_rows(self.path)
-        return self._stream.partitions({"row": 0}, {"row": total})
+        # One snapshot defines BOTH the total row count and the exact
+        # file list every partition reads — planning and execution see
+        # the same spool even if files land concurrently.
+        snap = _snapshot_files(self.path)
+        total = sum(n for _, n in snap)
+        parts = self._stream.partitions({"row": 0}, {"row": total})
+        for p in parts:
+            p.files = snap
+        return parts
 
     def read(self, partition: _SpoolPartition):
         return self._stream.read(partition)
@@ -358,7 +432,12 @@ class SpoolSource:
     def update_rate_limiting(self, allowed_per_trigger: int | None) -> None:
         """F3: Broadway.update_rate_limiting/2 — change the admission
         cap at runtime; the reader re-reads it on the next trigger.
-        None resets to unlimited."""
+        None resets to unlimited. 0 (or any non-positive value) is
+        rejected — the reference types allowed_messages as pos_integer
+        (``options.ex``), so "no messages ever" must be an explicit
+        config error, not a silent synonym for unlimited."""
+        if allowed_per_trigger is not None:
+            _parse_pos_int(allowed_per_trigger, "allowed_per_trigger")
         os.makedirs(self.path, exist_ok=True)
         # atomic rename: latestOffset re-reads this file every trigger,
         # and a torn read would fall back to the ORIGINAL constructor
@@ -371,11 +450,15 @@ class SpoolSource:
         os.rename(tmp, target)
 
     def get_rate_limiting(self) -> int | None:
-        """F3: Broadway.get_rate_limiting/1."""
+        """F3: Broadway.get_rate_limiting/1. Error handling matches the
+        reader's ``_current_allowed`` exactly — a missing, torn, or
+        invalid (non-integer / non-positive) control file reports the
+        constructor rate, the same value the reader would admit at."""
         try:
             with open(os.path.join(self.path, RATE_CONTROL_FILE)) as fh:
-                return json.load(fh).get("allowed_per_trigger")
-        except FileNotFoundError:
+                v = json.load(fh).get("allowed_per_trigger")
+            return _parse_pos_int(v, "allowed_per_trigger")
+        except (FileNotFoundError, ValueError, TypeError, json.JSONDecodeError):
             return self.allowed_per_trigger
 
     def push_messages(self, records: list[dict], filename: str) -> None:

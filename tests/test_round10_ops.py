@@ -1,0 +1,267 @@
+"""Round-10 regression tests — the r9 advisory closures:
+
+1. Spool batch/stream reads plan against a frozen file snapshot:
+   files pushed (even name-sorted-first) or appended between
+   partition planning and executor read must not shift, duplicate,
+   or drop rows of the planned batch.
+2. Rate-limit plumbing: 0 is rejected everywhere (reference
+   pos_integer), and get_rate_limiting's error handling matches the
+   reader's _current_allowed (corrupt/invalid file → constructor
+   rate).
+3. publish_bucketed_pair garbage-collects the superseded manifest
+   version after a successful publish (catalog + data paths), and
+   never before the atomic rename.
+4. The DECIMAL(38,0) 1e38 overflow branch (agg_hhi pattern) on the
+   three-factor ppm products: exact decimal below 1e32, identical
+   IEEE-double expression above it — verified at DECIMAL-breaking
+   magnitudes against a Python bigint/float reference.
+"""
+
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from broadway_spark.operators import layout as LY
+from broadway_spark.sources import SpoolSource
+from broadway_spark.sources.spool import (
+    _SpoolBatchReader,
+    _SpoolStreamReader,
+)
+
+from .conftest import EVENTS_DDL, make_events
+
+
+def _read_all(reader, parts):
+    rows = []
+    for p in parts:
+        rows.extend(reader.read(p))
+    return rows
+
+
+def test_spool_batch_read_snapshot_survives_concurrent_push(spark, tmp_path):
+    """A file pushed AFTER partition planning — with a name that sorts
+    BEFORE every existing file — and an append to an existing file
+    must both be invisible to the planned read: exactly the planned
+    rows, once each."""
+    spool = str(tmp_path / "spool")
+    src = SpoolSource(
+        name="s", path=spool, schema_ddl=EVENTS_DDL, ack_data_column="event_id"
+    )
+    src.push_messages(make_events(40, start=0), "100_a.jsonl")
+    src.push_messages(make_events(40, start=40), "200_b.jsonl")
+    schema = spark.createDataFrame([], EVENTS_DDL).schema
+    reader = _SpoolBatchReader(schema, {"path": spool, "num_partitions": "3"})
+    parts = reader.partitions()
+
+    # the race: a new file that sorts FIRST, plus an append to 100_a
+    src.push_messages(make_events(10, start=900), "000_late.jsonl")
+    with open(os.path.join(spool, "100_a.jsonl"), "a") as fh:
+        for rec in make_events(5, start=800):
+            fh.write(json.dumps(rec) + "\n")
+
+    got = sorted(r[0] for r in _read_all(reader, parts))
+    assert got == list(range(80)), (
+        "planned batch must be exactly the snapshot rows — "
+        f"got {len(got)} rows, head={got[:5]} tail={got[-5:]}"
+    )
+
+
+def test_spool_stream_partitions_snapshot_pins_row_indices(spark, tmp_path):
+    """Streaming path: partitions(start, end) freezes the file list;
+    executors reading after a sorts-first push still see the original
+    row indexing (no duplicated / dropped rows across partitions)."""
+    spool = str(tmp_path / "spool")
+    src = SpoolSource(
+        name="s", path=spool, schema_ddl=EVENTS_DDL, ack_data_column="event_id"
+    )
+    src.push_messages(make_events(60), "500_x.jsonl")
+    schema = spark.createDataFrame([], EVENTS_DDL).schema
+    reader = _SpoolStreamReader(schema, {"path": spool, "num_partitions": "4"})
+    end = reader.latestOffset()
+    assert end == {"row": 60}
+    parts = reader.partitions({"row": 0}, end)
+    src.push_messages(make_events(20, start=700), "000_first.jsonl")
+    got = sorted(r[0] for r in _read_all(reader, parts))
+    assert got == list(range(60))
+
+
+def test_rate_limit_zero_rejected_and_fallbacks_aligned(spark, tmp_path):
+    """0 is not 'unlimited': update_rate_limiting(0) raises, a reader
+    constructed with allowed_per_trigger=0 raises, and BOTH readers of
+    the control file fall back to the constructor rate on a corrupt or
+    non-positive on-disk value (previously get_rate_limiting crashed on
+    corrupt JSON while _current_allowed silently fell back)."""
+    spool = str(tmp_path / "spool")
+    src = SpoolSource(
+        name="s",
+        path=spool,
+        schema_ddl=EVENTS_DDL,
+        ack_data_column="event_id",
+        allowed_per_trigger=10,
+    )
+    with pytest.raises(ValueError, match="positive"):
+        src.update_rate_limiting(0)
+    with pytest.raises(ValueError, match="positive"):
+        src.update_rate_limiting(-5)
+
+    schema = spark.createDataFrame([], EVENTS_DDL).schema
+    with pytest.raises(ValueError, match="positive"):
+        _SpoolStreamReader(schema, {"path": spool, "allowed_per_trigger": "0"})
+
+    reader = _SpoolStreamReader(
+        schema, {"path": spool, "allowed_per_trigger": "10"}
+    )
+    os.makedirs(spool, exist_ok=True)
+    ctrl = os.path.join(spool, "_rate_control.json")
+
+    for bad in ['{"allowed_per_trigger": 0}', "{torn", '{"allowed_per_trigger": "x"}']:
+        with open(ctrl, "w") as fh:
+            fh.write(bad)
+        assert reader._current_allowed() == 10, bad
+        assert src.get_rate_limiting() == 10, bad
+
+    # a valid update still round-trips; explicit null means unlimited
+    src.update_rate_limiting(25)
+    assert src.get_rate_limiting() == 25
+    assert reader._current_allowed() == 25
+    src.update_rate_limiting(None)
+    assert src.get_rate_limiting() is None
+    assert reader._current_allowed() is None
+
+
+def test_publish_bucketed_pair_gcs_previous_version(spark, tmp_path):
+    """v2's successful publish drops v1's catalog tables and removes
+    v1's data paths — AFTER the manifest rename (a v2 crash before the
+    rename must leave v1 fully readable, proven by the fail_between
+    publish keeping v1 intact)."""
+    SF = "/root/testdata/sf0.001"
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice")
+    )
+    od = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    manifest = str(tmp_path / "manifest.json")
+    specs = [
+        (li, "t10_gc_li", str(tmp_path / "li"), ["l_orderkey"], 4),
+        (od, "t10_gc_od", str(tmp_path / "od"), ["o_orderkey"], 4),
+    ]
+    try:
+        LY.publish_bucketed_pair(specs, manifest, "v1")
+        assert spark.catalog.tableExists("t10_gc_li_v1")
+        assert os.path.isdir(str(tmp_path / "li") + "_v1")
+
+        # a crashed v2 publish must NOT GC v1 (rename never happened)
+        with pytest.raises(LY.InjectedLayoutCrash):
+            LY.publish_bucketed_pair(specs, manifest, "v2", fail_between=True)
+        assert spark.catalog.tableExists("t10_gc_li_v1")
+        a, b = LY.read_bucketed_pair(spark, manifest)
+        assert a.count() > 0  # v1 still the readable version
+
+        # the successful v2 publish GCs v1: catalog entries AND paths
+        LY.publish_bucketed_pair(specs, manifest, "v2")
+        assert not spark.catalog.tableExists("t10_gc_li_v1")
+        assert not spark.catalog.tableExists("t10_gc_od_v1")
+        assert not os.path.isdir(str(tmp_path / "li") + "_v1")
+        assert spark.catalog.tableExists("t10_gc_li_v2")
+        with open(manifest) as fh:
+            m = json.load(fh)
+        assert m["version"] == "v2" and len(m["tables"]) == 2
+    finally:
+        LY.drop_layout_tables(
+            spark,
+            [f"{t}_{v}" for t in ("t10_gc_li", "t10_gc_od") for v in ("v1", "v2")],
+            [],
+        )
+
+
+# --- the 1e38 branch, at DECIMAL-breaking magnitudes ---------------------
+
+_LIFT_EXPR = (
+    "CAST(CASE WHEN CAST(co AS DECIMAL(38,0)) * nb"
+    " < CAST(100000000000000000000000000000000 AS DECIMAL(38,0))"
+    " THEN CAST(co AS DECIMAL(38,0)) * nb * 1000000"
+    "      DIV (CAST(deg_a AS DECIMAL(38,0)) * deg_c)"
+    " ELSE CAST(floor(CAST(co AS DOUBLE) / CAST(deg_a AS DOUBLE)"
+    "      / CAST(deg_c AS DOUBLE) * CAST(nb AS DOUBLE) * 1000000.0)"
+    "      AS DECIMAL(38,0))"
+    " END AS BIGINT)"
+)
+
+
+def _lift_py(co: int, nb: int, deg_a: int, deg_c: int) -> int:
+    if co * nb < 10**32:
+        return (co * nb * 1_000_000) // (deg_a * deg_c)
+    return math.floor(co / deg_a / deg_c * nb * 1_000_000.0)
+
+
+@pytest.mark.parametrize(
+    "co,nb,deg_a,deg_c",
+    [
+        # exact branch, just under the 1e32 guard (co·nb ≈ 9.9e31):
+        # co·nb·1e6 ≈ 9.9e37 — past HUGEINT-naive but inside DEC(38,0)
+        (9_900_000_000_000_000, 10_000_000_000_000_000,
+         9_900_000_000_000_000, 9_999_999_999_999_999),
+        # double branch, just over the guard
+        (10_000_000_000_000_001, 10_000_000_000_000_000,
+         10_100_000_000_000_000, 10_200_000_000_000_000),
+        # deep double branch: co·nb ≈ 8.5e37 (the BIGINT² extreme)
+        (9_223_372_036_854_775_000, 9_223_372_036_854_775_000,
+         9_223_372_036_854_775_807, 9_223_372_036_854_775_807),
+    ],
+)
+def test_lift_ppm_branch_at_decimal_breaking_magnitudes(
+    spark, co, nb, deg_a, deg_c
+):
+    row = (
+        spark.createDataFrame(
+            [(co, nb, deg_a, deg_c)], "co long, nb long, deg_a long, deg_c long"
+        )
+        .selectExpr(f"{_LIFT_EXPR} AS v")
+        .collect()[0]
+    )
+    assert row["v"] == _lift_py(co, nb, deg_a, deg_c)
+    assert row["v"] is not None  # the r9 silent-NULL failure mode
+
+
+def test_lift_ppm_duckdb_twin_matches_at_breaking_magnitudes(spark):
+    """The DuckDB form of the same branch returns the same value —
+    the cross-engine contract the oracle gate enforces, checked here
+    at magnitudes the gate's data never reaches."""
+    import duckdb
+
+    duck_expr = (
+        "CAST(CASE WHEN CAST(co AS HUGEINT) * nb"
+        " < CAST('100000000000000000000000000000000' AS HUGEINT)"
+        " THEN CAST(co AS HUGEINT) * nb * 1000000"
+        "      // (CAST(deg_a AS HUGEINT) * deg_c)"
+        " ELSE CAST(floor(CAST(co AS DOUBLE) / CAST(deg_a AS DOUBLE)"
+        "      / CAST(deg_c AS DOUBLE) * CAST(nb AS DOUBLE) * 1000000.0)"
+        "      AS HUGEINT)"
+        " END AS BIGINT)"
+    )
+    cases = [
+        (9_900_000_000_000_000, 10_000_000_000_000_000,
+         9_900_000_000_000_000, 9_999_999_999_999_999),
+        (10_000_000_000_000_001, 10_000_000_000_000_000,
+         10_100_000_000_000_000, 10_200_000_000_000_000),
+    ]
+    for co, nb, deg_a, deg_c in cases:
+        (got,) = duckdb.sql(
+            f"SELECT {duck_expr} FROM (SELECT CAST({co} AS BIGINT) co,"
+            f" CAST({nb} AS BIGINT) nb, CAST({deg_a} AS BIGINT) deg_a,"
+            f" CAST({deg_c} AS BIGINT) deg_c)"
+        ).fetchone()
+        spark_v = (
+            spark.createDataFrame(
+                [(co, nb, deg_a, deg_c)],
+                "co long, nb long, deg_a long, deg_c long",
+            )
+            .selectExpr(f"{_LIFT_EXPR} AS v")
+            .collect()[0]["v"]
+        )
+        assert got == spark_v == _lift_py(co, nb, deg_a, deg_c)
