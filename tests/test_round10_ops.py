@@ -265,3 +265,110 @@ def test_lift_ppm_duckdb_twin_matches_at_breaking_magnitudes(spark):
             .collect()[0]["v"]
         )
         assert got == spark_v == _lift_py(co, nb, deg_a, deg_c)
+
+
+# --- stream-stream LEFT ANTI emulation (s32/s33 family) ------------------
+
+
+def _write_event_file(spark, path, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "kind", "event_id", "ts"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        path + "_stage"
+    )
+    import glob
+    import shutil
+
+    part = glob.glob(os.path.join(path + "_stage", "part-*.parquet"))[0]
+    shutil.move(part, path)
+    shutil.rmtree(path + "_stage")
+
+
+def test_stream_anti_join_boundaries_and_cross_batch(spark, tmp_path):
+    """The core anti-join wrinkles, forced across micro-batches:
+
+    - a purchase must NOT decide before the watermark passes it — its
+      matching click may arrive in a LATER file (premature emission
+      would be the false positive the operator exists to prevent);
+    - the lookback window is inclusive on both ends: a click exactly
+      at t−1h suppresses, a click after t never matches;
+    - purchases the final watermark never passes stay unemitted."""
+    import datetime as dt
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from broadway_spark.streaming.stateful_dedup import use_rocksdb_state
+    from broadway_spark.streaming.stream_anti_join import (
+        streaming_left_anti_join,
+    )
+
+    use_rocksdb_state(spark)
+    T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(minutes):
+        return T0 + dt.timedelta(minutes=minutes)
+
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    # file 1: purchase P(u1)@0m; driver row pushes wm to -30m (< 0m)
+    _write_event_file(
+        spark,
+        os.path.join(watch, "ev000.parquet"),
+        [
+            (1, "purchase", 100, at(0)),
+            (9, "other", 900, at(30)),
+        ],
+    )
+    # file 2: the LATE-BUT-VALID click for P (u1)@-10m (≥ wm -30m),
+    # a control purchase Q(u2)@5m with no click, boundary purchases:
+    # u3 click exactly at t-60m (suppresses), u4 click AFTER t (no
+    # match -> emits); driver row pushes wm to +120m so all decide
+    _write_event_file(
+        spark,
+        os.path.join(watch, "ev001.parquet"),
+        [
+            (1, "click", 101, at(-10)),
+            (2, "purchase", 200, at(5)),
+            (3, "purchase", 300, at(0)),
+            (3, "click", 301, at(-60)),
+            (4, "purchase", 400, at(0)),
+            (4, "click", 401, at(1)),
+            (5, "purchase", 500, at(170)),  # above final wm: undecided
+            (9, "other", 901, at(180)),
+        ],
+    )
+    t0 = dt.datetime.now().timestamp() - 7200
+    for i, f in enumerate(sorted(os.listdir(watch))):
+        os.utime(os.path.join(watch, f), (t0 + 60 * i, t0 + 60 * i))
+    schema = spark.read.parquet(watch).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    anti = streaming_left_anti_join(
+        stream,
+        key_col="user_id",
+        is_left=F.col("kind") == "purchase",
+        left_id="event_id",
+        ts_col="ts",
+        lookback_ms=3_600_000,
+        watermark_delay="30 minutes",
+    )
+    qn = f"anti_{uuid.uuid4().hex[:6]}"
+    q = (
+        anti.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    got = sorted(r["left_id"] for r in spark.table(qn).collect())
+    # 100 suppressed (click arrived in a later batch), 200 emitted,
+    # 300 suppressed (click exactly at t-1h, inclusive), 400 emitted
+    # (click after t), 500 undecided (final wm = 180m-30m = 150m < 170m)
+    assert got == [200, 400], got
