@@ -22,6 +22,20 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# The registry-wide sweeps (cartesian, quadratic frames, un-partitioned
+# windows) each need every query's physical plan — and building a
+# drain query's plan RUNS the drain. Share one plan snapshot across
+# all sweeps instead of re-executing the registry per sweep.
+_PLAN_CACHE: dict = {}
+
+
+def _registry_plans(spark) -> dict:
+    if not _PLAN_CACHE:
+        for name, fn in entry.queries().items():
+            _PLAN_CACHE[name] = _plan(fn(spark, SF))
+    return _PLAN_CACHE
+
+
 def _optimized(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
@@ -340,8 +354,7 @@ def test_no_quadratic_window_frames_in_any_query(spark):
     reversed running frame). Whole-partition frames (unboundedpreceding
     AND unboundedfollowing) are the specialized O(n) frame and pass."""
     offenders = {}
-    for name, fn in entry.queries().items():
-        plan = _plan(fn(spark, SF))
+    for name, plan in _registry_plans(spark).items():
         for line in plan.splitlines():
             if (
                 "unboundedfollowing$()" in line
@@ -403,8 +416,7 @@ def test_no_unguarded_cartesian_in_any_query(spark):
         "edge_zero_vectors",  # broadcast query side (zero-norm ANN)
     }
     offenders = {}
-    for name, fn in entry.queries().items():
-        plan = _plan(fn(spark, SF))
+    for name, plan in _registry_plans(spark).items():
         flags = []
         if "CartesianProduct" in plan:
             flags.append("cartesian")
@@ -458,3 +470,109 @@ def test_ds2_rollup_single_expand_one_shuffle(spark):
     # a third would mean a per-grouping-set re-scan
     assert plan.count("FileScan parquet") <= 3  # 2x lineitem + 1 orders
     assert "partial_" in plan or "HashAggregate" in plan
+
+
+def _window_groups(line: str) -> list:
+    """Top-level [...] groups after 'Window ' in a physical-plan line.
+    Partitioned windows print THREE groups ([exprs], [partition],
+    [order]); two-group windows are partition-only (fine) or
+    order-only / frame-only (single-task)."""
+    rest = line[line.index("Window ") + len("Window "):]
+    depth, groups, cur = 0, [], []
+    for ch in rest:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def _tree_indent(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-*("))
+
+
+def test_no_unpartitioned_window_over_unbounded_input(spark):
+    """Sweep EVERY registered query's physical plan for Window nodes
+    with an EMPTY partition spec — the plan shape that funnels the
+    whole input through ONE task (the r9 verdict's agg_deciles
+    finding, since rewritten via operators/ranking). A hit passes
+    only if:
+
+    - a TakeOrderedAndProject / WindowGroupLimit sits BENEATH it (the
+      pushed-limit top-k pattern: Catalyst bounds the window's input
+      to k rows per partition before the sort), or
+    - the query is on the allowlist below with a justification that
+      its window input is a provably-bounded aggregate (dozens of
+      rows at ANY corpus size — a deliberate scalar/merge step, not a
+      scaling risk).
+
+    Red-on-revert: restoring agg_deciles' old global ntile (or adding
+    any new un-partitioned window over raw/fact rows) fails this
+    sweep."""
+    import re
+
+    BOUNDED_OK = {
+        # sum(n_docs) OVER () over the per-fold aggregate: ≤ k_folds
+        # rows reach the window at any corpus size
+        "sample_kfold",
+        # sum(n_full) OVER () over the per-stratum aggregate (bounded
+        # by the stratum universe, ~dozens)
+        "sample_ks_audit",
+        # dense_rank over the per-micro-batch ack aggregate: ≤ #trigger
+        # batches rows (8 for the gate constants)
+        "f4_rate_update",
+        # cumulative sum ordered by month over a per-month aggregate:
+        # bounded by the calendar, not the corpus
+        "ds6_channel_cumulative",
+        # prefix-max merge over per-range-bucket maxima (the r8
+        # skyline rework): bounded by the fixed bucket count
+        "rel_skyline",
+    }
+    offenders = {}
+    for name, plan in _registry_plans(spark).items():
+        lines = plan.splitlines()
+        hits = []
+        for idx, line in enumerate(lines):
+            stripped = re.sub(r"^[\s:+\-*(]+", "", line)
+            if not stripped.startswith("Window "):
+                continue
+            gs = _window_groups(line)
+            unpart = False
+            if len(gs) == 2:
+                # order spec (ASC/DESC) in group 2 → un-partitioned
+                # ordered window; frame-only windowspecdefinition →
+                # un-partitioned whole-table window
+                if re.search(r" (ASC|DESC)\b", gs[1]):
+                    unpart = True
+                if "windowspecdefinition(specifiedwindowframe" in gs[0]:
+                    unpart = True
+            elif len(gs) <= 1:
+                unpart = True
+            if not unpart:
+                continue
+            base = _tree_indent(line)
+            guarded = False
+            for child in lines[idx + 1:]:
+                if _tree_indent(child) <= base:
+                    break
+                if (
+                    "TakeOrderedAndProject" in child
+                    or "WindowGroupLimit" in child
+                ):
+                    guarded = True
+                    break
+            if not guarded:
+                hits.append(line.strip()[:120])
+        if hits and name not in BOUNDED_OK:
+            offenders[name] = hits[0]
+    assert not offenders, (
+        f"un-partitioned windows over unbounded input: {offenders}"
+    )
