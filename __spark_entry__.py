@@ -5995,6 +5995,53 @@ def _pinned_state_partitions(spark: SparkSession, n: int = 8):
     return _cm()
 
 
+def _purchase_click_sides(
+    ev: DataFrame,
+    with_click_id: bool = True,
+    purchase_user: str = "user_id",
+):
+    """The canonical watermarked purchases/clicks join sides shared by
+    the whole stream-join family (s12/s17/s22/s24/s26/s29/s31 — the r9
+    self-review's factor-this maintenance item): purchases as
+    (purchase_id, <purchase_user>, p_ts), clicks as ([click_id,]
+    c_user, c_ts), both watermarked 1 hour. Semi/anti consumers set
+    ``with_click_id=False`` — existence checks carry no click payload;
+    the full-outer twins alias the purchase user to ``p_user`` so both
+    sides' users survive for the COALESCE."""
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias(purchase_user),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    click_cols = [
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ]
+    if with_click_id:
+        click_cols.insert(0, F.col("event_id").alias("click_id"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(*click_cols)
+        .withWatermark("c_ts", "1 hour")
+    )
+    return purchases, clicks
+
+
+def _click_window_cond(purchase_user: str = "user_id"):
+    """Same-user click within the hour preceding the purchase — the
+    time-bounded join condition that keeps stream-join state evictable
+    (1 h per key)."""
+    return (
+        (F.col(purchase_user) == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+
+
 def q_s12_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM JOIN ON THE ORACLE GATE: purchases joined to the
     same user's clicks within the preceding hour — the canonical
@@ -6010,30 +6057,8 @@ def q_s12_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     ev = _events_stream(spark, sf_dir)
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
-    )
-    joined = purchases.join(
-        clicks,
-        (F.col("user_id") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") <= F.col("p_ts")),
-    ).select(
+    purchases, clicks = _purchase_click_sides(ev)
+    joined = purchases.join(clicks, _click_window_cond()).select(
         "purchase_id",
         "click_id",
         "user_id",
@@ -6075,28 +6100,10 @@ def q_s29_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     ev = _events_stream(spark, sf_dir)
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
-    )
+    purchases, clicks = _purchase_click_sides(ev, with_click_id=False)
     joined = purchases.join(
         clicks,
-        (F.col("user_id") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") <= F.col("p_ts")),
+        _click_window_cond(),
         "left_semi",
     ).select(
         "purchase_id",
@@ -6333,29 +6340,10 @@ def q_s22_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     ev = _events_stream(spark, sf_dir)
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
-    )
+    purchases, clicks = _purchase_click_sides(ev)
     joined = purchases.join(
         clicks,
-        (F.col("user_id") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") <= F.col("p_ts")),
+        _click_window_cond(),
         "leftOuter",
     ).select(
         "purchase_id",
@@ -8132,30 +8120,8 @@ def q_s17_restart_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build():
         ev = _staged_events_stream(spark, watch, schema)
-        purchases = (
-            ev.filter(F.col("event_type") == "purchase")
-            .select(
-                F.col("event_id").alias("purchase_id"),
-                F.col("user_id"),
-                F.col("ts").alias("p_ts"),
-            )
-            .withWatermark("p_ts", "1 hour")
-        )
-        clicks = (
-            ev.filter(F.col("event_type") == "click")
-            .select(
-                F.col("event_id").alias("click_id"),
-                F.col("user_id").alias("c_user"),
-                F.col("ts").alias("c_ts"),
-            )
-            .withWatermark("c_ts", "1 hour")
-        )
-        return purchases.join(
-            clicks,
-            (F.col("user_id") == F.col("c_user"))
-            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-            & (F.col("c_ts") <= F.col("p_ts")),
-        ).select(
+        purchases, clicks = _purchase_click_sides(ev)
+        return purchases.join(clicks, _click_window_cond()).select(
             "purchase_id",
             "click_id",
             "user_id",
@@ -8215,28 +8181,10 @@ def q_s31_restart_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build():
         ev = _staged_events_stream(spark, watch, schema)
-        purchases = (
-            ev.filter(F.col("event_type") == "purchase")
-            .select(
-                F.col("event_id").alias("purchase_id"),
-                F.col("user_id"),
-                F.col("ts").alias("p_ts"),
-            )
-            .withWatermark("p_ts", "1 hour")
-        )
-        clicks = (
-            ev.filter(F.col("event_type") == "click")
-            .select(
-                F.col("user_id").alias("c_user"),
-                F.col("ts").alias("c_ts"),
-            )
-            .withWatermark("c_ts", "1 hour")
-        )
+        purchases, clicks = _purchase_click_sides(ev, with_click_id=False)
         return purchases.join(
             clicks,
-            (F.col("user_id") == F.col("c_user"))
-            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-            & (F.col("c_ts") <= F.col("p_ts")),
+            _click_window_cond(),
             "left_semi",
         ).select(
             "purchase_id",
@@ -10283,29 +10231,10 @@ def q_s24_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     ev = _events_stream(spark, sf_dir)
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
-    )
+    purchases, clicks = _purchase_click_sides(ev, purchase_user="p_user")
     joined = purchases.join(
         clicks,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") <= F.col("p_ts")),
+        _click_window_cond(purchase_user="p_user"),
         "fullOuter",
     ).select(
         "purchase_id",
@@ -10433,29 +10362,12 @@ def q_s26_restart_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build():
         ev = _staged_events_stream(spark, watch, schema)
-        purchases = (
-            ev.filter(F.col("event_type") == "purchase")
-            .select(
-                F.col("event_id").alias("purchase_id"),
-                F.col("user_id").alias("p_user"),
-                F.col("ts").alias("p_ts"),
-            )
-            .withWatermark("p_ts", "1 hour")
-        )
-        clicks = (
-            ev.filter(F.col("event_type") == "click")
-            .select(
-                F.col("event_id").alias("click_id"),
-                F.col("user_id").alias("c_user"),
-                F.col("ts").alias("c_ts"),
-            )
-            .withWatermark("c_ts", "1 hour")
+        purchases, clicks = _purchase_click_sides(
+            ev, purchase_user="p_user"
         )
         return purchases.join(
             clicks,
-            (F.col("p_user") == F.col("c_user"))
-            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-            & (F.col("c_ts") <= F.col("p_ts")),
+            _click_window_cond(purchase_user="p_user"),
             "fullOuter",
         ).select(
             "purchase_id",
