@@ -3192,6 +3192,48 @@ def q_pack_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHARD_N = 16  # training-export shards
+
+
+def q_pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-EXPORT SHARD MANIFEST (r10): assign every document to
+    one of SHARD_N globally balanced shards in a deterministic
+    curriculum order — (lang, n_chars DESC, doc_id) — and report each
+    shard's manifest row: count, doc_id span, decimal-exact char
+    volume. The export step of a training-data pipeline: shard sizes
+    balanced to ±1 BY CONSTRUCTION (exact ntile semantics), stable
+    assignment, the manifest as the trainer's contract.
+
+    Scale shape: operators/ranking.with_exact_ntile — range-partition
+    + closed-form tile (the r10 distributed-rank operator), NOT an
+    un-partitioned ntile window; no single task ever holds the corpus.
+    The oracle twin is DuckDB's plain ntile(16) window — bit-identical
+    by the operator's equivalence proof (tests/test_round10_ops)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    tiled = RK.with_exact_ntile(
+        docs,
+        [
+            F.col("lang").asc(),
+            F.col("n_chars").desc(),
+            F.col("doc_id").asc(),
+        ],
+        SHARD_N,
+        "shard",
+    )
+    return tiled.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        # widen INSIDE the sum (r9 overflow rule): char counts are
+        # small but the doc count is unbounded
+        F.sum(F.col("n_chars").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("sum_chars"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing: greedily pack documents (in doc_id
     order, per language) into sequences of ~SEQ_TOKEN_BUDGET tokens —
@@ -11325,6 +11367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_hopping": q_w7_hopping,
         "pack_sequences": q_pack_sequences,
         "pack_zorder": q_pack_zorder,
+        "pack_shard_manifest": q_pack_shard_manifest,
         "text_decontaminate": q_text_decontaminate,
         "h13_order_dist": q_h13_order_dist,
         "h15_top_supplier": q_h15_top_supplier,
@@ -13693,6 +13736,19 @@ def oracle_sql() -> dict[str, str]:
                      event_type, value
               FROM events
             ) GROUP BY 1, 2""",
+        "pack_shard_manifest": f"""
+            WITH tiled AS (
+              SELECT doc_id, n_chars,
+                     CAST(ntile({SHARD_N}) OVER (
+                       ORDER BY lang ASC, n_chars DESC, doc_id ASC
+                     ) AS INT) AS shard
+              FROM documents
+            )
+            SELECT shard, count(*) AS n_docs,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+                   CAST(SUM(CAST(n_chars AS HUGEINT)) AS BIGINT)
+                     AS sum_chars
+            FROM tiled GROUP BY shard""",
         "pack_zorder": f"""
             WITH bounds AS (
               SELECT CAST(min(l_partkey) AS BIGINT) AS pk_lo,

@@ -15,6 +15,15 @@ from broadway_spark import get_spark  # noqa: E402
 
 # (query, why this is the plan we want at 100 TB)
 HEADLINERS = {
+    "agg_deciles": (
+        "Decile report WITHOUT a single-task window (r10 rewrite): "
+        "range-partition on (spend DESC, custkey), row_number within "
+        "each range partition plus broadcast per-partition offsets = "
+        "exact global rank; the tile is a closed-form integer "
+        "expression of (rank, n) — bit-identical to ntile(10). No "
+        "Window with an empty partition spec anywhere; "
+        "test_plan_shapes enforces that registry-wide."
+    ),
     "h1_pricing": (
         "Pricing summary: filter reaches the parquet scan as "
         "PushedFilters, projection prunes to the 7 needed columns, and "
