@@ -903,6 +903,98 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII DETECTION + REDACTION AUDIT (r10 — the scrub every
+    training-data pipeline runs before release): per source, how many
+    emails / dashed phone numbers / IPv4 literals were found, how many
+    docs carried any, and the decimal-exact char volume before/after
+    redaction. The synthetic corpus is word-salad with no digits, so
+    PII is INJECTED deterministically from doc_id (the edge-family
+    discipline: both engines construct byte-identical text with a
+    CASE, so the regex machinery — not the data — is what's under
+    test): doc_id%7==0 gains an email, %11==0 a phone, %13==0 an IP.
+
+    Cross-engine regex contract: patterns are restricted to the
+    class/quantifier/word-boundary subset Java regex (Spark codegen)
+    and RE2 (DuckDB) match identically; counts via regexp_count vs
+    length(regexp_extract_all); redaction via chained regexp_replace
+    in the same order (email → phone → IP).
+
+    Scale shape: pure per-row codegen expressions + one partial-agg
+    shuffle keyed by source. Nothing leaves the row until the
+    aggregate; redacted text is never shuffled, only its length."""
+    d = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact user"), d.cast("string"), F.lit("@example.com")
+    )
+    phone = F.concat(
+        F.lit(" call 555-"),
+        F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" from 10."),
+        (d % 256).cast("string"),
+        F.lit("."),
+        ((d / 256).cast("long") % 256).cast("string"),
+        F.lit("."),
+        ((d / 65536).cast("long") % 256).cast("string"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 0, email).otherwise(F.lit("")),
+            F.when(d % 11 == 0, phone).otherwise(F.lit("")),
+            F.when(d % 13 == 0, ip).otherwise(F.lit("")),
+        ).alias("txt"),
+    )
+    counted = docs.select(
+        "source",
+        F.length("txt").alias("raw_len"),
+        F.regexp_count("txt", F.lit(PII_EMAIL_RE)).alias("n_email"),
+        F.regexp_count("txt", F.lit(PII_PHONE_RE)).alias("n_phone"),
+        F.regexp_count("txt", F.lit(PII_IP_RE)).alias("n_ip"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("txt"), PII_EMAIL_RE, "<EMAIL>"
+                    ),
+                    PII_PHONE_RE,
+                    "<PHONE>",
+                ),
+                PII_IP_RE,
+                "<IP>",
+            )
+        ).alias("red_len"),
+    )
+    return counted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_email").cast("long")).alias("emails"),
+        F.sum(F.col("n_phone").cast("long")).alias("phones"),
+        F.sum(F.col("n_ip").cast("long")).alias("ips"),
+        F.sum(
+            ((F.col("n_email") + F.col("n_phone") + F.col("n_ip")) > 0)
+            .cast("long")
+        ).alias("docs_with_pii"),
+        # widen inside the sums (r9 overflow rule: unbounded doc count)
+        F.sum(F.col("raw_len").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("raw_chars"),
+        F.sum(F.col("red_len").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("redacted_chars"),
+    )
+
+
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (SIGMOD'03 MOSS): the partial-
     copy detector of the text-fingerprinting family — distinct
@@ -11297,6 +11389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_dq_audit": q_pipeline_dq_audit,
         "pipeline_profile": q_pipeline_profile,
         "text_winnow": q_text_winnow,
+        "text_pii_scrub": q_text_pii_scrub,
         "h5_nation_revenue": q_h5_nation_revenue,
         "str_suite": q_str_suite,
         "date_suite": q_date_suite,
@@ -13736,6 +13829,59 @@ def oracle_sql() -> dict[str, str]:
                      event_type, value
               FROM events
             ) GROUP BY 1, 2""",
+        # PII scrub: both engines build byte-identical injected text,
+        # then count/redact with the shared Java-regex/RE2 subset.
+        # DuckDB regexp_replace needs the 'g' flag (Spark replaces all
+        # matches by default); counts via length(regexp_extract_all).
+        "text_pii_scrub": """
+            WITH injected AS (
+              SELECT source,
+                     text ||
+                     CASE WHEN doc_id % 7 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com' ELSE '' END ||
+                     CASE WHEN doc_id % 11 = 0
+                          THEN ' call 555-'
+                               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                               || '-'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 13 = 0
+                          THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                               || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+                               || '.' || CAST((doc_id // 65536) % 256 AS VARCHAR)
+                          ELSE '' END AS txt
+              FROM documents
+            ), counted AS (
+              SELECT source, length(txt) AS raw_len,
+                     length(regexp_extract_all(txt,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_email,
+                     length(regexp_extract_all(txt,
+                       '\\d{3}-\\d{3}-\\d{4}')) AS n_phone,
+                     length(regexp_extract_all(txt,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       AS n_ip,
+                     length(regexp_replace(regexp_replace(regexp_replace(
+                       txt,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IP>', 'g')) AS red_len
+              FROM injected
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(SUM(n_email) AS BIGINT) AS emails,
+                   CAST(SUM(n_phone) AS BIGINT) AS phones,
+                   CAST(SUM(n_ip) AS BIGINT) AS ips,
+                   CAST(SUM(CASE WHEN n_email + n_phone + n_ip > 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+                   CAST(SUM(CAST(raw_len AS HUGEINT)) AS BIGINT)
+                     AS raw_chars,
+                   CAST(SUM(CAST(red_len AS HUGEINT)) AS BIGINT)
+                     AS redacted_chars
+            FROM counted GROUP BY source""",
         "pack_shard_manifest": f"""
             WITH tiled AS (
               SELECT doc_id, n_chars,
