@@ -6280,12 +6280,11 @@ def q_s32_stream_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid as _uuid
 
-    from broadway_spark.streaming.stateful_dedup import use_rocksdb_state
+    from broadway_spark.streaming.stateful_dedup import scoped_rocksdb_state
     from broadway_spark.streaming.stream_anti_join import (
         streaming_left_anti_join,
     )
 
-    use_rocksdb_state(spark)
     ev = _events_stream(spark, sf_dir).filter(
         F.col("event_type").isin("purchase", "click")
     )
@@ -6304,7 +6303,10 @@ def q_s32_stream_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qname = f"s32_anti_{_uuid.uuid4().hex[:8]}"
     base = tempfile.mkdtemp(prefix="bw_s32_")
-    with _pinned_state_partitions(spark):
+    # scoped: the RocksDB provider applies to THIS start only — a
+    # session-global set leaked into every later drain of a bench
+    # pass (measured: broad drain slowdown, r10 bench run 1)
+    with scoped_rocksdb_state(spark), _pinned_state_partitions(spark):
         q = (
             anti.writeStream.format("memory")
             .queryName(qname)
@@ -6336,12 +6338,11 @@ def q_s33_restart_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from broadway_spark.streaming.stateful_dedup import use_rocksdb_state
+    from broadway_spark.streaming.stateful_dedup import scoped_rocksdb_state
     from broadway_spark.streaming.stream_anti_join import (
         streaming_left_anti_join,
     )
 
-    use_rocksdb_state(spark)
     watch, schema, _n = _stage_event_files(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="bw_s33_")
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
@@ -6365,7 +6366,9 @@ def q_s33_restart_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     writer = _idempotent_parquet_writer(sink)
-    with _pinned_state_partitions(spark):
+    # scoped RocksDB on BOTH starts (kill + resume) — never leaked to
+    # later queries of the session (r10 bench finding)
+    with scoped_rocksdb_state(spark), _pinned_state_partitions(spark):
         q = (
             build()
             .writeStream.foreachBatch(writer)
@@ -6375,7 +6378,7 @@ def q_s33_restart_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
     _kill_mid_drain(q)
-    with _pinned_state_partitions(spark):
+    with scoped_rocksdb_state(spark), _pinned_state_partitions(spark):
         q2 = (
             build()
             .writeStream.foreachBatch(writer)

@@ -112,12 +112,41 @@ def streaming_exact_dedup(
     )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
 def use_rocksdb_state(spark: SparkSession) -> None:
     """transformWithState requires the RocksDB provider (typed
     column-family state); the default HDFS-backed provider fails its
-    schema validation."""
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
+    schema validation. Prefer ``scoped_rocksdb_state`` — this session-
+    global setter leaks into every LATER streaming query of the
+    session (a streaming query captures the conf at START), which the
+    r10 bench measured as a broad drain slowdown: HDFS-provider
+    drains silently ran on RocksDB after any TWS query had run."""
+    spark.conf.set(_PROVIDER_CONF, ROCKSDB_PROVIDER)
+
+
+def scoped_rocksdb_state(spark: SparkSession):
+    """Context manager: RocksDB provider for the queries STARTED
+    inside the block, previous provider restored on exit. Safe because
+    a streaming query captures the session conf at start() — restoring
+    after start() does not affect the running query."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        prev = spark.conf.get(_PROVIDER_CONF, None)
+        spark.conf.set(_PROVIDER_CONF, ROCKSDB_PROVIDER)
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(_PROVIDER_CONF)
+            else:
+                spark.conf.set(_PROVIDER_CONF, prev)
+
+    return _cm()
