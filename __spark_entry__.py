@@ -3326,6 +3326,199 @@ def q_pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Benford first-digit expectation, ppm = round(log10(1 + 1/d) * 1e6).
+# LITERALS (not computed) so Spark and DuckDB can never diverge on a
+# libm log10 ulp; the formula is pinned by tests/test_round10_ops.py.
+BENFORD_PPM = (
+    (1, 301030),
+    (2, 176091),
+    (3, 124939),
+    (4, 96910),
+    (5, 79181),
+    (6, 66947),
+    (7, 57992),
+    (8, 51153),
+    (9, 45757),
+)
+
+
+def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the classic
+    data-quality screen for fabricated/duplicated numeric columns in
+    an ingested corpus: observed first-significant-digit frequency
+    (integer ppm) vs the Benford expectation, with the absolute
+    deviation per digit. Digits come from exact integer cents
+    (DECIMAL(18,2)·100 → BIGINT → leading char of the decimal string),
+    never from float log10 — portable bit-for-bit across engines.
+
+    Scale shape: one scan → 9-group hash aggregate (map-side partials)
+    + a broadcast 1-row total; the ppm division is DECIMAL(38,0)
+    integer math (the r9 overflow rule — n·1e6 would pass 2^63 near
+    10¹³ rows)."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    base = orders.select(cents.alias("cents")).filter(F.col("cents") > 0)
+    digits = (
+        base.select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("first_digit")
+        )
+        .groupBy("first_digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = base.agg(F.count(F.lit(1)).alias("__tot"))
+    exp_case = (
+        "CASE first_digit "
+        + " ".join(f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM)
+        + " END"
+    )
+    return (
+        digits.crossJoin(F.broadcast(total))
+        .select(
+            "first_digit",
+            "n",
+            F.expr(
+                "CAST((n * CAST(1000000 AS DECIMAL(38,0))) DIV __tot"
+                " AS BIGINT)"
+            ).alias("observed_ppm"),
+            F.expr(f"CAST({exp_case} AS BIGINT)").alias("expected_ppm"),
+        )
+        .withColumn(
+            "deviation_ppm",
+            F.expr("CAST(abs(observed_ppm - expected_ppm) AS BIGINT)"),
+        )
+    )
+
+
+CURRICULUM_SEED = 31
+CURRICULUM_TIER_CUTS = (0.75, 0.5, 0.25)  # tier 1/2/3 lower bounds; else 4
+
+
+def q_pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered training manifest: score every document with
+    the deterministic quality heuristic, cut into 4 quality tiers
+    (clean prose first), shuffle WITHIN each tier by a portable
+    doc-id hash (reproducible across runs/engines/partitionings —
+    rand() is none of those), and assign each doc its exact global
+    curriculum position. Output is the per-tier manifest: count,
+    position span (contiguity = the tiers really are ordered blocks),
+    decimal-exact token volume, quality bounds, and an order checksum
+    Σ (position·hash mod 1000003) that pins EVERY doc's exact position
+    — a reordered shuffle cannot hash-match.
+
+    Scale shape: the position is operators/ranking.global_rank (range
+    partition + broadcast offsets — the r10 distributed-rank
+    operator), NOT an un-partitioned row_number window; the checksum
+    terms are bounded < 1000003 so their BIGINT sum is safe past 10¹²
+    docs."""
+    docs = _t(spark, sf_dir, "documents")
+    q = T.quality_score("text")
+    t1, t2, t3 = CURRICULUM_TIER_CUTS
+    scored = docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        q.alias("quality"),
+        F.when(q >= t1, 1)
+        .when(q >= t2, 2)
+        .when(q >= t3, 3)
+        .otherwise(4)
+        .alias("tier"),
+        H.portable_hash(
+            F.col("doc_id").cast("string"), seed=CURRICULUM_SEED
+        ).alias("__h"),
+    )
+    ranked, _n = RK.global_rank(
+        scored,
+        [F.col("tier").asc(), F.col("__h").asc(), F.col("doc_id").asc()],
+        rank_col="position",
+    )
+    return ranked.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("position").alias("first_pos"),
+        F.max("position").alias("last_pos"),
+        F.sum(F.col("n_tokens").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("sum_tokens"),
+        F.round(F.min("quality"), 6).alias("min_quality"),
+        F.round(F.max("quality"), 6).alias("max_quality"),
+        F.sum(
+            F.expr(
+                "CAST((CAST(position AS DECIMAL(38,0)) * __h) % 1000003"
+                " AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("order_checksum"),
+    )
+
+
+VOCAB_COVERAGE_KS = (5, 10, 25, 50)
+
+
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design coverage curve: what fraction of all corpus
+    token OCCURRENCES (integer ppm) the top-k most frequent vocabulary
+    types cover, at k ∈ VOCAB_COVERAGE_KS — the statistic that sizes a
+    vocabulary / decides a BPE merge budget. Frequency ranking is
+    (count DESC, token ASC) so top-k sets are engine-independent.
+
+    Scale shape: one explode + one (token) hash aggregate, then
+    operators/ranking.global_rank over the VOCABULARY (types, not
+    occurrences — but a web-scale type table still passes 10⁸ rows,
+    which is exactly why it must not be an un-partitioned window);
+    the coverage sums fold into ONE single-row aggregate unpivoted by
+    stack() — no second scan, no per-k job."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .filter(F.length("token") >= 1)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked, _n = RK.global_rank(
+        counts,
+        [F.col("n").desc(), F.col("token").asc()],
+        rank_col="rank",
+    )
+    cov = [
+        F.sum(
+            F.when(
+                F.col("rank") <= k, F.col("n").cast("decimal(38,0)")
+            )
+        ).alias(f"c{k}")
+        for k in VOCAB_COVERAGE_KS
+    ]
+    row = ranked.agg(
+        *cov,
+        F.sum(F.col("n").cast("decimal(38,0)")).alias("__tot"),
+        F.count(F.lit(1)).alias("__vocab"),
+    )
+    stack_args = ", ".join(f"{k}, c{k}" for k in VOCAB_COVERAGE_KS)
+    return row.select(
+        F.expr(
+            f"stack({len(VOCAB_COVERAGE_KS)}, {stack_args})"
+            " AS (top_k, covered)"
+        ),
+        "__tot",
+        "__vocab",
+    ).select(
+        F.col("top_k").cast("int").alias("top_k"),
+        F.coalesce(F.col("covered"), F.lit(0))
+        .cast("bigint")
+        .alias("covered_tokens"),
+        F.expr(
+            "CAST((coalesce(covered, 0) * CAST(1000000 AS DECIMAL(38,0)))"
+            " DIV __tot AS BIGINT)"
+        ).alias("covered_ppm"),
+        F.col("__vocab").cast("bigint").alias("vocab_size"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing: greedily pack documents (in doc_id
     order, per language) into sequences of ~SEQ_TOKEN_BUDGET tokens —
@@ -11464,6 +11657,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pack_zorder": q_pack_zorder,
         "pack_shard_manifest": q_pack_shard_manifest,
+        "agg_benford": q_agg_benford,
+        "pipeline_curriculum": q_pipeline_curriculum,
+        "text_vocab_coverage": q_text_vocab_coverage,
         "text_decontaminate": q_text_decontaminate,
         "h13_order_dist": q_h13_order_dist,
         "h15_top_supplier": q_h15_top_supplier,
@@ -13898,6 +14094,92 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(n_chars AS HUGEINT)) AS BIGINT)
                      AS sum_chars
             FROM tiled GROUP BY shard""",
+        "agg_benford": f"""
+            WITH cents AS (
+              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+              FROM orders
+            ), d AS (
+              SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+                       AS first_digit,
+                     count(*) AS n
+              FROM cents WHERE cents > 0 GROUP BY 1
+            ), tot AS (
+              SELECT CAST(SUM(CAST(n AS HUGEINT)) AS HUGEINT) AS t FROM d
+            )
+            SELECT first_digit, n,
+                   CAST((CAST(n AS HUGEINT) * 1000000) // t AS BIGINT)
+                     AS observed_ppm,
+                   CAST(CASE first_digit
+                     {" ".join(f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM)}
+                   END AS BIGINT) AS expected_ppm,
+                   CAST(abs(CAST((CAST(n AS HUGEINT) * 1000000) // t
+                              AS BIGINT)
+                            - CASE first_digit
+                              {" ".join(f"WHEN {d} THEN {p}"
+                                        for d, p in BENFORD_PPM)}
+                              END) AS BIGINT) AS deviation_ppm
+            FROM d CROSS JOIN tot""",
+        "pipeline_curriculum": f"""
+            WITH scored AS (
+              SELECT doc_id, n_tokens, quality, __h,
+                     CASE WHEN quality >= {CURRICULUM_TIER_CUTS[0]} THEN 1
+                          WHEN quality >= {CURRICULUM_TIER_CUTS[1]} THEN 2
+                          WHEN quality >= {CURRICULUM_TIER_CUTS[2]} THEN 3
+                          ELSE 4 END AS tier
+              FROM (
+                SELECT doc_id,
+                       {T.token_count_sql('text')} AS n_tokens,
+                       {T.quality_score_sql('text')} AS quality,
+                       {H.portable_hash_sql('CAST(doc_id AS VARCHAR)',
+                                            seed=CURRICULUM_SEED)} AS __h
+                FROM documents
+              )
+            ), ranked AS (
+              SELECT tier, n_tokens, quality, __h,
+                     row_number() OVER (
+                       ORDER BY tier ASC, __h ASC, doc_id ASC
+                     ) AS position
+              FROM scored
+            )
+            SELECT tier, count(*) AS n_docs,
+                   CAST(min(position) AS BIGINT) AS first_pos,
+                   CAST(max(position) AS BIGINT) AS last_pos,
+                   CAST(SUM(CAST(n_tokens AS HUGEINT)) AS BIGINT)
+                     AS sum_tokens,
+                   round(min(quality), 6) AS min_quality,
+                   round(max(quality), 6) AS max_quality,
+                   CAST(SUM((CAST(position AS HUGEINT) * __h) % 1000003)
+                        AS BIGINT) AS order_checksum
+            FROM ranked GROUP BY tier""",
+        "text_vocab_coverage": f"""
+            WITH counts AS (
+              SELECT token, count(*) AS n FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS token
+                FROM documents
+              ) WHERE length(token) >= 1 GROUP BY token
+            ), ranked AS (
+              SELECT n, row_number() OVER (
+                       ORDER BY n DESC, token ASC) AS rank
+              FROM counts
+            ), agg AS (
+              SELECT CAST(SUM(CAST(n AS HUGEINT)) AS HUGEINT) AS tot,
+                     count(*) AS vocab
+              FROM ranked
+            ), ks AS (
+              SELECT * FROM (VALUES
+                {", ".join(f"({k})" for k in VOCAB_COVERAGE_KS)}) t(k)
+            )
+            SELECT CAST(k AS INT) AS top_k,
+                   CAST(coalesce(SUM(CASE WHEN rank <= k
+                          THEN CAST(n AS HUGEINT) END), 0) AS BIGINT)
+                     AS covered_tokens,
+                   CAST((coalesce(SUM(CASE WHEN rank <= k
+                          THEN CAST(n AS HUGEINT) END), 0) * 1000000)
+                        // (SELECT tot FROM agg) AS BIGINT)
+                     AS covered_ppm,
+                   CAST((SELECT vocab FROM agg) AS BIGINT) AS vocab_size
+            FROM ranked CROSS JOIN ks GROUP BY k""",
         "pack_zorder": f"""
             WITH bounds AS (
               SELECT CAST(min(l_partkey) AS BIGINT) AS pk_lo,

@@ -372,3 +372,87 @@ def test_stream_anti_join_boundaries_and_cross_batch(spark, tmp_path):
     # 300 suppressed (click exactly at t-1h, inclusive), 400 emitted
     # (click after t), 500 undecided (final wm = 180m-30m = 150m < 170m)
     assert got == [200, 400], got
+
+
+# ---------------------------------------------------------------------------
+# Round-10 breadth additions: Benford audit, curriculum manifest,
+# vocab coverage (registry 269-271)
+# ---------------------------------------------------------------------------
+
+
+def test_benford_ppm_literals_match_formula():
+    """The BENFORD_PPM table is LITERAL (so Spark and DuckDB can't
+    diverge on a libm ulp) — pin each literal to round(log10(1+1/d)*1e6)
+    and to a proper probability distribution (sums to ~1e6)."""
+    import __spark_entry__ as e
+
+    total = 0
+    for d, ppm in e.BENFORD_PPM:
+        expect = round(math.log10(1.0 + 1.0 / d) * 1_000_000)
+        assert ppm == expect, (d, ppm, expect)
+        total += ppm
+    assert abs(total - 1_000_000) <= 1  # rounding residue only
+
+
+def test_benford_first_digit_is_exact_integer_math(spark):
+    """First digits come from integer cents, never float log10: a value
+    like 999.99 → digit 9 and 1000.00 → digit 1 even where
+    floor(log10(x)) would be off by one ulp at the boundary."""
+    df = spark.createDataFrame(
+        [(999.99,), (1000.00,), (0.01,), (1.00,), (95000.49,)],
+        "o_totalprice double",
+    )
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            F.substring(cents.cast("string"), 1, 1).cast("int")
+        ).collect()
+    ]
+    assert got == [9, 1, 1, 1, 9], got
+
+
+def test_curriculum_checksum_pins_exact_order(spark):
+    """The curriculum manifest's order checksum Σ(position·hash mod
+    1000003) must change when any two docs swap positions — a
+    reordered shuffle cannot hash-match the oracle."""
+    rows = [(i, (i * 2654435761) % (1 << 32)) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "position long, __h long")
+    term = F.expr(
+        "CAST((CAST(position AS DECIMAL(38,0)) * __h) % 1000003 AS BIGINT)"
+    )
+    base = df.agg(F.sum(term).cast("long")).collect()[0][0]
+    # swap positions of rows 2 and 5: same multiset of hashes and of
+    # positions, different pairing
+    swapped = [
+        (5 if i == 2 else 2 if i == 5 else i, h) for i, h in rows
+    ]
+    df2 = spark.createDataFrame(swapped, "position long, __h long")
+    other = df2.agg(F.sum(term).cast("long")).collect()[0][0]
+    assert base != other
+
+
+def test_vocab_coverage_curve_is_monotone(spark):
+    """covered_tokens/ppm are non-decreasing in k and ppm ≤ 1e6; the
+    ranking is strict (count DESC, token ASC) so coverage at vocab-size
+    k equals the total."""
+    import __spark_entry__ as e
+
+    out = {
+        r["top_k"]: r
+        for r in e.q_text_vocab_coverage(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    ks = sorted(out)
+    assert ks == sorted(e.VOCAB_COVERAGE_KS)
+    prev_tok, prev_ppm = -1, -1
+    for k in ks:
+        r = out[k]
+        assert r["covered_tokens"] >= prev_tok
+        assert prev_ppm <= r["covered_ppm"] <= 1_000_000
+        prev_tok, prev_ppm = r["covered_tokens"], r["covered_ppm"]
+        if k >= r["vocab_size"]:
+            assert r["covered_ppm"] >= 999_999  # integer-DIV floor
