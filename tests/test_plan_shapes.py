@@ -414,6 +414,7 @@ def test_no_unguarded_cartesian_in_any_query(spark):
         "sim_hybrid_rrf",  # broadcast query side (dense ranking)
         "rec_assoc_rules",  # 1-row basket-count broadcast
         "edge_zero_vectors",  # broadcast query side (zero-norm ANN)
+        "agg_benford",  # 1-row positive-count total broadcast
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
