@@ -3519,6 +3519,151 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: each (type, day)
+    cell's mean value relative to the type's overall mean, in exact
+    integer ppm — the weekly-seasonality profile behind traffic
+    forecasting and anomaly baselines. The day index is pure epoch
+    arithmetic (days-since-1970 mod 7; 0 = Thursday), NOT a calendar
+    function — dayofweek()'s week-start convention differs across
+    engines, epoch math cannot.
+
+    Scale shape: two partial-agg rollups of one scan (per-cell and
+    per-type) joined on the tiny type key — broadcast at any scale;
+    the ppm ratio is DECIMAL(38,0) integer math (cents·count·1e6 stays
+    under 1e35 past 10¹² rows; value/ts are nonnegative by domain so
+    truncating DIV == floor on both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    day_idx = F.expr(
+        "CAST(pmod(unix_micros(ts) DIV 86400000000, 7) AS INT)"
+    )
+    cents = F.expr(
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))"
+    )
+    per = ev.groupBy("event_type", day_idx.alias("day_idx")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("__s"),
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(cents).alias("__st"),
+    )
+    return per.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day_idx",
+        "n",
+        F.round(
+            F.col("__s").cast("double") / 100.0 / F.col("n"), 6
+        ).alias("mean_value"),
+        F.expr(
+            "CAST((__s * n_total * CAST(1000000 AS DECIMAL(38,0)))"
+            " DIV (CAST(n AS DECIMAL(38,0)) * __st) AS BIGINT)"
+        ).alias("seasonal_ppm"),
+    )
+
+
+def q_evt_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness profile: coefficient of variation of the
+    inter-event gaps (std/mean; CV≈1 is Poisson, >1 bursty, <1
+    regular) for users with ≥5 gaps — the traffic-shape feature behind
+    bot detection and session modeling. Gaps are exact integer
+    microseconds from the per-user lag; Σgap and Σgap² are exact
+    decimal sums cast to double only for the final IEEE expression
+    (the evt_zscore discipline), so both engines see bit-identical
+    inputs to the same scalar ops.
+
+    Scale shape: one lag() window keyed on user_id (never global),
+    one per-user aggregate; gap² ≤ 1e25 per term → DECIMAL(38,0) is
+    safe past 10¹² events per user-month."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.expr("unix_micros(ts)")
+            - F.lag(F.expr("unix_micros(ts)")).over(w)
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("__s"),
+        F.sum(
+            F.col("gap_us").cast("decimal(38,0)")
+            * F.col("gap_us").cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("__q"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("__s") / n
+    var = F.greatest(
+        (F.col("__q") - F.col("__s") * F.col("__s") / n) / n, F.lit(0.0)
+    )
+    return agg.filter(F.col("n_gaps") >= 5).select(
+        "user_id",
+        "n_gaps",
+        F.round(mean / 1e6, 6).alias("mean_gap_s"),
+        F.round(F.sqrt(var) / mean, 6).alias("cv"),
+    )
+
+
+def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust pricing stats per order priority: the p05/p95-winsorized
+    mean next to the raw mean — the outlier-resistant aggregate a
+    curation pipeline reports when a column has heavy tails. Bounds
+    come from the exact interpolated percentile (one sort-based
+    aggregate per group, the agg_percentiles portability contract);
+    rows are clamped, rounded to 6dp, and summed as DECIMAL(18,6) so
+    the mean is order-independent on both engines.
+
+    Scale shape: the bounds table is |priority-domain| rows →
+    broadcast join back to the fact scan; no row-level window, no
+    second sort."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.05D, 0.95D))"
+        ).alias("__b"),
+        F.count(F.lit(1)).alias("n"),
+        _dsum("o_totalprice").alias("__raw_sum"),
+    )
+    bounds = bounds.select(
+        "o_orderpriority",
+        "n",
+        "__raw_sum",
+        F.element_at("__b", 1).alias("__lo"),
+        F.element_at("__b", 2).alias("__hi"),
+    )
+    clamped = F.round(
+        F.least(
+            F.greatest(F.col("o_totalprice"), F.col("__lo")),
+            F.col("__hi"),
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    wins = (
+        orders.join(F.broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("__lo"), 6).alias("p05"),
+            F.round(F.max("__hi"), 6).alias("p95"),
+            F.max("__raw_sum").alias("__rs"),
+            F.sum(clamped).cast("double").alias("__ws"),
+        )
+    )
+    return wins.select(
+        "o_orderpriority",
+        "n",
+        "p05",
+        "p95",
+        F.round(F.col("__rs") / F.col("n"), 6).alias("mean_raw"),
+        F.round(F.col("__ws") / F.col("n"), 6).alias("mean_winsorized"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing: greedily pack documents (in doc_id
     order, per language) into sequences of ~SEQ_TOKEN_BUDGET tokens —
@@ -11660,6 +11805,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_benford": q_agg_benford,
         "pipeline_curriculum": q_pipeline_curriculum,
         "text_vocab_coverage": q_text_vocab_coverage,
+        "ts_seasonal_dow": q_ts_seasonal_dow,
+        "evt_burstiness": q_evt_burstiness,
+        "agg_winsorized_mean": q_agg_winsorized_mean,
         "text_decontaminate": q_text_decontaminate,
         "h13_order_dist": q_h13_order_dist,
         "h15_top_supplier": q_h15_top_supplier,
@@ -14180,6 +14328,69 @@ def oracle_sql() -> dict[str, str]:
                      AS covered_ppm,
                    CAST((SELECT vocab FROM agg) AS BIGINT) AS vocab_size
             FROM ranked CROSS JOIN ks GROUP BY k""",
+        "ts_seasonal_dow": """
+            WITH cells AS (
+              SELECT event_type,
+                     CAST((epoch_us(ts) // 86400000000) % 7 AS INT)
+                       AS day_idx,
+                     count(*) AS n,
+                     SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS HUGEINT)) AS s
+              FROM events GROUP BY 1, 2
+            ), tots AS (
+              SELECT event_type, count(*) AS n_total,
+                     SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS HUGEINT)) AS st
+              FROM events GROUP BY 1
+            )
+            SELECT c.event_type, c.day_idx, c.n,
+                   round(CAST(c.s AS DOUBLE) / 100.0 / c.n, 6)
+                     AS mean_value,
+                   CAST((c.s * t.n_total * 1000000)
+                        // (CAST(c.n AS HUGEINT) * t.st) AS BIGINT)
+                     AS seasonal_ppm
+            FROM cells c JOIN tots t USING (event_type)""",
+        "evt_burstiness": """
+            WITH gaps AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS gap_us
+              FROM events
+            ), agg AS (
+              SELECT user_id, count(*) AS n_gaps,
+                     CAST(SUM(CAST(gap_us AS HUGEINT)) AS DOUBLE) AS s,
+                     CAST(SUM(CAST(gap_us AS HUGEINT)
+                              * CAST(gap_us AS HUGEINT)) AS DOUBLE) AS q
+              FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
+            )
+            SELECT user_id, n_gaps,
+                   round(s / n_gaps / 1e6, 6) AS mean_gap_s,
+                   round(sqrt(greatest(
+                           (q - s * s / n_gaps) / n_gaps, 0.0))
+                         / (s / n_gaps), 6) AS cv
+            FROM agg WHERE n_gaps >= 5""",
+        "agg_winsorized_mean": """
+            WITH bounds AS (
+              SELECT o_orderpriority,
+                     count(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS raw_sum,
+                     quantile_cont(o_totalprice, 0.05) AS lo,
+                     quantile_cont(o_totalprice, 0.95) AS hi
+              FROM orders GROUP BY o_orderpriority
+            )
+            SELECT o.o_orderpriority,
+                   max(b.n) AS n,
+                   round(max(b.lo), 6) AS p05,
+                   round(max(b.hi), 6) AS p95,
+                   round(max(b.raw_sum) / max(b.n), 6) AS mean_raw,
+                   round(CAST(SUM(CAST(round(least(greatest(
+                             o.o_totalprice, b.lo), b.hi), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / max(b.n), 6)
+                     AS mean_winsorized
+            FROM orders o JOIN bounds b USING (o_orderpriority)
+            GROUP BY o.o_orderpriority""",
         "pack_zorder": f"""
             WITH bounds AS (
               SELECT CAST(min(l_partkey) AS BIGINT) AS pk_lo,

@@ -15,6 +15,15 @@ from broadway_spark import get_spark  # noqa: E402
 
 # (query, why this is the plan we want at 100 TB)
 HEADLINERS = {
+    "pipeline_curriculum": (
+        "Curriculum manifest (r10): quality scoring is codegen scalar "
+        "work on the scan; the global position is the distributed "
+        "rank — range repartition on (tier, hash, doc_id), per-range "
+        "row_number, broadcast per-partition offsets — so no task "
+        "ever holds the corpus; the per-tier manifest is one hash "
+        "aggregate. The order checksum pins every doc's position "
+        "without shipping per-doc rows to the oracle compare."
+    ),
     "agg_deciles": (
         "Decile report WITHOUT a single-task window (r10 rewrite): "
         "range-partition on (spend DESC, custkey), row_number within "

@@ -456,3 +456,118 @@ def test_vocab_coverage_curve_is_monotone(spark):
         prev_tok, prev_ppm = r["covered_tokens"], r["covered_ppm"]
         if k >= r["vocab_size"]:
             assert r["covered_ppm"] >= 999_999  # integer-DIV floor
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 2: seasonality, burstiness, winsorized mean
+# (registry 272-274)
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_day_index_is_portable_epoch_math(spark):
+    """day_idx = days-since-1970 mod 7 must match Python's weekday
+    calendar with Thursday=0 — and involves no engine calendar
+    function (dayofweek week-start conventions differ)."""
+    import datetime
+
+    probes = [
+        datetime.datetime(1970, 1, 1),   # Thursday -> 0
+        datetime.datetime(2024, 1, 1),   # Monday   -> 4
+        datetime.datetime(2024, 1, 7),   # Sunday   -> 3
+        datetime.datetime(2026, 8, 16),  # Sunday   -> 3
+    ]
+    df = spark.createDataFrame([(p,) for p in probes], "ts timestamp")
+    got = [
+        r[0]
+        for r in df.select(
+            F.expr(
+                "CAST(pmod(unix_micros(ts) DIV 86400000000, 7) AS INT)"
+            )
+        ).collect()
+    ]
+    want = [(p.weekday() - 3) % 7 for p in probes]  # Thursday==3 -> 0
+    assert got == want, (got, want)
+
+
+def test_burstiness_cv_zero_for_regular_and_positive_for_bursty(spark):
+    """Constant inter-event gaps → CV exactly 0; a bursty pattern
+    (tight cluster + one long silence) → CV well above 1's
+    neighborhood of regular traffic."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    regular = [
+        (1, i, base + datetime.timedelta(seconds=60 * i))
+        for i in range(8)
+    ]
+    bursty_offsets = [0, 1, 2, 3, 4, 5, 6, 3600]
+    bursty = [
+        (2, 100 + i, base + datetime.timedelta(seconds=s))
+        for i, s in enumerate(bursty_offsets)
+    ]
+    df = spark.createDataFrame(
+        regular + bursty, "user_id long, event_id long, ts timestamp"
+    )
+    import __spark_entry__ as e
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = df.select(
+        "user_id",
+        (
+            F.expr("unix_micros(ts)")
+            - F.lag(F.expr("unix_micros(ts)")).over(w)
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s"),
+        F.sum(
+            F.col("gap_us").cast("decimal(38,0)")
+            * F.col("gap_us").cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("q"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("s") / n
+    var = F.greatest(
+        (F.col("q") - F.col("s") * F.col("s") / n) / n, F.lit(0.0)
+    )
+    out = {
+        r["user_id"]: r["cv"]
+        for r in agg.select(
+            "user_id", F.round(F.sqrt(var) / mean, 6).alias("cv")
+        ).collect()
+    }
+    assert out[1] == 0.0
+    assert out[2] > 1.5, out[2]
+
+
+def test_winsorized_mean_bounded_and_outlier_resistant(spark):
+    """The winsorized mean must sit within [p05, p95] and move far
+    less than the raw mean when a huge outlier is injected."""
+    rows = [("P", 100.0 + i) for i in range(99)] + [("P", 1_000_000.0)]
+    df = spark.createDataFrame(rows, "o_orderpriority string, o_totalprice double")
+    b = df.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, array(0.05D, 0.95D))").alias("b"),
+        F.count(F.lit(1)).alias("n"),
+        F.avg("o_totalprice").alias("raw"),
+    ).select(
+        "o_orderpriority", "n", "raw",
+        F.element_at("b", 1).alias("lo"),
+        F.element_at("b", 2).alias("hi"),
+    )
+    j = df.join(F.broadcast(b), "o_orderpriority")
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    r = j.groupBy("o_orderpriority").agg(
+        F.avg(clamped).alias("wins"),
+        F.max("raw").alias("raw"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+    ).collect()[0]
+    assert r["lo"] <= r["wins"] <= r["hi"]
+    assert r["raw"] > 10_000  # outlier dominates the raw mean
+    assert r["wins"] < 300  # but not the winsorized one
