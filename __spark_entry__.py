@@ -3568,9 +3568,12 @@ def q_evt_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     regular) for users with ≥5 gaps — the traffic-shape feature behind
     bot detection and session modeling. Gaps are exact integer
     microseconds from the per-user lag; Σgap and Σgap² are exact
-    decimal sums cast to double only for the final IEEE expression
-    (the evt_zscore discipline), so both engines see bit-identical
-    inputs to the same scalar ops.
+    decimal sums, and the mean gap is reported as an exact integer
+    DIV — Σgap/n is a terminating decimal, so a rounded-double mean
+    WOULD land on 6dp half-way cases where the engines' round()
+    disagrees (caught by the r10 sf1 volume ritual: 10/15000 rows off
+    by 1 ulp in the 6th digit). IEEE enters only for the irrational
+    cv (the evt_zscore discipline).
 
     Scale shape: one lag() window keyed on user_id (never global),
     one per-user aggregate; gap² ≤ 1e25 per term → DECIMAL(38,0) is
@@ -3586,9 +3589,7 @@ def q_evt_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("gap_us").isNotNull())
     agg = gaps.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        F.sum(F.col("gap_us").cast("decimal(38,0)"))
-        .cast("double")
-        .alias("__s"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)")).alias("__s"),
         F.sum(
             F.col("gap_us").cast("decimal(38,0)")
             * F.col("gap_us").cast("decimal(38,0)")
@@ -3597,14 +3598,13 @@ def q_evt_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("__q"),
     )
     n = F.col("n_gaps").cast("double")
-    mean = F.col("__s") / n
-    var = F.greatest(
-        (F.col("__q") - F.col("__s") * F.col("__s") / n) / n, F.lit(0.0)
-    )
+    s = F.col("__s").cast("double")
+    mean = s / n
+    var = F.greatest((F.col("__q") - s * s / n) / n, F.lit(0.0))
     return agg.filter(F.col("n_gaps") >= 5).select(
         "user_id",
         "n_gaps",
-        F.round(mean / 1e6, 6).alias("mean_gap_s"),
+        F.expr("CAST(__s DIV n_gaps AS BIGINT)").alias("mean_gap_us"),
         F.round(F.sqrt(var) / mean, 6).alias("cv"),
     )
 
@@ -14359,13 +14359,14 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ), agg AS (
               SELECT user_id, count(*) AS n_gaps,
+                     SUM(CAST(gap_us AS HUGEINT)) AS si,
                      CAST(SUM(CAST(gap_us AS HUGEINT)) AS DOUBLE) AS s,
                      CAST(SUM(CAST(gap_us AS HUGEINT)
                               * CAST(gap_us AS HUGEINT)) AS DOUBLE) AS q
               FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
             )
             SELECT user_id, n_gaps,
-                   round(s / n_gaps / 1e6, 6) AS mean_gap_s,
+                   CAST(si // n_gaps AS BIGINT) AS mean_gap_us,
                    round(sqrt(greatest(
                            (q - s * s / n_gaps) / n_gaps, 0.0))
                          / (s / n_gaps), 6) AS cv
