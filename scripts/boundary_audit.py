@@ -66,6 +66,12 @@ def main() -> None:
                     continue
                 n_cells += 1
                 scaled = abs(v) * 1e6
+                # past 2^52 the double has no sub-unit resolution at
+                # this scale: frac(scaled) is quantization noise, and
+                # such columns are decimal-exact sums cast to double
+                # (identical on both engines), not rounded ratios
+                if scaled >= 2.0**52:
+                    continue
                 frac = scaled - math.floor(scaled)
                 if abs(frac - 0.5) < TOL:
                     hits.append((name, c, v))
