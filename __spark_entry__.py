@@ -3609,6 +3609,132 @@ def q_evt_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix: for every
+    (source_a ≤ source_b) pair, how many winnowing fingerprints
+    (SIGMOD'03 MOSS — the partial-copy detector) the two feeds share,
+    and the total (docA, docB, fingerprint) coincidence weight that
+    implies — the provenance diagnostic that tells a curation team
+    which feeds mirror which before near-dedup even runs.
+
+    Scale shape: overlap weights come from per-(fingerprint, source)
+    COUNTS — n_a·n_b and C(n,2) arithmetic, never a doc×doc join — so
+    a fingerprint present in a million docs costs one row per source,
+    not 10¹² pairs. The fp self-join is equi-keyed with per-key
+    cardinality ≤ |sources|; products widen to DECIMAL(38,0) (the r9
+    overflow rule); the BIGINT output bound (~4·10⁹ docs sharing ONE
+    fingerprint within ONE source pair) is documented, not branched."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            "source",
+            F.explode(T.winnow_fingerprints("text")).alias("fp"),
+        )
+        .groupBy("fp", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = cnt.select(
+        "fp", F.col("source").alias("src_a"), F.col("n").alias("na")
+    )
+    b = cnt.select(
+        "fp", F.col("source").alias("src_b"), F.col("n").alias("nb")
+    )
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("src_a") <= F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.expr(
+                "CASE WHEN src_a = src_b"
+                " THEN (CAST(na AS DECIMAL(38,0)) * (na - 1)) DIV 2"
+                " ELSE CAST(na AS DECIMAL(38,0)) * nb END"
+            ).alias("dp"),
+        )
+        .where(F.col("dp") > 0)
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_shared_fps"),
+        F.sum("dp").cast("long").alias("overlap_weight"),
+    )
+
+
+def q_evt_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per signup cohort: for each user,
+    the gap from their FIRST signup to their first purchase AFTER it,
+    cohorted by the signup's epoch week — the activation-latency curve
+    behind growth dashboards. The cohort key is epoch arithmetic
+    (days-since-1970 DIV 7), not a calendar function (the
+    ts_seasonal_dow portability rule); the mean gap is an exact
+    integer DIV (the evt_burstiness half-way-rounding rule); p50/p90
+    are DISCRETE percentiles — the element at rank ⌈p·n⌉, an exact
+    integer — because INTERPOLATED percentiles over ~10¹²-magnitude
+    integers differ across engines by ulps visible at any fixed
+    rounding (f·(b−a) with b−a ~ 10¹² has ulp ~10⁻⁴; caught live at
+    sf0.01 before this query ever shipped).
+
+    Scale shape: two conditional aggregates over one scan keyed on
+    user_id (min-if), a cohort-partitioned rank for the discrete
+    percentiles, then a small per-cohort rollup — no self-join of
+    events against events."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts)")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias(
+            "__signup_us"
+        ),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", us)
+        ).alias("__p"),
+    )
+    # first purchase AT OR AFTER the first signup: array_min of the
+    # filtered purchase times (codegen HOF over a per-user-bounded
+    # array — the purchase count per user, not the corpus, bounds it)
+    gap = per_user.select(
+        "user_id",
+        "__signup_us",
+        F.expr(
+            "array_min(filter(__p, x -> x >= __signup_us))"
+        ).alias("__conv_us"),
+    ).where(
+        F.col("__signup_us").isNotNull() & F.col("__conv_us").isNotNull()
+    )
+    gaps = gap.select(
+        F.expr(
+            "CAST(__signup_us DIV (86400000000 * 7) AS INT)"
+        ).alias("cohort_week"),
+        (F.col("__conv_us") - F.col("__signup_us")).alias("gap_us"),
+    )
+    wc = Window.partitionBy("cohort_week").orderBy("gap_us")
+    wn = Window.partitionBy("cohort_week")
+    ranked = gaps.select(
+        "cohort_week",
+        "gap_us",
+        F.row_number().over(wc).alias("__rk"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    # discrete percentile rank: ⌈p·n⌉ in pure integer math
+    return ranked.groupBy("cohort_week").agg(
+        F.max("__n").cast("long").alias("n_converted"),
+        F.expr(
+            "CAST(SUM(CAST(gap_us AS DECIMAL(38,0))) DIV COUNT(1)"
+            " AS BIGINT)"
+        ).alias("mean_gap_us"),
+        F.max(
+            F.when(
+                F.col("__rk") == F.expr("(__n + 1) DIV 2"),
+                F.col("gap_us"),
+            )
+        ).alias("p50_gap_us"),
+        F.max(
+            F.when(
+                F.col("__rk") == F.expr("(9 * __n + 9) DIV 10"),
+                F.col("gap_us"),
+            )
+        ).alias("p90_gap_us"),
+    )
+
+
 def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust pricing stats per order priority: the p05/p95-winsorized
     mean next to the raw mean — the outlier-resistant aggregate a
@@ -11808,6 +11934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_seasonal_dow": q_ts_seasonal_dow,
         "evt_burstiness": q_evt_burstiness,
         "agg_winsorized_mean": q_agg_winsorized_mean,
+        "dedup_cross_source_matrix": q_dedup_cross_source_matrix,
+        "evt_time_to_convert": q_evt_time_to_convert,
         "text_decontaminate": q_text_decontaminate,
         "h13_order_dist": q_h13_order_dist,
         "h15_top_supplier": q_h15_top_supplier,
@@ -14392,6 +14520,58 @@ def oracle_sql() -> dict[str, str]:
                      AS mean_winsorized
             FROM orders o JOIN bounds b USING (o_orderpriority)
             GROUP BY o.o_orderpriority""",
+        "dedup_cross_source_matrix": f"""
+            WITH cnt AS (
+              SELECT fp, source, count(*) AS n FROM (
+                SELECT source,
+                       unnest({T.winnow_fingerprints_sql('text')}) AS fp
+                FROM documents
+              ) GROUP BY 1, 2
+            ), pairs AS (
+              SELECT a.source AS src_a, b.source AS src_b,
+                     CASE WHEN a.source = b.source
+                          THEN (CAST(a.n AS HUGEINT) * (a.n - 1)) // 2
+                          ELSE CAST(a.n AS HUGEINT) * b.n END AS dp
+              FROM cnt a JOIN cnt b USING (fp)
+              WHERE a.source <= b.source
+            )
+            SELECT src_a, src_b, count(*) AS n_shared_fps,
+                   CAST(SUM(dp) AS BIGINT) AS overlap_weight
+            FROM pairs WHERE dp > 0 GROUP BY 1, 2""",
+        "evt_time_to_convert": """
+            WITH s AS (
+              SELECT user_id, min(epoch_us(ts)) AS signup_us
+              FROM events WHERE event_type = 'signup'
+              GROUP BY user_id
+            ), c AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS conv_us
+              FROM events e JOIN s USING (user_id)
+              WHERE e.event_type = 'purchase'
+                AND epoch_us(e.ts) >= s.signup_us
+              GROUP BY e.user_id
+            ), gaps AS (
+              SELECT CAST(signup_us // (86400000000 * 7) AS INT)
+                       AS cohort_week,
+                     conv_us - signup_us AS gap_us
+              FROM s JOIN c USING (user_id)
+            )
+            , ranked AS (
+              SELECT cohort_week, gap_us,
+                     row_number() OVER (
+                       PARTITION BY cohort_week ORDER BY gap_us
+                     ) AS rk,
+                     count(*) OVER (
+                       PARTITION BY cohort_week) AS n
+              FROM gaps
+            )
+            SELECT cohort_week, CAST(max(n) AS BIGINT) AS n_converted,
+                   CAST(SUM(CAST(gap_us AS HUGEINT)) // count(*)
+                        AS BIGINT) AS mean_gap_us,
+                   max(CASE WHEN rk = (n + 1) // 2
+                            THEN gap_us END) AS p50_gap_us,
+                   max(CASE WHEN rk = (9 * n + 9) // 10
+                            THEN gap_us END) AS p90_gap_us
+            FROM ranked GROUP BY cohort_week""",
         "pack_zorder": f"""
             WITH bounds AS (
               SELECT CAST(min(l_partkey) AS BIGINT) AS pk_lo,

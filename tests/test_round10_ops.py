@@ -571,3 +571,52 @@ def test_winsorized_mean_bounded_and_outlier_resistant(spark):
     assert r["lo"] <= r["wins"] <= r["hi"]
     assert r["raw"] > 10_000  # outlier dominates the raw mean
     assert r["wins"] < 300  # but not the winsorized one
+
+
+def test_cross_source_matrix_pair_arithmetic():
+    """n_a·n_b / C(n,2) count arithmetic must equal the brute-force
+    pair enumeration on a small fixture."""
+    import itertools
+
+    docs = [  # (fp set per doc, source)
+        ({"f1", "f2"}, "a"),
+        ({"f1"}, "a"),
+        ({"f1", "f3"}, "b"),
+        ({"f2"}, "b"),
+        ({"f3"}, "c"),
+    ]
+    brute = {}
+    for (f1, s1), (f2, s2) in itertools.combinations(docs, 2):
+        shared = len(f1 & f2)
+        if not shared:
+            continue
+        key = tuple(sorted((s1, s2)))
+        brute[key] = brute.get(key, 0) + shared
+    from collections import Counter
+
+    cnt = Counter()
+    for fps, s in docs:
+        for fp in fps:
+            cnt[(fp, s)] += 1
+    calc = {}
+    fp_set = {fp for fps, _ in docs for fp in fps}
+    for fp in fp_set:
+        srcs = sorted(s for (f, s) in cnt if f == fp)
+        for s1, s2 in itertools.combinations_with_replacement(
+            sorted(set(srcs)), 2
+        ):
+            n1, n2 = cnt[(fp, s1)], cnt[(fp, s2)]
+            w = n1 * (n1 - 1) // 2 if s1 == s2 else n1 * n2
+            if w:
+                calc[(s1, s2)] = calc.get((s1, s2), 0) + w
+    assert calc == brute, (calc, brute)
+
+
+def test_discrete_percentile_rank_formula(spark):
+    """⌈p·n⌉ in integer math — (n+1) DIV 2 and (9n+9) DIV 10 — must
+    match math.ceil for every n up to 1000."""
+    import math as _m
+
+    for n in range(1, 1001):
+        assert (n + 1) // 2 == _m.ceil(0.5 * n), n
+        assert (9 * n + 9) // 10 == _m.ceil(0.9 * n), n
