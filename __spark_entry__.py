@@ -3609,6 +3609,139 @@ def q_evt_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MM_PACK_BUDGET = 16384  # bytes per assembled media batch
+
+
+def q_multimodal_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal batch assembly under a byte budget: pack each
+    modality's media payloads (doc-id order) into training/inference
+    batches of ≤~16 KiB cumulative payload — the GPU-batch builder of
+    a multimodal pipeline, where batch boundaries are byte-budget,
+    not row-count. Reuses the budget splitter
+    (operators/batching.chunk_by_budget — the reference's
+    {init_acc, fun} custom batcher, options.ex:233-264) keyed on the
+    modality; reports each batch's manifest row.
+
+    Scale shape: the running-sum window partitions on media_type ×
+    nothing else, BUT the per-key stream is the packing ORDER
+    contract (same as pack_sequences' per-lang stream): at 100 TB the
+    modality stream would be sub-partitioned by a coarse doc_id range
+    first — the chunk formula is prefix-sum arithmetic, so range
+    blocks compose exactly; documented here, exercised per-modality.
+    Payload bytes are metadata (byte_len) — the binary column itself
+    never shuffles."""
+    from broadway_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    media = MM.attach_media(docs, "content", "image/stub").withColumn(
+        "media_type",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image/stub")).otherwise(
+            F.lit("audio/stub")
+        ),
+    )
+    packed = B.chunk_by_budget(
+        media.select("media_type", "doc_id", "byte_len"),
+        ["media_type"],
+        "doc_id",
+        "byte_len",
+        MM_PACK_BUDGET,
+    )
+    return packed.groupBy(
+        "media_type", F.col("chunk_id").alias("batch_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("byte_len").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("total_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+EPOCH_SHUFFLE_N = 3
+EPOCH_SHUFFLE_SEED = 41
+
+
+def q_pack_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch deterministic reshuffle: each training epoch orders
+    the corpus by a portable hash salted with the epoch number —
+    reproducible across runs/engines (rand() is neither), different
+    across epochs. Per epoch: the exact position span (1..n proves a
+    permutation), the order checksum Σ(position·hash mod 1000003)
+    pinning every doc's slot, and the fixed-point count vs the
+    previous epoch (docs landing in the SAME slot twice — ~n/n! by
+    chance, so a nonzero pile-up means the salt failed).
+
+    Scale shape: ONE distributed global rank over (epoch, hash, id) —
+    epochs are contiguous equal-size blocks of that total order, so
+    per-epoch position = global rank − epoch·n with n known
+    driver-side; NO per-epoch window partitioned 3 ways (that would
+    put the whole corpus in one task). The fixed-point check is an
+    equi-join on (doc_id, position-slot)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    epochs = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(e) for e in range(EPOCH_SHUFFLE_N)])
+        ).alias("epoch"),
+    ).select(
+        "doc_id",
+        "epoch",
+        H.portable_hash(
+            F.concat_ws(":", F.col("epoch"), F.col("doc_id")),
+            seed=EPOCH_SHUFFLE_SEED,
+        ).alias("__h"),
+    )
+    ranked, total = RK.global_rank(
+        epochs,
+        [F.col("epoch").asc(), F.col("__h").asc(), F.col("doc_id").asc()],
+        rank_col="__gr",
+    )
+    n = total // EPOCH_SHUFFLE_N
+    pos = ranked.select(
+        "doc_id",
+        "epoch",
+        "__h",
+        (F.col("__gr") - F.col("epoch") * F.lit(n)).alias("position"),
+    )
+    prev = pos.select(
+        "doc_id",
+        (F.col("epoch") + 1).alias("epoch"),
+        F.col("position").alias("__prev_pos"),
+    )
+    fixed = (
+        pos.join(prev, ["doc_id", "epoch"])
+        .where(F.col("position") == F.col("__prev_pos"))
+        .groupBy("epoch")
+        .agg(F.count(F.lit(1)).alias("__fx"))
+    )
+    per_epoch = pos.groupBy("epoch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("position").alias("first_pos"),
+        F.max("position").alias("last_pos"),
+        F.sum(
+            F.expr(
+                "CAST((CAST(position AS DECIMAL(38,0)) * __h) % 1000003"
+                " AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("order_checksum"),
+    )
+    return per_epoch.join(F.broadcast(fixed), "epoch", "left").select(
+        "epoch",
+        "n_docs",
+        "first_pos",
+        "last_pos",
+        "order_checksum",
+        F.coalesce(F.col("__fx"), F.lit(0))
+        .cast("bigint")
+        .alias("fixed_vs_prev"),
+    )
+
+
 def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source content-overlap matrix: for every
     (source_a ≤ source_b) pair, how many winnowing fingerprints
@@ -11936,6 +12069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_winsorized_mean": q_agg_winsorized_mean,
         "dedup_cross_source_matrix": q_dedup_cross_source_matrix,
         "evt_time_to_convert": q_evt_time_to_convert,
+        "multimodal_pack_budget": q_multimodal_pack_budget,
+        "pack_epoch_shuffle": q_pack_epoch_shuffle,
         "text_decontaminate": q_text_decontaminate,
         "h13_order_dist": q_h13_order_dist,
         "h15_top_supplier": q_h15_top_supplier,
@@ -14572,6 +14707,60 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rk = (9 * n + 9) // 10
                             THEN gap_us END) AS p90_gap_us
             FROM ranked GROUP BY cohort_week""",
+        "multimodal_pack_budget": f"""
+            WITH media AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'image/stub'
+                          ELSE 'audio/stub' END AS media_type,
+                     octet_length(encode(text)) AS byte_len
+              FROM documents
+            ), packed AS (
+              SELECT media_type, doc_id, byte_len,
+                     CAST(floor((SUM(byte_len) OVER (
+                         PARTITION BY media_type ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - byte_len)
+                       / {MM_PACK_BUDGET}.0) AS BIGINT) AS batch_id
+              FROM media
+            )
+            SELECT media_type, batch_id, count(*) AS n_items,
+                   CAST(SUM(CAST(byte_len AS HUGEINT)) AS BIGINT)
+                     AS total_bytes,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM packed GROUP BY 1, 2""",
+        "pack_epoch_shuffle": f"""
+            WITH e AS (
+              SELECT doc_id, epoch
+              FROM documents, (SELECT unnest([0, 1, 2]) AS epoch)
+            ), h AS (
+              SELECT doc_id, epoch,
+                     {H.portable_hash_sql(
+                         "concat(CAST(epoch AS VARCHAR), ':',"
+                         " CAST(doc_id AS VARCHAR))",
+                         seed=EPOCH_SHUFFLE_SEED)} AS hh
+              FROM e
+            ), pos AS (
+              SELECT doc_id, epoch, hh,
+                     row_number() OVER (
+                       PARTITION BY epoch ORDER BY hh, doc_id
+                     ) AS position
+              FROM h
+            ), fx AS (
+              SELECT a.epoch, count(*) AS n_fixed
+              FROM pos a JOIN pos b
+                ON a.doc_id = b.doc_id AND b.epoch = a.epoch - 1
+               AND a.position = b.position
+              GROUP BY a.epoch
+            )
+            SELECT p.epoch, count(*) AS n_docs,
+                   CAST(min(position) AS BIGINT) AS first_pos,
+                   CAST(max(position) AS BIGINT) AS last_pos,
+                   CAST(SUM((CAST(position AS HUGEINT) * hh) % 1000003)
+                        AS BIGINT) AS order_checksum,
+                   CAST(coalesce(max(fx.n_fixed), 0) AS BIGINT)
+                     AS fixed_vs_prev
+            FROM pos p LEFT JOIN fx ON p.epoch = fx.epoch
+            GROUP BY p.epoch""",
         "pack_zorder": f"""
             WITH bounds AS (
               SELECT CAST(min(l_partkey) AS BIGINT) AS pk_lo,

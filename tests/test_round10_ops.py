@@ -620,3 +620,31 @@ def test_discrete_percentile_rank_formula(spark):
     for n in range(1, 1001):
         assert (n + 1) // 2 == _m.ceil(0.5 * n), n
         assert (9 * n + 9) // 10 == _m.ceil(0.9 * n), n
+
+
+def test_pack_budget_power_of_two_floor_is_exact():
+    """The 16384-byte budget is a power of two ON PURPOSE: dividing an
+    exact integer prefix sum by 2^14 is exact in binary, so the floor
+    is engine-portable. Pin the invariant."""
+    import __spark_entry__ as e
+
+    assert e.MM_PACK_BUDGET & (e.MM_PACK_BUDGET - 1) == 0
+    # boundary probes: cum-w exactly at/around multiples of the budget
+    for cum in (0, 16383, 16384, 16385, 32768, 2**40, 2**40 + 16384):
+        assert int(cum / float(e.MM_PACK_BUDGET)) == cum // e.MM_PACK_BUDGET
+
+
+def test_epoch_shuffle_positions_are_disjoint_permutations(spark):
+    """Each epoch's positions span 1..n exactly, and the three epoch
+    orders are pairwise different (the salt works)."""
+    import __spark_entry__ as e
+
+    rows = e.q_pack_epoch_shuffle(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == e.EPOCH_SHUFFLE_N
+    checksums = set()
+    for r in rows:
+        assert r["first_pos"] == 1
+        assert r["last_pos"] == r["n_docs"]
+        checksums.add(r["order_checksum"])
+        assert r["fixed_vs_prev"] <= max(2, r["n_docs"] // 50)
+    assert len(checksums) == e.EPOCH_SHUFFLE_N  # orders differ
