@@ -13,7 +13,11 @@ size or budget threshold is reached (reference
 Both are single window functions over ``(key, order)`` — one shuffle on
 the batch key, then linear per-partition work; skewed keys are the only
 scale hazard (same caveat the reference documents for partition_by,
-``lib/broadway.ex:579-597``) and AQE skew handling applies.
+``lib/broadway.ex:579-597``) and AQE skew handling applies. For
+LOW-cardinality keys the per-key window itself becomes the funnel —
+``chunk_by_budget_distributed`` composes the running sum across range
+blocks (prefix sums are associative) so no stage's parallelism is
+bounded by the key domain.
 
 ``apply_per_batch`` is the ``handle_batch/4`` analogue
 (``lib/broadway.ex:1001-1029``): one pandas DataFrame per materialized
@@ -25,8 +29,10 @@ from __future__ import annotations
 from collections.abc import Callable, Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from .materialize import materialize
 
 CHUNK_COL = "chunk_id"
 
@@ -73,6 +79,137 @@ def chunk_by_budget(
     return df.withColumn(
         CHUNK_COL, F.floor((cum - F.col(weight_col)) / F.lit(budget))
     )
+
+
+def running_sums_distributed(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str] | str,
+    values: dict[str, Column],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-key INCLUSIVE running sums over a total order without
+    the per-key sequential funnel.
+
+    ``sum(x) OVER (PARTITION BY key ORDER BY ord ROWS UNBOUNDED
+    PRECEDING)`` flows each key's ENTIRE stream through one task —
+    correct, but parallelism is bounded by the key domain: two media
+    types or a handful of languages means the whole corpus funnels
+    through |keys| tasks, the same single-task failure mode as an
+    un-partitioned window, hidden behind a non-empty partition spec.
+    Prefix sums are associative, so the stream composes across range
+    blocks exactly — the ``operators/ranking.global_rank`` trick
+    applied to running aggregates:
+
+    1. ``repartitionByRange`` on ``(key..., order...)`` — every
+       partition holds a contiguous slice of each key's ordered
+       stream (a key's rows span a contiguous run of partition ids),
+    2. per-``(partition, key)`` block sums — a tiny aggregate:
+       ≤ ``K + P − 1`` rows total (each key adds its partition span),
+    3. exclusive per-key prefix over the blocks in partition-id order
+       (a window over ≤ P rows per key) → each block's starting
+       offset into its key's global running sum,
+    4. broadcast the offsets back; the running sum WITHIN a block is
+       a window partitioned by ``(partition_id, key)`` — one range
+       partition per task, never one key per task,
+    5. out = offset + local running sum — bit-identical to the
+       sequential window because integer addition never reassociates.
+
+    ``values`` maps output column name → the numeric expression to
+    sum. Exactness requires exact-arithmetic types (LONG / DECIMAL —
+    byte sizes, token counts, ``F.lit(1)`` for row_number; float
+    would reassociate across blocks) and a strict total order:
+    ``order_cols`` must be unique within a key, same contract as
+    ``ranking.global_rank``. Note ``row_number() == running sum of
+    1`` and ``rank/ntile/percent cutoffs`` all derive from these
+    sums, so this is the one primitive the low-cardinality rewrites
+    need. The offsets relation is ``K + P − 1`` rows — broadcast by
+    construction for the low-cardinality keys this variant exists
+    for; at very high K the plain per-key window already distributes
+    and should be used instead.
+
+    Scale shape: one range shuffle of the full input, one tiny
+    aggregate + window, one broadcast hash join, one per-partition
+    window. No stage's parallelism is bounded by the key domain.
+    """
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    key_cols = list(key_cols)
+    order_cols = list(order_cols)
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    sort_cols = [F.col(c) for c in (*key_cols, *order_cols)]
+    ranged = df.repartitionByRange(num_partitions, *sort_cols).withColumn(
+        "__cb_pid", F.spark_partition_id()
+    )
+    # Barrier: freeze the sampled range-partitioner's pid assignment
+    # before the two consumers (block sums + the final join) fan out.
+    ranged = materialize(ranged, "running_sums")
+    blocks = ranged.groupBy("__cb_pid", *key_cols).agg(
+        *[F.sum(expr).alias(f"__cb_w_{n}") for n, expr in values.items()]
+    )
+    w_off = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__cb_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = blocks.select(
+        "__cb_pid",
+        *key_cols,
+        *[
+            F.coalesce(
+                F.sum(f"__cb_w_{n}").over(w_off),
+                F.lit(0).cast("long"),
+            ).alias(f"__cb_off_{n}")
+            for n in values
+        ],
+    )
+    w_local = (
+        Window.partitionBy("__cb_pid", *key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ranged.join(F.broadcast(offsets), ["__cb_pid", *key_cols])
+    for n, expr in values.items():
+        out = out.withColumn(
+            n, F.col(f"__cb_off_{n}") + F.sum(expr).over(w_local)
+        )
+    return out.drop(
+        "__cb_pid", *[f"__cb_off_{n}" for n in values]
+    )
+
+
+def chunk_by_budget_distributed(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str] | str,
+    weight_col: str,
+    budget: float,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``chunk_by_budget`` on the distributed prefix-sum core
+    (``running_sums_distributed``): ``chunk_id = floor((inclusive_sum
+    − weight) / budget)`` — bit-identical to the sequential formula
+    because the composed inclusive prefix IS the sequential running
+    sum (long integer addition, no float reassociation), with no
+    stage's parallelism bounded by the key domain. Weights must be
+    integral (byte sizes, token counts)."""
+    summed = running_sums_distributed(
+        df,
+        key_cols,
+        order_cols,
+        {"__cb_sum": F.col(weight_col).cast("long")},
+        num_partitions=num_partitions,
+    )
+    return summed.withColumn(
+        CHUNK_COL,
+        F.floor(
+            (F.col("__cb_sum") - F.col(weight_col)) / F.lit(budget)
+        ),
+    ).drop("__cb_sum")
 
 
 def apply_per_batch(

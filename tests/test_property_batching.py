@@ -8,7 +8,10 @@ this contract."""
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from broadway_spark.operators.batching import chunk_by_budget
+from broadway_spark.operators.batching import (
+    chunk_by_budget,
+    chunk_by_budget_distributed,
+)
 
 # integer weights: the running sum is exact in both the Spark window
 # and the Python fold, so the property tests SEMANTICS, not float LSBs
@@ -51,3 +54,64 @@ def test_chunk_by_budget_matches_greedy_fold(spark, rows, budget):
         for r in chunk_by_budget(df, ["k"], "o", "w", budget).collect()
     }
     assert got == _reference_fold(rows, budget)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    rows=st.lists(
+        _ROW, min_size=1, max_size=24, unique_by=lambda r: (r[0], r[1])
+    ),
+    budget=st.sampled_from([1.0, 7.5, 40.0]),
+    nparts=st.sampled_from([1, 3, 8]),
+)
+def test_chunk_by_budget_distributed_matches_greedy_fold(
+    spark, rows, budget, nparts
+):
+    """Block composition == single-stream chunking: the distributed
+    prefix-sum splitter must produce the SAME chunk ids as the
+    sequential fold for every partition count — range-block boundaries
+    land anywhere (including mid-chunk), the broadcast offsets must
+    stitch them exactly."""
+    df = spark.createDataFrame(
+        [(k, o, w) for k, o, w in rows], "k long, o long, w long"
+    )
+    got = {
+        (r["k"], r["o"]): r["chunk_id"]
+        for r in chunk_by_budget_distributed(
+            df, ["k"], "o", "w", budget, num_partitions=nparts
+        ).collect()
+    }
+    assert got == _reference_fold(rows, budget)
+
+
+def test_chunk_by_budget_distributed_boundary_heavy(spark):
+    """Adversarial block stitching: ONE key, weights that land exactly
+    on budget multiples (every boundary is a tie with the budget), and
+    more range partitions than chunks — block cuts fall mid-chunk and
+    ON chunk boundaries; composed ids must still equal the sequential
+    fold, and the same rows run through the plain per-key window must
+    agree too (distributed ≡ sequential operator equivalence)."""
+    budget = 10.0
+    rows = [(0, i, w) for i, w in enumerate([5, 5, 10, 3, 7, 10, 10, 1, 9, 2])]
+    df = spark.createDataFrame(rows, "k long, o long, w long")
+    want = _reference_fold(rows, budget)
+    for nparts in (1, 4, 16):
+        got = {
+            (r["k"], r["o"]): r["chunk_id"]
+            for r in chunk_by_budget_distributed(
+                df, ["k"], "o", "w", budget, num_partitions=nparts
+            ).collect()
+        }
+        assert got == want, f"nparts={nparts}"
+    seq = {
+        (r["k"], r["o"]): r["chunk_id"]
+        for r in chunk_by_budget(df, ["k"], "o", "w", budget).collect()
+    }
+    assert seq == want
