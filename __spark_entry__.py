@@ -2583,19 +2583,45 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_w5_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function surface: rank / dense_rank / ntile / percent_rank
-    / cume_dist over a deterministic total order."""
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    / cume_dist over a deterministic total order.
+
+    Scale shape: the naive form partitions every window on
+    o_orderpriority — FIVE distinct values, so the whole orders table
+    funnels through 5 tasks. The window's ORDER BY carries an
+    o_orderkey tiebreak, so its peer groups are singletons and every
+    rank function is a closed form of (row_number, per-key n): rank =
+    dense_rank = row_number, percent_rank = (rn−1)/(n−1), cume_dist =
+    rn/n, ntile = exact integer arithmetic. row_number comes from the
+    distributed prefix-sum core (running count via
+    operators/batching.running_sums_distributed) and the 5-row count
+    aggregate broadcasts — no stage's parallelism is bounded by the
+    priority domain."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    return orders.select(
+    rn = B.running_sums_distributed(
+        orders,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        {"__rn": F.lit(1).cast("long")},
+    )
+    n_df = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    base = rn.join(F.broadcast(n_df), "o_orderpriority")
+    return base.select(
         "o_orderkey",
         "o_orderpriority",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.col("__rn").cast("int").alias("rnk"),
+        F.col("__rn").cast("int").alias("drnk"),
+        RK.exact_ntile_cols("__rn", "__n", 4).alias("quartile"),
+        F.round(
+            F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
+                (F.col("__rn") - 1) / (F.col("__n") - 1)
+            ),
+            6,
+        ).alias("prank"),
+        F.round(F.col("__rn") / F.col("__n"), 6).alias("cdist"),
     )
 
 
@@ -4171,18 +4197,40 @@ def q_evt_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_w9_dist_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-function window suite: cume_dist, percent_rank and
     ntile(8) per event_type over a total (value, event_id) order —
-    the ranking functions w5 doesn't cover. One shuffle on the
-    partition key; all functions share one window definition."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
+    the ranking functions w5 doesn't cover.
+
+    Scale shape: same rewrite as w5 — the handful-of-event-types
+    partition key would funnel the whole events table through |types|
+    tasks. The ORDER BY's event_id tiebreak makes peer groups
+    singletons, so all three functions are closed forms of
+    (row_number, per-type n): cume_dist = rn/n, percent_rank =
+    (rn−1)/(n−1), ntile = exact integer arithmetic — with row_number
+    from the distributed prefix-sum core and the per-type count
+    broadcast."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
     )
-    return ev.select(
+    rn = B.running_sums_distributed(
+        ev,
+        ["event_type"],
+        [F.col("value").asc(), F.col("event_id").asc()],
+        {"__rn": F.lit(1).cast("long")},
+    )
+    n_df = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    base = rn.join(F.broadcast(n_df), "event_type")
+    return base.select(
         "event_id",
         "event_type",
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.ntile(8).over(w).alias("bucket"),
+        F.round(F.col("__rn") / F.col("__n"), 6).alias("cd"),
+        F.round(
+            F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
+                (F.col("__rn") - 1) / (F.col("__n") - 1)
+            ),
+            6,
+        ).alias("pr"),
+        RK.exact_ntile_cols("__rn", "__n", 8).alias("bucket"),
     )
 
 
@@ -4658,10 +4706,15 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture building: per language, keep the
     highest-quality documents until a 3000-token budget is exhausted
     (cumulative-sum cutoff over a deterministic (quality desc, doc_id)
-    order) — how a training mixture is actually assembled. One window
-    pass per language partition; the greedy order is total (integer
-    micro-unit quality, id tiebreak) so both engines pick identical
-    document sets."""
+    order) — how a training mixture is actually assembled. The greedy
+    order is total (integer micro-unit quality, id tiebreak) so both
+    engines pick identical document sets.
+
+    Scale shape: the cumulative sum runs on the distributed
+    prefix-sum core (operators/batching.running_sums_distributed) —
+    per-(range-block, lang) token sums broadcast as offsets, so the
+    handful-of-languages key domain never bounds parallelism (the
+    same composition that fixed the byte-budget packing family)."""
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
@@ -4671,13 +4724,13 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q_micro"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(F.col("q_micro").desc(), F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        scored.withColumn("__cum", F.sum("n_tokens").over(w))
+        B.running_sums_distributed(
+            scored,
+            ["lang"],
+            [F.col("q_micro").desc(), F.col("doc_id").asc()],
+            {"__cum": F.col("n_tokens").cast("long")},
+        )
         .filter(F.col("__cum") <= 3000)
         .groupBy("lang")
         .agg(
@@ -5784,13 +5837,15 @@ def q_emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     they poison an ANN index. Integer squared norms keep the
     percentile input exact; fences compare integers only.
 
-    Scale shape: one per-row fold (no shuffle), one percentile
-    aggregate per label, fences broadcast back for the counting
-    pass."""
+    Scale shape: one per-row fold (no shuffle), the per-label rank on
+    the distributed prefix-sum core (the handful-of-labels domain
+    never bounds parallelism), per-label totals broadcast, fences
+    broadcast back for the counting pass."""
     emb = _t(spark, sf_dir, "embeddings")
     micro = "transform(embedding, x -> cast(round(x * 1e6) as bigint))"
     sq = emb.select(
         "label",
+        "vec_id",
         F.expr(
             f"aggregate({micro}, 0L, (a, x) -> a + x * x)"
         ).alias("sq"),
@@ -5798,13 +5853,22 @@ def q_emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DISCRETE rank fences (k-th smallest), not interpolated
     # percentiles: at ~1e12 magnitudes the interpolation arithmetic
     # differs across engines in the last float digits, and round(...,6)
-    # preserves the noise. Rank selection stays integer-exact.
-    w = Window.partitionBy("label").orderBy("sq")
-    ranked = sq.select(
-        "label",
-        "sq",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("n"),
+    # preserves the noise. Rank selection stays integer-exact. Ties in
+    # sq are broken by vec_id — any tie order yields the same k-th
+    # VALUE (ties are adjacent), the strict order just keeps the rank
+    # assignment engine-deterministic.
+    per_label_n = sq.groupBy("label").agg(
+        F.count(F.lit(1)).cast("int").alias("n")
+    )
+    ranked = (
+        B.running_sums_distributed(
+            sq,
+            ["label"],
+            [F.col("sq").asc(), F.col("vec_id").asc()],
+            {"rn": F.lit(1).cast("long")},
+        )
+        .join(F.broadcast(per_label_n), "label")
+        .select("label", "sq", F.col("rn").cast("int").alias("rn"), "n")
     )
     # integer ceil: k_lo = ⌈n/20⌉, k_hi = ⌈19n/20⌉ — no float ceil
     k_lo = F.expr("(n + 19) DIV 20")
@@ -6027,16 +6091,21 @@ def q_sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike sample_exact_k the quota is dynamic: min over group sizes,
     broadcast back.
 
-    Scale shape: one count aggregate, a 1-row min broadcast, and a
-    per-stratum hash-rank top-k inside the stratum's partition."""
+    Scale shape: one count aggregate, a 1-row min broadcast, and the
+    per-stratum hash rank on the distributed prefix-sum core — the
+    quota is a dynamic column (min over group sizes), so Catalyst
+    can't push a WindowGroupLimit, and a plain per-lang window would
+    funnel the corpus through |langs| tasks."""
     docs = _t(spark, sf_dir, "documents")
     sizes = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     floor_n = sizes.agg(F.min("n").alias("min_n"))
     hk = F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string")))
-    w = Window.partitionBy("lang").orderBy(hk.asc(), F.col("doc_id").asc())
-    ranked = docs.select(
-        "lang", "doc_id", F.row_number().over(w).alias("rk")
-    )
+    ranked = B.running_sums_distributed(
+        docs.select("lang", "doc_id", hk.alias("__hk")),
+        ["lang"],
+        [F.col("__hk").asc(), F.col("doc_id").asc()],
+        {"rk": F.lit(1).cast("long")},
+    ).select("lang", "doc_id", "rk")
     picked = ranked.crossJoin(F.broadcast(floor_n)).where(
         F.col("rk") <= F.col("min_n")
     )
@@ -10627,8 +10696,10 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     under truncating integer division.
 
     Scale shape: one join (orders→customer, broadcast-able dim), one
-    partial-agg shuffle to per-customer cents, ONE ranked window per
-    nation (the same single sort a percentile pays), and a final
+    partial-agg shuffle to per-customer cents, then the per-nation
+    rank on the distributed prefix-sum core (row_number == running
+    count; operators/batching.running_sums_distributed) — the 25-value
+    nation domain never bounds parallelism — and a final
     ~nations-sized aggregate."""
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("p")
@@ -10641,12 +10712,12 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("p") * 100).cast("long").alias("cents")
         )
     )
-    w = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
-    ranked = per_cust.select(
-        "c_nationkey",
-        "cents",
-        F.row_number().over(w).cast("long").alias("rk"),
-    )
+    ranked = B.running_sums_distributed(
+        per_cust,
+        ["c_nationkey"],
+        [F.col("cents").asc(), F.col("c_custkey").asc()],
+        {"rk": F.lit(1).cast("long")},
+    ).select("c_nationkey", "cents", "rk")
     return (
         ranked.groupBy("c_nationkey")
         .agg(

@@ -84,7 +84,7 @@ def chunk_by_budget(
 def running_sums_distributed(
     df: DataFrame,
     key_cols: Sequence[str],
-    order_cols: Sequence[str] | str,
+    order_cols: Sequence[str | Column] | str | Column,
     values: dict[str, Column],
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -132,16 +132,21 @@ def running_sums_distributed(
     aggregate + window, one broadcast hash join, one per-partition
     window. No stage's parallelism is bounded by the key domain.
     """
-    if isinstance(order_cols, str):
+    if isinstance(order_cols, (str, Column)):
         order_cols = [order_cols]
     key_cols = list(key_cols)
-    order_cols = list(order_cols)
+    # order entries may be Columns carrying sort direction (.desc());
+    # the SAME expressions drive the range partitioner and the local
+    # window, so block order and within-block order always agree
+    order_cols = [
+        F.col(c) if isinstance(c, str) else c for c in order_cols
+    ]
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    sort_cols = [F.col(c) for c in (*key_cols, *order_cols)]
+    sort_cols = [*(F.col(c) for c in key_cols), *order_cols]
     ranged = df.repartitionByRange(num_partitions, *sort_cols).withColumn(
         "__cb_pid", F.spark_partition_id()
     )
@@ -185,7 +190,7 @@ def running_sums_distributed(
 def chunk_by_budget_distributed(
     df: DataFrame,
     key_cols: Sequence[str],
-    order_cols: Sequence[str] | str,
+    order_cols: Sequence[str | Column] | str | Column,
     weight_col: str,
     budget: float,
     num_partitions: int | None = None,

@@ -108,6 +108,24 @@ def exact_ntile_col(rank_col: str, n_rows: int, n_tiles: int) -> Column:
     )
 
 
+def exact_ntile_cols(rank_col: str, n_col: str, n_tiles: int) -> Column:
+    """``exact_ntile_col`` with the partition row count carried as a
+    COLUMN — for per-key ntile where n varies by key (the per-key
+    totals are a tiny broadcast-joined aggregate). Same closed form,
+    all integer ops, exact at any BIGINT rank."""
+    t = int(n_tiles)
+    base = f"({n_col} DIV {t})"
+    rem = f"({n_col} % {t})"
+    cut = f"({rem} * ({base} + 1))"
+    return F.expr(
+        f"CAST(CASE WHEN {base} = 0 THEN {rank_col}"
+        f" WHEN {rank_col} <= {cut}"
+        f" THEN ({rank_col} + {base}) DIV ({base} + 1)"
+        f" ELSE {rem} + ({rank_col} - {cut} + {base} - 1) DIV {base}"
+        f" END AS INT)"
+    )
+
+
 def with_exact_ntile(
     df: DataFrame,
     order_by: list[Column],
