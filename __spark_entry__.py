@@ -3420,7 +3420,12 @@ def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CURRICULUM_SEED = 31
-CURRICULUM_TIER_CUTS = (0.75, 0.5, 0.25)  # tier 1/2/3 lower bounds; else 4
+# tier 1/2/3 lower bounds in integer ppm (else tier 4): the cut
+# compares the EXACT integer quality_ppm, never a rounded double —
+# the 6dp half-way class round(q, 6) >= 0.75 would flip a mid-tier
+# doc's tier invisibly (r10 ADVICE); floor(q·1e6) >= cut_ppm is the
+# same predicate as exact q >= cut with zero rounding involved.
+CURRICULUM_TIER_CUTS_PPM = (750000, 500000, 250000)
 
 
 def q_pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3442,14 +3447,15 @@ def q_pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs."""
     docs = _t(spark, sf_dir, "documents")
     q = T.quality_score("text")
-    t1, t2, t3 = CURRICULUM_TIER_CUTS
+    qp = T.quality_ppm("text")
+    t1, t2, t3 = CURRICULUM_TIER_CUTS_PPM
     scored = docs.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
         q.alias("quality"),
-        F.when(q >= t1, 1)
-        .when(q >= t2, 2)
-        .when(q >= t3, 3)
+        F.when(qp >= t1, 1)
+        .when(qp >= t2, 2)
+        .when(qp >= t3, 3)
         .otherwise(4)
         .alias("tier"),
         H.portable_hash(
@@ -3834,46 +3840,62 @@ def q_evt_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding (f·(b−a) with b−a ~ 10¹² has ulp ~10⁻⁴; caught live at
     sf0.01 before this query ever shipped).
 
-    Scale shape: two conditional aggregates over one scan keyed on
-    user_id (min-if), a cohort-partitioned rank for the discrete
-    percentiles, then a small per-cohort rollup — no self-join of
-    events against events."""
-    ev = _t(spark, sf_dir, "events")
+    Scale shape: NO per-user arrays — the old form collect_list'ed
+    every purchase timestamp per user, so one bot account with 10⁷
+    purchases meant a 10⁷-element array in a single aggregation
+    buffer (the r10 verdict's watch item). Now: first-signup
+    aggregate per user, rejoin to the purchase stream (shuffle on
+    user_id both sides), min-if aggregate — two scalar aggregates,
+    state bounded at one row per user regardless of purchase count.
+    The discrete-percentile rank runs on the distributed prefix-sum
+    core (cohort_week is calendar-bounded while rows per cohort grow
+    with the corpus — a per-cohort window would funnel each week
+    through one task); per-cohort counts broadcast."""
+    return _time_to_convert(_t(spark, sf_dir, "events"))
+
+
+def _time_to_convert(ev: DataFrame) -> DataFrame:
+    """The shared conversion-latency pipeline (see q_evt_time_to_convert
+    for semantics and scale shape) — also driven by the hot-user edge
+    query, whose derivation collapses every purchase onto one bot
+    account to prove per-user state stays one row."""
     us = F.expr("unix_micros(ts)")
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", us)).alias(
-            "__signup_us"
-        ),
-        F.collect_list(
-            F.when(F.col("event_type") == "purchase", us)
-        ).alias("__p"),
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("__signup_us"))
     )
-    # first purchase AT OR AFTER the first signup: array_min of the
-    # filtered purchase times (codegen HOF over a per-user-bounded
-    # array — the purchase count per user, not the corpus, bounds it)
-    gap = per_user.select(
-        "user_id",
-        "__signup_us",
-        F.expr(
-            "array_min(filter(__p, x -> x >= __signup_us))"
-        ).alias("__conv_us"),
-    ).where(
-        F.col("__signup_us").isNotNull() & F.col("__conv_us").isNotNull()
+    gap = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("__p_us"))
+        .join(signup, "user_id")
+        .groupBy("user_id", "__signup_us")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("__p_us") >= F.col("__signup_us"),
+                    F.col("__p_us"),
+                )
+            ).alias("__conv_us")
+        )
+        .where(F.col("__conv_us").isNotNull())
     )
     gaps = gap.select(
         F.expr(
             "CAST(__signup_us DIV (86400000000 * 7) AS INT)"
         ).alias("cohort_week"),
         (F.col("__conv_us") - F.col("__signup_us")).alias("gap_us"),
+        "user_id",
     )
-    wc = Window.partitionBy("cohort_week").orderBy("gap_us")
-    wn = Window.partitionBy("cohort_week")
-    ranked = gaps.select(
-        "cohort_week",
-        "gap_us",
-        F.row_number().over(wc).alias("__rk"),
-        F.count(F.lit(1)).over(wn).alias("__n"),
+    n_df = gaps.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
     )
+    ranked = B.running_sums_distributed(
+        gaps,
+        ["cohort_week"],
+        [F.col("gap_us").asc(), F.col("user_id").asc()],
+        {"__rk": F.lit(1).cast("long")},
+    ).join(F.broadcast(n_df), "cohort_week")
     # discrete percentile rank: ⌈p·n⌉ in pure integer math
     return ranked.groupBy("cohort_week").agg(
         F.max("__n").cast("long").alias("n_converted"),
@@ -12037,6 +12059,26 @@ def q_edge_media_1byte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edge_convert_hot_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAVY-HITTER conversion stream: every purchase in the corpus is
+    remapped onto ONE bot account (user_id → 7 for purchases) before
+    the time-to-convert pipeline — the 10⁶-purchases-one-user class
+    the r10 verdict flagged against the old collect_list form, where
+    a single aggregation buffer would hold every purchase timestamp.
+    The join+min-if rewrite keeps per-user state at one row no matter
+    how many purchases pile on the key; AQE skew handling covers the
+    shuffle hot key. The result pins the exact per-cohort stats of
+    the degenerate stream to the oracle."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "purchase", F.lit(7).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "event_type",
+        "ts",
+    )
+    return _time_to_convert(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan": q_s1_scan,
@@ -12317,6 +12359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_zero_vectors": q_edge_zero_vectors,
         "edge_json_malformed": q_edge_json_malformed,
         "edge_media_1byte": q_edge_media_1byte,
+        "edge_convert_hot_user": q_edge_convert_hot_user,
     }
 
 
@@ -14610,14 +14653,15 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_curriculum": f"""
             WITH scored AS (
               SELECT doc_id, n_tokens, quality, __h,
-                     CASE WHEN quality >= {CURRICULUM_TIER_CUTS[0]} THEN 1
-                          WHEN quality >= {CURRICULUM_TIER_CUTS[1]} THEN 2
-                          WHEN quality >= {CURRICULUM_TIER_CUTS[2]} THEN 3
+                     CASE WHEN q_ppm >= {CURRICULUM_TIER_CUTS_PPM[0]} THEN 1
+                          WHEN q_ppm >= {CURRICULUM_TIER_CUTS_PPM[1]} THEN 2
+                          WHEN q_ppm >= {CURRICULUM_TIER_CUTS_PPM[2]} THEN 3
                           ELSE 4 END AS tier
               FROM (
                 SELECT doc_id,
                        {T.token_count_sql('text')} AS n_tokens,
                        {T.quality_score_sql('text')} AS quality,
+                       {T.quality_ppm_sql('text')} AS q_ppm,
                        {H.portable_hash_sql('CAST(doc_id AS VARCHAR)',
                                             seed=CURRICULUM_SEED)} AS __h
                 FROM documents
@@ -14666,7 +14710,7 @@ def oracle_sql() -> dict[str, str]:
                         // (SELECT tot FROM agg) AS BIGINT)
                      AS covered_ppm,
                    CAST((SELECT vocab FROM agg) AS BIGINT) AS vocab_size
-            FROM ranked CROSS JOIN ks GROUP BY k""",
+            FROM ks LEFT JOIN ranked ON TRUE GROUP BY k""",
         "ts_seasonal_dow": """
             WITH cells AS (
               SELECT event_type,
@@ -14807,7 +14851,9 @@ def oracle_sql() -> dict[str, str]:
         "pack_epoch_shuffle": f"""
             WITH e AS (
               SELECT doc_id, epoch
-              FROM documents, (SELECT unnest([0, 1, 2]) AS epoch)
+              FROM documents,
+                   (SELECT unnest([{", ".join(str(e) for e in
+                                    range(EPOCH_SHUFFLE_N))}]) AS epoch)
             ), h AS (
               SELECT doc_id, epoch,
                      {H.portable_hash_sql(
@@ -17549,4 +17595,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(concat('0x', substr(md5(substr(text, 1, 1)), 5, 4))
                         AS INT) / 65536.0 AS f1
             FROM documents"""
+    sql["edge_convert_hot_user"] = """
+            WITH ev AS (
+              SELECT CASE WHEN event_type = 'purchase'
+                          THEN CAST(7 AS BIGINT) ELSE user_id END
+                       AS user_id,
+                     event_type, ts
+              FROM events
+            ), s AS (
+              SELECT user_id, min(epoch_us(ts)) AS signup_us
+              FROM ev WHERE event_type = 'signup'
+              GROUP BY user_id
+            ), c AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS conv_us
+              FROM ev e JOIN s USING (user_id)
+              WHERE e.event_type = 'purchase'
+                AND epoch_us(e.ts) >= s.signup_us
+              GROUP BY e.user_id
+            ), gaps AS (
+              SELECT CAST(signup_us // (86400000000 * 7) AS INT)
+                       AS cohort_week,
+                     conv_us - signup_us AS gap_us
+              FROM s JOIN c USING (user_id)
+            ), ranked AS (
+              SELECT cohort_week, gap_us,
+                     row_number() OVER (
+                       PARTITION BY cohort_week ORDER BY gap_us
+                     ) AS rk,
+                     count(*) OVER (
+                       PARTITION BY cohort_week) AS n
+              FROM gaps
+            )
+            SELECT cohort_week, CAST(max(n) AS BIGINT) AS n_converted,
+                   CAST(SUM(CAST(gap_us AS HUGEINT)) // count(*)
+                        AS BIGINT) AS mean_gap_us,
+                   max(CASE WHEN rk = (n + 1) // 2
+                            THEN gap_us END) AS p50_gap_us,
+                   max(CASE WHEN rk = (9 * n + 9) // 10
+                            THEN gap_us END) AS p90_gap_us
+            FROM ranked GROUP BY cohort_week"""
     return sql

@@ -247,6 +247,67 @@ def quality_score_sql(expr: str) -> str:
     return f"round(({length_c} + {alpha_c} + {stop_c}) / 3.0, 6)"
 
 
+def quality_ppm(col_name: str) -> Column:
+    """``quality_score`` as an EXACT integer in parts-per-million —
+    no float path anywhere, so threshold comparisons (tier cuts,
+    quality gates) can never hit the 6dp half-way rounding class the
+    boundary-audit policy bans. The three components are rationals
+    with integer numerators/denominators:
+
+    - length: min(n_tok, 64) / 64
+    - alpha:  n_alpha / n_chars (0 when no chars)
+    - stop:   min(4·n_stop, m) / m   with m = max(n_tok, 1)
+
+    brought onto the common denominator 192·c·m (c = max(n_chars, 1))
+    and floor-divided: ppm = ⌊1e6 · Σ⌋ via DECIMAL(38,0) DIV —
+    engine-identical under truncating integer division (the agg_gini
+    rule). Magnitude bound: 1e6 · 64 · c · m ≈ 1e20 for megabyte docs
+    — far inside DECIMAL(38,0)/HUGEINT.
+    """
+    en_markers = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    t = f"size(split(lower({col_name}), ' '))"
+    w = f"regexp_replace({col_name}, '\\\\s+', '')"
+    ch = f"length({w})"
+    al = f"length(regexp_replace({w}, '[^A-Za-z]', ''))"
+    sp = f"size(filter(split(lower({col_name}), ' '), x -> x IN ({en_markers})))"
+    c = f"greatest({ch}, 1)"
+    m = f"greatest({t}, 1)"
+    num = (
+        f"(CAST(least({t}, 64) AS DECIMAL(38,0)) * {c} * {m}"
+        f" + 64 * CAST(CASE WHEN {ch} > 0 THEN {al} ELSE 0 END"
+        f"   AS DECIMAL(38,0)) * {m}"
+        f" + 64 * CAST({c} AS DECIMAL(38,0)) * least(4 * {sp}, {m}))"
+    )
+    den = f"(CAST(192 AS DECIMAL(38,0)) * {c} * {m})"
+    return F.expr(
+        f"CAST(({num} * 1000000) DIV {den} AS BIGINT)"
+    )
+
+
+def quality_ppm_sql(expr: str) -> str:
+    """DuckDB twin of ``quality_ppm`` — HUGEINT arithmetic, same
+    truncating integer division."""
+    en_markers = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    t = f"len(string_split(lower({expr}), ' '))"
+    w = f"regexp_replace({expr}, '\\s+', '', 'g')"
+    ch = f"length({w})"
+    al = f"length(regexp_replace({w}, '[^A-Za-z]', '', 'g'))"
+    sp = (
+        f"len(list_filter(string_split(lower({expr}), ' '), "
+        f"x -> x IN ({en_markers})))"
+    )
+    c = f"greatest({ch}, 1)"
+    m = f"greatest({t}, 1)"
+    num = (
+        f"(CAST(least({t}, 64) AS HUGEINT) * {c} * {m}"
+        f" + 64 * CAST(CASE WHEN {ch} > 0 THEN {al} ELSE 0 END"
+        f"   AS HUGEINT) * {m}"
+        f" + 64 * CAST({c} AS HUGEINT) * least(4 * {sp}, {m}))"
+    )
+    den = f"(CAST(192 AS HUGEINT) * {c} * {m})"
+    return f"CAST(({num} * 1000000) // {den} AS BIGINT)"
+
+
 def winnow_fingerprints(col_name: str, k: int = 3, w: int = 4, seed: int = 7) -> Column:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every word k-gram, slide a

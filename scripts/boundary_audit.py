@@ -52,6 +52,7 @@ def main() -> None:
     oracles = entrymod.oracle_sql()
     hits: list[tuple[str, str, float]] = []
     n_cells = 0
+    skipped: list[str] = []
     for name, sql in oracles.items():
         try:
             res = con.sql(sql)
@@ -59,6 +60,7 @@ def main() -> None:
             rows = res.fetchall()
         except Exception as e:  # noqa: BLE001 - audit must not die
             print(f"SKIP {name}: oracle error: {e}")
+            skipped.append(name)
             continue
         for r in rows:
             for c, v in zip(cols, r):
@@ -79,8 +81,19 @@ def main() -> None:
         print(f"BOUNDARY {name}.{c} = {v!r}")
     print(
         f"{len(hits)} boundary-adjacent double cells / {n_cells} "
-        f"double cells audited across {len(oracles)} oracles @ {sf_dir}"
+        f"double cells audited across {len(oracles) - len(skipped)}"
+        f"/{len(oracles)} oracles ({len(skipped)} skipped) @ {sf_dir}"
     )
+    # a clean exit certifies EVERY registered oracle was audited — a
+    # skipped oracle (partial sf_dir, dialect error) must not read as
+    # coverage (r10 ADVICE)
+    if skipped:
+        print(f"FAIL: {len(skipped)} oracle(s) not audited: "
+              f"{', '.join(sorted(skipped)[:8])}"
+              f"{' …' if len(skipped) > 8 else ''}")
+        sys.exit(1)
+    if hits:
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -627,8 +627,7 @@ def test_no_low_cardinality_order_contract_window(spark):
     # (lib/broadway.ex:579-597); AQE skew handling applies.
     SCALING_KEY = re.compile(
         r"(user_id|custkey|query_id|doc_id|vec_id|suppkey|partkey"
-        r"|neighbor_id|__qid|__vid|id_a|fp|item|batch_key|session"
-        r"|cohort_week)#\d"
+        r"|neighbor_id|__qid|__vid|id_a|fp|item|batch_key|session)#\d"
     )
     BOUNDED_INPUT_OK = {
         # window over per-(channel, year) aggregate rows: calendar ×

@@ -1,0 +1,148 @@
+"""Round-11 regression tests — the r10 advisory closures:
+
+1. text_vocab_coverage on an EMPTY documents corpus: the Spark side's
+   ungrouped aggregate always yields one row (4 stacked k-rows with
+   NULL ppm); the oracle's old `FROM ranked CROSS JOIN ks` collapsed
+   to 0 rows — the fixed `ks LEFT JOIN ranked` must keep the engines
+   row-for-row identical on empty input.
+2. quality_ppm (the integer tier-cut base): exactly floor(q_exact·1e6)
+   of the unrounded rational quality_score, engine-identical between
+   Spark and DuckDB including whitespace-only / empty / keyword-soup
+   degenerates — so pipeline_curriculum's tier predicate can never
+   hit the 6dp half-way rounding class.
+3. pack_epoch_shuffle's oracle derives its epoch list from
+   EPOCH_SHUFFLE_N (no hardcoded unnest), so changing the constant
+   cannot silently desynchronize the twin.
+"""
+
+import duckdb
+
+import __spark_entry__ as entry
+from broadway_spark.functions import text as T
+
+DOCS_DDL = (
+    "doc_id long, source string, lang string, text string, url string"
+)
+
+
+def _docs_dir(spark, tmp_path, rows):
+    d = str(tmp_path / "sf_empty")
+    spark.createDataFrame(rows, DOCS_DDL).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_vocab_coverage_empty_corpus_parity(spark, tmp_path):
+    sf_dir = _docs_dir(spark, tmp_path, [])
+    got = entry.q_text_vocab_coverage(spark, sf_dir).collect()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    want = con.sql(entry.oracle_sql()["text_vocab_coverage"]).fetchall()
+    assert len(got) == len(want) == len(entry.VOCAB_COVERAGE_KS)
+    got_rows = sorted(
+        (r["top_k"], r["covered_tokens"], r["covered_ppm"], r["vocab_size"])
+        for r in got
+    )
+    want_rows = sorted(tuple(r) for r in want)
+    assert got_rows == want_rows
+
+
+def test_vocab_coverage_nonempty_unchanged(spark, tmp_path):
+    rows = [
+        (1, "s", "en", "the cat sat on the mat", "u"),
+        (2, "s", "en", "the dog", "u"),
+    ]
+    sf_dir = _docs_dir(spark, tmp_path, rows)
+    got = {
+        r["top_k"]: (r["covered_tokens"], r["covered_ppm"], r["vocab_size"])
+        for r in entry.q_text_vocab_coverage(spark, sf_dir).collect()
+    }
+    # 8 occurrences over 6 types (the×3) → top-5 covers 7 of 8
+    assert got[5] == (7, 875000, 6)
+    assert got[50] == (8, 1000000, 6)
+
+
+# -- quality_ppm ------------------------------------------------------------
+
+SAMPLES = [
+    "the cat sat on the mat and the dog ran",
+    "",
+    "   ",
+    "x",
+    "keyword soup soup soup 12345 67890 !!!",
+    "a " * 100,  # long doc: length component saturates
+    "The quick brown fox jumps over the lazy dog.",
+]
+
+
+def _py_quality_terms(text: str):
+    """Exact rational quality terms mirrored from functions/text.py."""
+    toks = text.lower().split(" ")
+    n_tok = len(toks)
+    no_ws = "".join(text.split())
+    n_chars = len(no_ws)
+    n_alpha = sum(c.isalpha() and c.isascii() for c in no_ws)
+    markers = set(T.LANG_MARKERS["en"])
+    n_stop = sum(t in markers for t in toks)
+    m = max(n_tok, 1)
+    c = max(n_chars, 1)
+    num = (
+        min(n_tok, 64) * c * m
+        + 64 * (n_alpha if n_chars > 0 else 0) * m
+        + 64 * c * min(4 * n_stop, m)
+    )
+    den = 192 * c * m
+    return num, den
+
+
+def test_quality_ppm_is_exact_floor_of_rational(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(SAMPLES)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["ppm"]
+        for r in df.select(
+            "i", T.quality_ppm("text").alias("ppm")
+        ).collect()
+    }
+    for i, t in enumerate(SAMPLES):
+        num, den = _py_quality_terms(t)
+        want = (num * 1000000) // den
+        assert got[i] == want, (i, t, got[i], want)
+        # and the ppm floor brackets the rounded double score
+        assert abs(got[i] / 1e6 - num / den) < 1e-6
+
+
+def test_quality_ppm_cross_engine_parity(spark, tmp_path):
+    rows = [
+        (i, "s", "en", t, "u") for i, t in enumerate(SAMPLES)
+    ]
+    sf_dir = _docs_dir(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: r["ppm"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", T.quality_ppm("text").alias("ppm"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    want = dict(
+        con.sql(
+            f"SELECT doc_id, {T.quality_ppm_sql('text')} AS ppm"
+            " FROM documents"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_epoch_shuffle_oracle_tracks_constant():
+    sql = entry.oracle_sql()["pack_epoch_shuffle"]
+    want = ", ".join(str(e) for e in range(entry.EPOCH_SHUFFLE_N))
+    assert f"unnest([{want}])" in sql
