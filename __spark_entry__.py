@@ -7040,10 +7040,16 @@ def q_s33_restart_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="bw_s33_")
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
 
-    def build():
-        ev = _staged_events_stream(spark, watch, schema).filter(
-            F.col("event_type").isin("purchase", "click")
-        )
+    def build(files_per_trigger: int | None = 1):
+        # run 1 paces one file per trigger so the kill lands mid-drain
+        # with files left over; the RESUME lifts the cap — the decided
+        # set depends only on the FINAL watermark, not on how the
+        # remaining files split into batches, and each extra batch
+        # costs a fixed stateful-commit round (the r10 verdict's
+        # drain-toolkit item for this family)
+        ev = _staged_events_stream(
+            spark, watch, schema, files_per_trigger
+        ).filter(F.col("event_type").isin("purchase", "click"))
         return streaming_left_anti_join(
             ev,
             key_col="user_id",
@@ -7073,7 +7079,7 @@ def q_s33_restart_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _kill_mid_drain(q)
     with scoped_rocksdb_state(spark), _pinned_state_partitions(spark):
         q2 = (
-            build()
+            build(files_per_trigger=None)
             .writeStream.foreachBatch(writer)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
@@ -8844,14 +8850,19 @@ def q_s15_restart_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _staged_events_stream(spark: SparkSession, watch: str, schema):
-    """Streaming read of the staged event files, one file per trigger,
-    ts normalized to TIMESTAMP (the _events_stream drift handling)."""
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(watch)
-    )
+def _staged_events_stream(
+    spark: SparkSession, watch: str, schema, files_per_trigger: int | None = 1
+):
+    """Streaming read of the staged event files, one file per trigger
+    by default (``files_per_trigger=None`` lifts the cap — a resume
+    drain whose RESULT is batch-structure-independent can take the
+    remaining files in one micro-batch instead of paying the fixed
+    per-batch stateful-commit cost once per file), ts normalized to
+    TIMESTAMP (the _events_stream drift handling)."""
+    reader = spark.readStream.schema(schema)
+    if files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    stream = reader.parquet(watch)
     ts_type = {f.name: f.dataType.simpleString() for f in schema.fields}.get(
         "ts"
     )
