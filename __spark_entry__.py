@@ -7410,6 +7410,11 @@ def q_f2_rate_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema_ddl="event_id long, event_type string, value double",
         ack_data_column="event_id",
         allowed_per_trigger=F2_ALLOWED,
+        # driver-side simple reader: same admission code, ~0.15 s less
+        # fixed cost per micro-batch (right for a low-volume
+        # rate-limited drain; f3 keeps the partitioned path on the
+        # gate so both reader paths stay oracle-covered)
+        simple=True,
     )
     src.push_messages(records, "000_backlog.jsonl")
     cfg = TopologyConfig(
@@ -7520,6 +7525,9 @@ def q_f4_rate_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema_ddl="event_id long, event_type string, value double",
         ack_data_column="event_id",
         allowed_per_trigger=F4U_A1,
+        # driver-side simple reader (see f2) — the piecewise admission
+        # profile is a pure latestOffset property, identical here
+        simple=True,
     )
     # the table may hold fewer than N1+N2 rows at tiny sf — the
     # admission contract (min(allowed, remaining) per trigger) and the

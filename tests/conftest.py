@@ -45,3 +45,14 @@ def make_events(n: int, start: int = 0) -> list[dict]:
         }
         for i in range(start, start + n)
     ]
+
+
+def iter_spool_rows(reader, partition):
+    """Iterate a spool reader partition as tuples, unwrapping the
+    Arrow fast path (read() may yield pyarrow RecordBatches)."""
+    for item in reader.read(partition):
+        if hasattr(item, "num_rows"):  # pyarrow.RecordBatch
+            cols = [c.to_pylist() for c in item.columns]
+            yield from zip(*cols)
+        else:
+            yield item

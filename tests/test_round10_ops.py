@@ -35,9 +35,11 @@ from .conftest import EVENTS_DDL, make_events
 
 
 def _read_all(reader, parts):
+    from .conftest import iter_spool_rows
+
     rows = []
     for p in parts:
-        rows.extend(reader.read(p))
+        rows.extend(iter_spool_rows(reader, p))
     return rows
 
 

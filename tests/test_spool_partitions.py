@@ -17,7 +17,7 @@ from broadway_spark.plans import Pipeline
 from broadway_spark.sources import SpoolSource
 from broadway_spark.sources.spool import _SpoolStreamReader
 
-from .conftest import EVENTS_DDL, make_events
+from .conftest import iter_spool_rows, EVENTS_DDL, make_events
 
 
 def test_spool_splits_admitted_range_into_partitions(spark, tmp_path):
@@ -42,7 +42,7 @@ def test_spool_splits_admitted_range_into_partitions(spark, tmp_path):
     # every row read exactly once across partitions
     seen = []
     for p in parts:
-        seen.extend(r[0] for r in reader.read(p))
+        seen.extend(r[0] for r in iter_spool_rows(reader, p))
     assert sorted(seen) == list(range(400))
 
 
@@ -211,7 +211,11 @@ def test_schema_evolution_old_files_null_fill(spark, tmp_path):
     reader = _SpoolStreamReader(schema, {"path": spool})
     end = reader.latestOffset()
     assert end == {"row": 15}
-    rows = [r for p in reader.partitions({"row": 0}, end) for r in reader.read(p)]
+    rows = [
+        r
+        for p in reader.partitions({"row": 0}, end)
+        for r in iter_spool_rows(reader, p)
+    ]
     by_id = {r[0]: r for r in rows}
     assert by_id[0][-1] is None  # old row: new column null-filled
     assert by_id[12][-1] == "eu"  # new row: value present
