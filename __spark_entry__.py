@@ -429,6 +429,137 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ARCHIVE_RUN_MOD = 3  # ingest-run label: doc_id mod 3
+ARCHIVE_REINGEST_MOD = 5  # docs re-ingested in the newest run
+ARCHIVE_MIN_RUN = 1  # retention horizon: run 0 has aged out
+
+
+def q_dedup_archive_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-RUN LSH ARCHIVE COMPACTION (r10 verdict breadth item):
+    the maintenance pass that keeps the incremental-dedup index
+    bounded — expire banded entries older than the retention horizon,
+    merge re-ingested documents' duplicate (id, band) entries down to
+    the newest run (operators/dedup.compact_lsh_archive). The ingest
+    log is simulated deterministically: run = doc_id mod 3, docs with
+    doc_id mod 5 = 0 re-ingested under run 2; retention keeps runs
+    ≥ 1. Output: the per-band compaction report (entries before /
+    expired / merged / after, surviving docs, bucket count, largest
+    bucket) — the stats an index-maintenance job logs.
+
+    Scale shape: signatures computed once per distinct doc, entries
+    join on id, the merge is one (id, band) hash aggregate, reports
+    are tiny rollups — compaction never generates a candidate pair,
+    so its cost is O(archive), not O(archive²)."""
+    docs = _t(spark, sf_dir, "documents")
+    log = docs.select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") % ARCHIVE_RUN_MOD).cast("int").alias("run"),
+    ).unionAll(
+        docs.filter(F.col("doc_id") % ARCHIVE_REINGEST_MOD == 0).select(
+            "doc_id",
+            "text",
+            F.lit(ARCHIVE_RUN_MOD - 1).cast("int").alias("run"),
+        )
+    )
+    # the operator's internals, re-staged here so before/after stats
+    # share ONE banded build (the operator itself returns only the
+    # compacted archive)
+    uniq = log.select("doc_id", "text").distinct()
+    banded = materialize(
+        D._banded_keys(
+            T.shingle_table(uniq, "doc_id", "text", MINHASH_K),
+            MINHASH_NUM,
+            MINHASH_BANDS,
+        ),
+        "archive_banded",
+    )
+    entries = (
+        log.select(F.col("doc_id").alias("__id"), "run")
+        .join(banded, "__id")
+        .withColumn(
+            "band_id",
+            F.split(F.col("__band"), "-").getItem(0).cast("int"),
+        )
+    )
+    kept = entries.filter(F.col("run") >= ARCHIVE_MIN_RUN)
+    compacted = kept.groupBy("__id", "__band", "band_id").agg(
+        F.max("run").alias("run")
+    )
+    before = entries.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum(
+            (F.col("run") < ARCHIVE_MIN_RUN).cast("long")
+        ).alias("n_expired"),
+    )
+    after = compacted.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.countDistinct("__id").alias("n_docs"),
+        F.countDistinct("__band").alias("n_buckets"),
+    )
+    buckets = (
+        compacted.groupBy("band_id", "__band")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .groupBy("band_id")
+        .agg(F.max("__bn").alias("max_bucket"))
+    )
+    return (
+        before.join(after, "band_id")
+        .join(buckets, "band_id")
+        .select(
+            "band_id",
+            "n_before",
+            "n_expired",
+            (
+                F.col("n_before") - F.col("n_expired") - F.col("n_after")
+            ).alias("n_merged"),
+            "n_after",
+            "n_docs",
+            "n_buckets",
+            "max_bucket",
+        )
+    )
+
+
+REL_TOPK_K = 7
+
+
+def q_rel_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT TOP-K PER GROUP over a LOW-cardinality group domain
+    (operators/ranking.topk_per_group — r10 verdict breadth item):
+    the 7 highest-value lineitems per (returnflag, linestatus) — SIX
+    groups over the whole fact table, exactly the shape where a rank
+    window funnels everything through 6 tasks and Catalyst's
+    WindowGroupLimit cannot save a dynamic quota. The rank rides the
+    distributed prefix-sum core; the plan's corpus-wide window
+    partitions on (__cb_pid, flag, status), never the flags alone."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    top = RK.topk_per_group(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.col("price").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        REL_TOPK_K,
+    )
+    return top.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("rank").cast("int").alias("rank"),
+        "l_orderkey",
+        "l_linenumber",
+        F.col("price").cast("double").alias("price"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return D.simhash_table(
@@ -12135,6 +12266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash": q_dedup_minhash,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
+        "dedup_archive_compact": q_dedup_archive_compact,
+        "rel_topk_per_group": q_rel_topk_per_group,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "agg_skew_kurtosis": q_agg_skew_kurtosis,
         "dedup_simhash": q_dedup_simhash,
@@ -12543,7 +12676,12 @@ def _corr_oracle() -> str:
     )
 
 
-def _minhash_oracle(comparator: str = ">=", bands: int | None = None) -> str:
+def _minhash_banded_cte(
+    bands: int | None = None, source: str = "documents"
+) -> str:
+    """The shared docs→sigs→banded CTE fragment: byte-identical
+    banding math for every minhash oracle (the pair generators AND
+    the archive compaction), mirroring dedup._banded_keys."""
     n_bands = bands if bands is not None else MINHASH_BANDS
     tok = "string_split(lower(text), ' ')"
     parts = ", ".join(f"{tok}[i + {j}]" for j in range(MINHASH_K))
@@ -12577,9 +12715,8 @@ def _minhash_oracle(comparator: str = ">=", bands: int | None = None) -> str:
         )
         band_rows.append(f"concat_ws('-', '{b}', {elems})")
     bands_list = ", ".join(band_rows)
-    return f"""
-WITH docs AS (
-  SELECT doc_id AS id, {sh} AS sh FROM documents
+    return f"""docs AS (
+  SELECT doc_id AS id, {sh} AS sh FROM {source}
 ), sigs AS (
   SELECT id, sh, list_value({bands_list}) AS bands FROM (
     SELECT id, sh, list_value({mins}) AS sig FROM (
@@ -12588,7 +12725,12 @@ WITH docs AS (
   )
 ), banded AS (
   SELECT id, unnest(bands) AS band FROM sigs
-), cand AS (
+)"""
+
+
+def _minhash_oracle(comparator: str = ">=", bands: int | None = None) -> str:
+    return f"""
+WITH {_minhash_banded_cte(bands)}, cand AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b
   FROM banded l JOIN banded r ON l.band = r.band AND l.id < r.id
 )
@@ -13768,6 +13910,59 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS n_duplicated
             FROM flagged GROUP BY source""",
         "dedup_minhash": _minhash_oracle(),
+        "dedup_archive_compact": f"""
+            WITH {_minhash_banded_cte()}, runs AS (
+              SELECT doc_id AS id,
+                     CAST(doc_id % {ARCHIVE_RUN_MOD} AS INT) AS run
+              FROM documents
+              UNION ALL
+              SELECT doc_id, CAST({ARCHIVE_RUN_MOD - 1} AS INT)
+              FROM documents WHERE doc_id % {ARCHIVE_REINGEST_MOD} = 0
+            ), entries AS (
+              SELECT r.id, r.run, b.band,
+                     CAST(string_split(b.band, '-')[1] AS INT) AS band_id
+              FROM runs r JOIN banded b USING (id)
+            ), kept AS (
+              SELECT * FROM entries WHERE run >= {ARCHIVE_MIN_RUN}
+            ), compacted AS (
+              SELECT id, band, band_id, max(run) AS run
+              FROM kept GROUP BY id, band, band_id
+            ), bef AS (
+              SELECT band_id, count(*) AS n_before,
+                     CAST(SUM(CASE WHEN run < {ARCHIVE_MIN_RUN}
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_expired
+              FROM entries GROUP BY band_id
+            ), aft AS (
+              SELECT band_id, count(*) AS n_after,
+                     count(DISTINCT id) AS n_docs,
+                     count(DISTINCT band) AS n_buckets
+              FROM compacted GROUP BY band_id
+            ), buck AS (
+              SELECT band_id, CAST(max(bn) AS BIGINT) AS max_bucket
+              FROM (
+                SELECT band_id, band, count(*) AS bn
+                FROM compacted GROUP BY band_id, band
+              ) GROUP BY band_id
+            )
+            SELECT bef.band_id, n_before, n_expired,
+                   n_before - n_expired - n_after AS n_merged,
+                   n_after, n_docs, n_buckets, max_bucket
+            FROM bef JOIN aft ON bef.band_id = aft.band_id
+            JOIN buck ON bef.band_id = buck.band_id""",
+        "rel_topk_per_group": f"""
+            SELECT l_returnflag, l_linestatus, rank, l_orderkey,
+                   l_linenumber, CAST(price AS DOUBLE) AS price
+            FROM (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(row_number() OVER (
+                       PARTITION BY l_returnflag, l_linestatus
+                       ORDER BY CAST(l_extendedprice AS DECIMAL(18,2))
+                         DESC, l_orderkey ASC, l_linenumber ASC
+                     ) AS INT) AS rank,
+                     l_orderkey, l_linenumber,
+                     CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+              FROM lineitem
+            ) WHERE rank <= {REL_TOPK_K}""",
         "dedup_incremental_lsh": f"""
             WITH pairs AS ({_minhash_oracle()})
             SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END

@@ -467,6 +467,57 @@ def incremental_lsh_matches(
     return scored.filter(F.col("jaccard") >= F.lit(threshold))
 
 
+def compact_lsh_archive(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    run_col: str,
+    min_run: int,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Cross-run LSH archive COMPACTION — the maintenance pass of the
+    incremental dedup index (``incremental_lsh_matches`` is the daily
+    probe; this keeps the probed archive from growing without bound).
+    The archive is an append-only ingest log of banded signatures:
+    each run appends (id, band, run) rows, re-ingested documents
+    append again under the newer run. Compaction:
+
+    - EXPIRES entries below the retention horizon (``run < min_run``
+      — runs that have aged out of the dedup window),
+    - MERGES duplicate (id, band) entries down to the NEWEST run
+      (latest provenance wins — the upsert a real index does at
+      re-ingest, executed in bulk).
+
+    Returns the compacted archive (__id, __band, __run). Banding is
+    ``_banded_keys`` — byte-identical keys to both probe operators,
+    so a compacted archive answers exactly the same candidate
+    queries.
+
+    Scale shape: signatures are computed ONCE per distinct document
+    (re-ingested docs don't re-shingle — their text is identical by
+    id), then joined to the run log on id; the merge is one
+    hash aggregate on (id, band). Everything keys on id or (id,
+    band) — corpus-cardinality keys, no funnels, no pair generation
+    at all (compaction never compares documents).
+    """
+    docs = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.col(run_col).alias("__run"),
+    )
+    uniq = docs.select("__id", "__t").distinct()
+    banded = _banded_keys(
+        shingle_table(uniq, "__id", "__t", shingle_k), num_hashes, bands
+    )
+    entries = docs.select("__id", "__run").join(banded, "__id")
+    kept = entries.filter(F.col("__run") >= min_run)
+    return kept.groupBy("__id", "__band").agg(
+        F.max("__run").alias("__run")
+    )
+
+
 def substring_containment_pairs(
     df: DataFrame,
     id_col: str,

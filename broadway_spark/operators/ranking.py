@@ -142,3 +142,41 @@ def with_exact_ntile(
     return ranked.withColumn(
         tile_col, exact_ntile_col("__nt_rank", n, n_tiles)
     ).drop("__nt_rank")
+
+
+def topk_per_group(
+    df: DataFrame,
+    key_cols: list[str],
+    order_by: list[Column],
+    k,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT top-k per group at ANY group cardinality — including the
+    case Spark's own machinery mishandles: for a LITERAL small k over
+    high-cardinality keys, Catalyst's WindowGroupLimit already bounds
+    the per-partition sort and a plain rank window is the right plan;
+    but with a LOW-cardinality group domain (a handful of languages /
+    flags), or a DYNAMIC k (a column/quota Catalyst can't push), the
+    rank window funnels every group's full stream through one task.
+    Here the rank is a running count on the distributed prefix-sum
+    core (``batching.running_sums_distributed``) — range blocks +
+    broadcast offsets — so parallelism scales with partitions, never
+    with |groups|.
+
+    ``k`` may be an int or a Column (dynamic per-row quota, e.g. a
+    broadcast per-group budget). ``order_by`` must be a strict total
+    order within each group (include a unique tiebreak). Output keeps
+    all input columns plus ``rank_col`` (1-based within group).
+    """
+    from .batching import running_sums_distributed
+
+    ranked = running_sums_distributed(
+        df,
+        key_cols,
+        order_by,
+        {rank_col: F.lit(1).cast("long")},
+        num_partitions=num_partitions,
+    )
+    limit = k if isinstance(k, Column) else F.lit(int(k))
+    return ranked.filter(F.col(rank_col) <= limit)

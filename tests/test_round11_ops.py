@@ -257,3 +257,93 @@ def test_spool_timestamp_schema_keeps_row_path(spark):
     r2 = _SpoolStreamReader(safe, {"path": "/tmp/x"})
     assert r1._arrow_schema is None
     assert r2._arrow_schema is not None
+
+
+# -- breadth operators: archive compaction + top-k per group ----------------
+
+
+def test_compact_lsh_archive_expires_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from broadway_spark.operators.dedup import (
+        _banded_keys,
+        compact_lsh_archive,
+    )
+    from broadway_spark.functions.text import shingle_table
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "a completely different document about spark engines",
+        3: "the quick brown fox jumps over the lazy dog",
+    }
+    # runs: doc 1 in run 0 (expires) and re-ingested in run 2;
+    # doc 2 in run 1; doc 3 in run 0 only (fully expired)
+    log = spark.createDataFrame(
+        [
+            (1, texts[1], 0),
+            (1, texts[1], 2),
+            (2, texts[2], 1),
+            (3, texts[3], 0),
+        ],
+        "doc_id long, text string, run int",
+    )
+    out = compact_lsh_archive(
+        log, "doc_id", "text", "run", min_run=1
+    ).collect()
+    ids = {r["__id"] for r in out}
+    assert ids == {1, 2}, ids  # doc 3 expired entirely
+    # doc 1's duplicate entries merged to the newest run
+    assert all(r["__run"] == 2 for r in out if r["__id"] == 1)
+    assert all(r["__run"] == 1 for r in out if r["__id"] == 2)
+    # band keys identical to the probe operators' banding
+    want = {
+        (r["__id"], r["__band"])
+        for r in _banded_keys(
+            shingle_table(
+                log.select("doc_id", "text").distinct().filter(
+                    F.col("doc_id") != 3
+                ),
+                "doc_id",
+                "text",
+                3,
+            ),
+            16,
+            4,
+        ).collect()
+    }
+    got = {(r["__id"], r["__band"]) for r in out}
+    assert got == want
+
+
+def test_topk_per_group_dynamic_quota(spark):
+    """The case WindowGroupLimit can NEVER help: k is a per-group
+    COLUMN. Exactness checked against a pandas reference."""
+    from pyspark.sql import functions as F
+
+    from broadway_spark.operators.ranking import topk_per_group
+
+    rows = [
+        (g, i, (i * 37) % 101) for g in ("a", "b") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    quota = spark.createDataFrame(
+        [("a", 5), ("b", 12)], "g string, q int"
+    )
+    got = topk_per_group(
+        df.join(F.broadcast(quota), "g"),
+        ["g"],
+        [F.col("v").desc(), F.col("i").asc()],
+        F.col("q"),
+        num_partitions=7,
+    ).collect()
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["g", "i", "v"]).sort_values(
+        ["g", "v", "i"], ascending=[True, False, True]
+    )
+    want = set()
+    for g, q in (("a", 5), ("b", 12)):
+        sub = pdf[pdf["g"] == g].head(q)
+        want |= {(g, int(i)) for i in sub["i"]}
+    assert {(r["g"], r["i"]) for r in got} == want
+    assert all(r["rank"] <= r["q"] for r in got)
