@@ -130,8 +130,12 @@ def test_spool_max_backlog_discards_oldest_and_journals(spark, tmp_dirs, caplog)
     with caplog.at_level(logging.WARNING, logger="broadway_spark.spool"):
         end = rdr.latestOffset()
     assert end == {"row": 100}
+    from .conftest import iter_spool_rows
+
     rows = [
-        r for p in rdr.partitions({"row": 70}, end) for r in rdr.read(p)
+        r
+        for p in rdr.partitions({"row": 70}, end)
+        for r in iter_spool_rows(rdr, p)
     ]
     assert [r[0] for r in rows] == list(range(70, 100))
     assert src.discards() == [
