@@ -265,7 +265,13 @@ def q_h1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sum_qty"),
             _dsum("l_extendedprice").alias("sum_base_price"),
-            F.round(F.sum(dp).cast("double"), 2).alias("sum_disc_price"),
+            # exact decimal sum cast to double, NOT rounded: a scale-4
+            # product sum can land on an exact 2dp half-way case where
+            # Spark's HALF_UP and DuckDB's double round() split by 1
+            # ulp (caught at sf1 on h7/h9 — the evt_burstiness class
+            # at 2dp); the exact-decimal→double cast is bit-identical
+            # on both engines at any magnitude
+            F.sum(dp).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -1565,7 +1571,7 @@ def q_h5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(dp).cast("double"), 2).alias("revenue"),
+            F.sum(dp).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -2377,7 +2383,7 @@ def q_h10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum(dp).cast("double"), 2).alias("revenue"))
+        .agg(F.sum(dp).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -2956,13 +2962,12 @@ def q_h8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(
-                    F.when(F.col("supp_nation") == "NATION_3", dp).otherwise(zero)
-                ).cast("double"),
-                2,
-            ).alias("nation_rev"),
-            F.round(F.sum(dp).cast("double"), 2).alias("total_rev"),
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", dp).otherwise(zero)
+            )
+            .cast("double")
+            .alias("nation_rev"),
+            F.sum(dp).cast("double").alias("total_rev"),
         )
     )
     return agg.withColumn(
@@ -3008,13 +3013,10 @@ def q_h14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("p_type") == "PROMO", dp).otherwise(zero)).cast(
-                    "double"
-                ),
-                2,
-            ).alias("promo_rev"),
-            F.round(F.sum(dp).cast("double"), 2).alias("total_rev"),
+            F.sum(F.when(F.col("p_type") == "PROMO", dp).otherwise(zero))
+            .cast("double")
+            .alias("promo_rev"),
+            F.sum(dp).cast("double").alias("total_rev"),
         )
     )
     return agg.withColumn(
@@ -3082,7 +3084,7 @@ def q_h19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(_dp()).cast("double"), 2).alias("revenue"),
+            F.sum(_dp()).cast("double").alias("revenue"),
         )
     )
 
@@ -3177,7 +3179,7 @@ def q_h15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     rev = (
         li.groupBy("l_suppkey")
-        .agg(F.round(F.sum(_dp()).cast("double"), 2).alias("total_revenue"))
+        .agg(F.sum(_dp()).cast("double").alias("total_revenue"))
     )
     top = rev.agg(F.max("total_revenue").alias("__mx"))
     return (
@@ -4210,9 +4212,9 @@ def q_h9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
         .agg(
-            F.round(F.sum(_dp()).cast("double"), 2).alias("revenue"),
-            F.round(F.sum(cost).cast("double"), 2).alias("cost"),
-            F.round(F.sum(_dp() - cost).cast("double"), 2).alias("profit"),
+            F.sum(_dp()).cast("double").alias("revenue"),
+            F.sum(cost).cast("double").alias("cost"),
+            F.sum(_dp() - cost).cast("double").alias("profit"),
         )
     )
 
@@ -4599,7 +4601,7 @@ def q_h7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
-        .agg(F.round(F.sum(_dp()).cast("double"), 2).alias("revenue"))
+        .agg(F.sum(_dp()).cast("double").alias("revenue"))
     )
 
 
@@ -8070,11 +8072,14 @@ def q_ds1_channel_netting(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins, nothing driver-side."""
     u = _channel_union(spark, sf_dir)
     return u.groupBy("channel", "ship_year").agg(
-        F.round(F.sum("sales").cast("double"), 2).alias("sales_amt"),
-        F.round(F.sum("returns").cast("double"), 2).alias("returns_amt"),
-        F.round(
-            F.sum(F.col("sales") - F.col("returns")).cast("double"), 2
-        ).alias("net_amt"),
+        # exact decimal sums cast to double, NOT rounded (scale-4
+        # product sums can hit exact 2dp half-way cases at volume —
+        # the class the sf1 sweep caught on h7/h9; see h1_pricing)
+        F.sum("sales").cast("double").alias("sales_amt"),
+        F.sum("returns").cast("double").alias("returns_amt"),
+        F.sum(F.col("sales") - F.col("returns"))
+        .cast("double")
+        .alias("net_amt"),
     )
 
 
@@ -8092,11 +8097,11 @@ def q_ds2_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.rollup("channel", "ship_year")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("sales").cast("double"), 2).alias("sales_amt"),
-            F.round(F.sum("returns").cast("double"), 2).alias("returns_amt"),
-            F.round(
-                F.sum(F.col("sales") - F.col("returns")).cast("double"), 2
-            ).alias("net_amt"),
+            F.sum("sales").cast("double").alias("sales_amt"),
+            F.sum("returns").cast("double").alias("returns_amt"),
+            F.sum(F.col("sales") - F.col("returns"))
+            .cast("double")
+            .alias("net_amt"),
         )
         .select(
             F.coalesce("channel", F.lit("ALL")).alias("channel"),
@@ -8150,11 +8155,11 @@ def q_ds5_channel_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "channel",
             "ship_year",
-            F.round(F.col("__net").cast("double"), 2).alias("net_amt"),
-            F.round(F.col("__prev").cast("double"), 2).alias("prev_net_amt"),
-            F.round(
-                (F.col("__net") - F.col("__prev")).cast("double"), 2
-            ).alias("delta_amt"),
+            F.col("__net").cast("double").alias("net_amt"),
+            F.col("__prev").cast("double").alias("prev_net_amt"),
+            (F.col("__net") - F.col("__prev"))
+            .cast("double")
+            .alias("delta_amt"),
         )
     )
 
@@ -8261,8 +8266,8 @@ def q_ds6_channel_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_store = F.sum("store_net").over(w)
     return m.select(
         "ship_month",
-        F.round(cum_web.cast("double"), 2).alias("cum_web"),
-        F.round(cum_store.cast("double"), 2).alias("cum_store"),
+        cum_web.cast("double").alias("cum_web"),
+        cum_store.cast("double").alias("cum_store"),
         (cum_web > cum_store).cast("int").alias("web_ahead"),
     )
 
@@ -8311,7 +8316,7 @@ def q_ds7_channel_exclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum("n_web").cast("long").alias("web_orders"),
-            F.round(F.sum("web_spend").cast("double"), 2).alias("web_spend"),
+            F.sum("web_spend").cast("double").alias("web_spend"),
         )
     )
 
@@ -9615,7 +9620,7 @@ def q_ds9_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lvl",
             "brand",
             "ship_year",
-            F.round(F.col("net").cast("double"), 2).alias("net_amt"),
+            F.col("net").cast("double").alias("net_amt"),
             "rk",
         )
     )
@@ -13523,8 +13528,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                      AS sum_qty,
                    {_dsum_sql('l_extendedprice')} AS sum_base_price,
-                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
                      AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
@@ -13754,8 +13759,8 @@ def oracle_sql() -> dict[str, str]:
             ) ck""",
         "h5_nation_revenue": """
             SELECT n_name AS nation,
-                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
                      AS revenue,
                    count(*) AS n_lines
             FROM lineitem
@@ -14440,8 +14445,8 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n > tot""",
         "h10_returned": """
             SELECT c_custkey, c_name, n_name AS nation,
-                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
                      AS revenue
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
@@ -14681,10 +14686,10 @@ def oracle_sql() -> dict[str, str]:
                    round(nation_rev / total_rev, 6) AS mkt_share
             FROM (
               SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-                     round(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                     CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
                        THEN {_DP_SQL} ELSE CAST(0 AS DECIMAL(18,2)) END)
-                       AS DOUBLE), 2) AS nation_rev,
-                     round(CAST(SUM({_DP_SQL}) AS DOUBLE), 2) AS total_rev
+                       AS DOUBLE) AS nation_rev,
+                     CAST(SUM({_DP_SQL}) AS DOUBLE) AS total_rev
               FROM lineitem
               JOIN orders   ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
@@ -14712,10 +14717,10 @@ def oracle_sql() -> dict[str, str]:
                    round(100.0 * promo_rev / total_rev, 6) AS promo_pct
             FROM (
               SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
-                     round(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     CAST(SUM(CASE WHEN p_type = 'PROMO'
                        THEN {_DP_SQL} ELSE CAST(0 AS DECIMAL(18,2)) END)
-                       AS DOUBLE), 2) AS promo_rev,
-                     round(CAST(SUM({_DP_SQL}) AS DOUBLE), 2) AS total_rev
+                       AS DOUBLE) AS promo_rev,
+                     CAST(SUM({_DP_SQL}) AS DOUBLE) AS total_rev
               FROM lineitem JOIN part ON l_partkey = p_partkey
               GROUP BY 1
             )""",
@@ -14735,7 +14740,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey""",
         "h19_disjunctive": f"""
             SELECT count(*) AS n,
-                   round(CAST(SUM({_DP_SQL}) AS DOUBLE), 2) AS revenue
+                   CAST(SUM({_DP_SQL}) AS DOUBLE) AS revenue
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE (p_brand = 'Brand#4' AND p_size <= 10
                    AND l_quantity BETWEEN 1 AND 20)
@@ -15165,8 +15170,7 @@ def oracle_sql() -> dict[str, str]:
         "h15_top_supplier": f"""
             WITH rev AS (
               SELECT l_suppkey,
-                     round(CAST(SUM({_DP_SQL}) AS DOUBLE), 2)
-                       AS total_revenue
+                     CAST(SUM({_DP_SQL}) AS DOUBLE) AS total_revenue
               FROM lineitem
               WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
                 AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
@@ -15349,18 +15353,18 @@ def oracle_sql() -> dict[str, str]:
         "h9_profit": """
             SELECT n_name AS nation,
                    CAST(year(o_orderdate) AS INT) AS o_year,
-                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
                      AS revenue,
-                   round(CAST(SUM(CAST(0.6 AS DECIMAL(2,1))
+                   CAST(SUM(CAST(0.6 AS DECIMAL(2,1))
                          * CAST(p_retailprice AS DECIMAL(18,2))
-                         * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+                         * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                      AS cost,
-                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
                          - CAST(0.6 AS DECIMAL(2,1))
                          * CAST(p_retailprice AS DECIMAL(18,2))
-                         * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+                         * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                      AS profit
             FROM lineitem
             JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
@@ -15640,8 +15644,8 @@ def oracle_sql() -> dict[str, str]:
                   > 0.001 * (SELECT CAST(SUM(v) AS DOUBLE) FROM per_part)""",
         "h7_volume": """
             SELECT supp_nation, cust_nation, l_year,
-                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
                      AS revenue
             FROM (
               SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
@@ -16856,18 +16860,18 @@ def oracle_sql() -> dict[str, str]:
                               WHERE event_type <> 'error')"""
     sql["ds1_channel_netting"] = f"""
             SELECT channel, ship_year,
-                   round(CAST(SUM(sales) AS DOUBLE), 2) AS sales_amt,
-                   round(CAST(SUM(returns) AS DOUBLE), 2) AS returns_amt,
-                   round(CAST(SUM(sales - returns) AS DOUBLE), 2) AS net_amt
+                   CAST(SUM(sales) AS DOUBLE) AS sales_amt,
+                   CAST(SUM(returns) AS DOUBLE) AS returns_amt,
+                   CAST(SUM(sales - returns) AS DOUBLE) AS net_amt
             FROM ({_CHANNEL_UNION_SQL})
             GROUP BY channel, ship_year"""
     sql["ds2_channel_rollup"] = f"""
             SELECT coalesce(channel, 'ALL') AS channel,
                    coalesce(CAST(ship_year AS VARCHAR), 'ALL') AS ship_year,
                    count(*) AS n,
-                   round(CAST(SUM(sales) AS DOUBLE), 2) AS sales_amt,
-                   round(CAST(SUM(returns) AS DOUBLE), 2) AS returns_amt,
-                   round(CAST(SUM(sales - returns) AS DOUBLE), 2) AS net_amt
+                   CAST(SUM(sales) AS DOUBLE) AS sales_amt,
+                   CAST(SUM(returns) AS DOUBLE) AS returns_amt,
+                   CAST(SUM(sales - returns) AS DOUBLE) AS net_amt
             FROM ({_CHANNEL_UNION_SQL})
             GROUP BY ROLLUP(channel, ship_year)"""
     sql["ds3_returns_cohort"] = f"""
@@ -16893,8 +16897,7 @@ def oracle_sql() -> dict[str, str]:
     sql["ds4_top_channel_years"] = f"""
             WITH agg AS (
               SELECT channel, ship_year,
-                     round(CAST(SUM(sales - returns) AS DOUBLE), 2)
-                       AS net_amt
+                     CAST(SUM(sales - returns) AS DOUBLE) AS net_amt
               FROM ({_CHANNEL_UNION_SQL})
               GROUP BY channel, ship_year
             )
@@ -16917,9 +16920,9 @@ def oracle_sql() -> dict[str, str]:
               FROM agg
             )
             SELECT channel, ship_year,
-                   round(CAST(net AS DOUBLE), 2) AS net_amt,
-                   round(CAST(prev AS DOUBLE), 2) AS prev_net_amt,
-                   round(CAST(net - prev AS DOUBLE), 2) AS delta_amt
+                   CAST(net AS DOUBLE) AS net_amt,
+                   CAST(prev AS DOUBLE) AS prev_net_amt,
+                   CAST(net - prev AS DOUBLE) AS delta_amt
             FROM lagged"""
     sql["ds6_channel_cumulative"] = f"""
             WITH r AS (
@@ -16937,8 +16940,8 @@ def oracle_sql() -> dict[str, str]:
               FROM r GROUP BY ship_month
             )
             SELECT ship_month,
-                   round(CAST(SUM(web_net) OVER w AS DOUBLE), 2) AS cum_web,
-                   round(CAST(SUM(store_net) OVER w AS DOUBLE), 2)
+                   CAST(SUM(web_net) OVER w AS DOUBLE) AS cum_web,
+                   CAST(SUM(store_net) OVER w AS DOUBLE)
                      AS cum_store,
                    CAST(SUM(web_net) OVER w > SUM(store_net) OVER w AS INT)
                      AS web_ahead
@@ -16960,7 +16963,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n.n_name AS nation, count(*) AS n_customers,
                    CAST(SUM(n_web) AS BIGINT) AS web_orders,
-                   round(CAST(SUM(web_spend) AS DOUBLE), 2) AS web_spend
+                   CAST(SUM(web_spend) AS DOUBLE) AS web_spend
             FROM per_cust p
             JOIN customer c ON p.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -17031,7 +17034,7 @@ def oracle_sql() -> dict[str, str]:
               FROM agg
             )
             SELECT lvl, brand, CAST(ship_year AS INT) AS ship_year,
-                   round(CAST(net AS DOUBLE), 2) AS net_amt, rk
+                   CAST(net AS DOUBLE) AS net_amt, rk
             FROM (
               SELECT *, CAST(row_number() OVER (PARTITION BY lvl
                        ORDER BY net DESC, coalesce(brand, ''),

@@ -347,3 +347,36 @@ def test_topk_per_group_dynamic_quota(spark):
         want |= {(g, int(i)) for i in sub["i"]}
     assert {(r["g"], r["i"]) for r in got} == want
     assert all(r["rank"] <= r["q"] for r in got)
+
+
+def test_no_2dp_round_on_product_scale_decimal_sums():
+    """Numeric-policy guard (the class the sf1 sweep caught on
+    h7/h9): a SUM over a DECIMAL PRODUCT has scale > 2, so rounding
+    it at 2dp can land on an exact half-way case where Spark's
+    BigDecimal HALF_UP and DuckDB's double round() split by 1 ulp —
+    invisible at small SF, real at volume. Policy: publish the exact
+    decimal sum cast to double (bit-identical on both engines at any
+    magnitude); round(, 2) is only legal over scale-≤2 sums, whose
+    centi-unit values can never tie. This test scans every oracle for
+    round( applied to a SUM whose argument multiplies decimals."""
+    import re
+
+    offenders = []
+    for name, sql in entry.oracle_sql().items():
+        for m in re.finditer(r"round\s*\(\s*CAST\s*\(\s*SUM\s*\(", sql):
+            # capture the SUM argument up to its matching paren
+            i = m.end()
+            depth, j = 1, i
+            while depth and j < len(sql):
+                if sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                j += 1
+            arg = sql[i:j]
+            if "*" in arg and "DECIMAL" in arg.upper():
+                offenders.append((name, arg[:60].replace("\n", " ")))
+    assert not offenders, (
+        "2dp-round over product-scale decimal sums (the h7/h9 sf1 "
+        f"class): {offenders}"
+    )
