@@ -269,8 +269,12 @@ def q_h1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             # product sum can land on an exact 2dp half-way case where
             # Spark's HALF_UP and DuckDB's double round() split by 1
             # ulp (caught at sf1 on h7/h9 — the evt_burstiness class
-            # at 2dp); the exact-decimal→double cast is bit-identical
-            # on both engines at any magnitude
+            # at 2dp); the exact-decimal→double cast agrees on both
+            # engines while the unscaled sum stays below 2^53 (~9e11
+            # in value units at scale 4 — holds through sf1 with wide
+            # margin): above that, Spark's single BigDecimal→double
+            # rounding vs DuckDB's hugeint→double-then-divide double
+            # rounding can split by 1 ulp
             F.sum(dp).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )

@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .materialize import materialize
+from .materialize import materialize, shuffle_partitions
 
 CHUNK_COL = "chunk_id"
 
@@ -131,6 +131,18 @@ def running_sums_distributed(
     Scale shape: one range shuffle of the full input, one tiny
     aggregate + window, one broadcast hash join, one per-partition
     window. No stage's parallelism is bounded by the key domain.
+
+    NULL keys are first-class: groupBy/window/range-partitioner all
+    place NULLs in one group, and the offsets join back with
+    null-safe equality (``<=>``), so a NULL-keyed stream gets the
+    same running sums the sequential window would give it.
+
+    Lifecycle: the ranged frame is pinned via ``materialize`` (one
+    cached frame per call under the default ``persist`` strategy).
+    Long-lived sessions must call ``materialize.release_all()``
+    between queries — the suite drivers (bench/selfcheck/gate) do —
+    or set ``spark.broadway.materialize.strategy=staging`` to stage
+    through parquet with no cache pinning.
     """
     if isinstance(order_cols, (str, Column)):
         order_cols = [order_cols]
@@ -143,9 +155,7 @@ def running_sums_distributed(
     ]
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        num_partitions = shuffle_partitions(spark)
     sort_cols = [*(F.col(c) for c in key_cols), *order_cols]
     ranged = df.repartitionByRange(num_partitions, *sort_cols).withColumn(
         "__cb_pid", F.spark_partition_id()
@@ -177,7 +187,21 @@ def running_sums_distributed(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = ranged.join(F.broadcast(offsets), ["__cb_pid", *key_cols])
+    # Null-safe equality on the key cols: a plain equi-join would drop
+    # NULL-keyed rows, diverging from the per-key window (which puts
+    # NULLs in one partition). <=> is still an equi-join key, so the
+    # broadcast hash strategy is unchanged.
+    off_alias = offsets.select(
+        F.col("__cb_pid").alias("__cb_o_pid"),
+        *[F.col(k).alias(f"__cb_k_{i}") for i, k in enumerate(key_cols)],
+        *[F.col(f"__cb_off_{n}") for n in values],
+    )
+    cond = F.col("__cb_pid") == F.col("__cb_o_pid")
+    for i, k in enumerate(key_cols):
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__cb_k_{i}"))
+    out = ranged.join(F.broadcast(off_alias), cond).drop(
+        "__cb_o_pid", *[f"__cb_k_{i}" for i in range(len(key_cols))]
+    )
     for n, expr in values.items():
         out = out.withColumn(
             n, F.col(f"__cb_off_{n}") + F.sum(expr).over(w_local)
@@ -261,7 +285,7 @@ def apply_per_batch_streamed(
     """
     key_cols = list(key_cols)
     spark = df.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = num_partitions or shuffle_partitions(spark)
     parted = df.repartition(n, *key_cols).sortWithinPartitions(*key_cols)
 
     def runner(chunks):

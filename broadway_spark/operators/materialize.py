@@ -44,6 +44,20 @@ _STAGED_DIRS: list[str] = []
 _STAGED_PATHS: list[str] = []
 
 
+def shuffle_partitions(spark, fallback: int = 32) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating the
+    non-numeric values some platforms set it to (e.g. ``'auto'``)
+    by falling back to ``defaultParallelism`` and then ``fallback``."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", str(fallback))
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        try:
+            return int(spark.sparkContext.defaultParallelism)
+        except Exception:
+            return fallback
+
+
 def materialize(
     df: DataFrame,
     name: str = "stage",

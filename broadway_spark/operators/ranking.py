@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .materialize import materialize
+from .materialize import materialize, shuffle_partitions
 
 
 def global_rank(
@@ -51,12 +51,14 @@ def global_rank(
     be a strict total order — include a unique tiebreak). Returns
     ``(ranked_df, total_rows)``; the total is known driver-side as a
     byproduct of the offset computation and is handed back so callers
-    can fold it into literals instead of an extra count job."""
+    can fold it into literals instead of an extra count job.
+
+    Lifecycle: pins one cached frame per call (``materialize``);
+    long-lived sessions must call ``materialize.release_all()``
+    between queries or run with the ``staging`` strategy."""
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        num_partitions = shuffle_partitions(spark)
     ranged = df.repartitionByRange(num_partitions, *order_by).withColumn(
         "__gr_pid", F.spark_partition_id()
     )

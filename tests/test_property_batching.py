@@ -115,3 +115,74 @@ def test_chunk_by_budget_distributed_boundary_heavy(spark):
         for r in chunk_by_budget(df, ["k"], "o", "w", budget).collect()
     }
     assert seq == want
+
+
+def test_running_sums_distributed_null_key_rows_kept(spark):
+    """NULL keys are a first-class group (r11 ADVICE): groupBy, the
+    offsets window, and the range partitioner all put NULLs in one
+    group, and the offsets join back with null-safe equality — a plain
+    equi-join would silently DROP every NULL-keyed row (red-on-revert:
+    change the eqNullSafe join back to the column-list join and the
+    NULL rows vanish). The running sums over the NULL group must equal
+    the sequential per-key window's, which also groups NULLs."""
+    from pyspark.sql import functions as F
+
+    from broadway_spark.operators.batching import running_sums_distributed
+
+    rows = [
+        (None, 0, 3),
+        (None, 1, 4),
+        ("a", 0, 10),
+        (None, 2, 5),
+        ("a", 1, 20),
+        ("b", 0, 7),
+    ]
+    df = spark.createDataFrame(rows, "k string, o long, w long")
+    for nparts in (1, 4):
+        got = {
+            (r["k"], r["o"]): r["rsum"]
+            for r in running_sums_distributed(
+                df, ["k"], "o", {"rsum": F.col("w")}, num_partitions=nparts
+            ).collect()
+        }
+        want = {
+            (None, 0): 3,
+            (None, 1): 7,
+            (None, 2): 12,
+            ("a", 0): 10,
+            ("a", 1): 30,
+            ("b", 0): 7,
+        }
+        assert got == want, f"nparts={nparts}"
+
+
+def test_shuffle_partitions_non_numeric_conf(spark):
+    """Platforms whose forks set spark.sql.shuffle.partitions to
+    'auto' must not crash the default-partitions path (r11 ADVICE):
+    fall back to defaultParallelism instead of ValueError. Stock
+    Spark rejects 'auto' at conf.set time, so exercise the helper
+    against a stub session shaped like the real one."""
+    from broadway_spark.operators.materialize import shuffle_partitions
+
+    class _Conf:
+        def __init__(self, val):
+            self._val = val
+
+        def get(self, key, default=None):
+            return self._val if self._val is not None else default
+
+    class _SC:
+        defaultParallelism = 7
+
+    class _Sess:
+        def __init__(self, val):
+            self.conf = _Conf(val)
+            self.sparkContext = _SC()
+
+    assert shuffle_partitions(_Sess("auto")) == 7
+    assert shuffle_partitions(_Sess("48")) == 48
+    assert shuffle_partitions(_Sess(None), fallback=32) == 32
+    # and the real session round-trips its numeric value
+    assert shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
