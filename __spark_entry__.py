@@ -26,6 +26,7 @@ from broadway_spark.functions import hashing as H
 from broadway_spark.functions import sketches as K
 from broadway_spark.functions import text as T
 from broadway_spark.functions import vectors as V
+from broadway_spark.functions import exact as X
 from broadway_spark.operators import batching as B
 from broadway_spark.operators import dedup as D
 from broadway_spark.operators import failure as FL
@@ -742,9 +743,10 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("__f"), F.lit(0)))
         .cast("long")
         .alias("n_found"),
-        F.round(
-            F.sum(F.coalesce(F.col("__f"), F.lit(0))) / F.count(F.lit(1)), 6
-        ).alias("recall"),
+        # count/count → exact integer ppm, not round(,6) (half-way class)
+        X.ratio_ppm(
+            F.sum(F.coalesce(F.col("__f"), F.lit(0))), F.count(F.lit(1))
+        ).alias("recall_ppm"),
     )
 
 
@@ -802,9 +804,10 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("__f"), F.lit(0)))
         .cast("long")
         .alias("n_found"),
-        F.round(
-            F.sum(F.coalesce(F.col("__f"), F.lit(0))) / F.count(F.lit(1)), 6
-        ).alias("recall"),
+        # count/count → exact integer ppm (half-way class)
+        X.ratio_ppm(
+            F.sum(F.coalesce(F.col("__f"), F.lit(0))), F.count(F.lit(1))
+        ).alias("recall_ppm"),
     )
 
 
@@ -1187,12 +1190,11 @@ def q_pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keepers.groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        F.round(
-            F.sum("quality_micro").cast("double")
-            / F.count(F.lit(1))
-            / F.lit(1e6),
-            6,
-        ).alias("avg_quality"),
+        # micro-int sum / count IS the quality mean in ppm already —
+        # exact integer DIV, not the round(,6) half-way class
+        X.div_trunc(F.sum("quality_micro"), F.count(F.lit(1))).alias(
+            "avg_quality_ppm"
+        ),
     )
 
 
@@ -2508,7 +2510,11 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_type",
         "n",
-        F.round(sx / n, 6).alias("mean_v"),
+        # mean = ratio of a 2dp-decimal sum by a count — an exact
+        # rational; published as integer ppm (functions/exact.py), not
+        # a 6dp round (the evt_burstiness half-way class). stddev/corr
+        # keep the round: their sqrt factor makes ties measure-zero.
+        X.ratio_ppm(F.col("sx"), F.col("n")).alias("mean_v_ppm"),
         F.round(F.sqrt(var), 6).alias("stddev_v"),
         F.round(corr, 6).alias("corr_vu"),
     )
@@ -2756,13 +2762,12 @@ def q_w5_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__rn").cast("int").alias("rnk"),
         F.col("__rn").cast("int").alias("drnk"),
         RK.exact_ntile_cols("__rn", "__n", 4).alias("quartile"),
-        F.round(
-            F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
-                (F.col("__rn") - 1) / (F.col("__n") - 1)
-            ),
-            6,
-        ).alias("prank"),
-        F.round(F.col("__rn") / F.col("__n"), 6).alias("cdist"),
+        # rank/count ratios → exact integer ppm (the half-way class:
+        # a priority with 2^7·5^j orders ties exactly at 6dp)
+        F.when(F.col("__n") == 1, F.lit(0).cast("long"))
+        .otherwise(X.ratio_ppm(F.col("__rn") - 1, F.col("__n") - 1))
+        .alias("prank_ppm"),
+        X.ratio_ppm(F.col("__rn"), F.col("__n")).alias("cdist_ppm"),
     )
 
 
@@ -2968,14 +2973,19 @@ def q_h8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.when(F.col("supp_nation") == "NATION_3", dp).otherwise(zero)
-            )
-            .cast("double")
-            .alias("nation_rev"),
-            F.sum(dp).cast("double").alias("total_rev"),
+            ).alias("__nation_rev"),
+            F.sum(dp).alias("__total_rev"),
         )
     )
-    return agg.withColumn(
-        "mkt_share", F.round(F.col("nation_rev") / F.col("total_rev"), 6)
+    # share of two exact decimal sums is a rational — integer ppm
+    # (functions/exact.py), never round(,6): the half-way class
+    return agg.select(
+        "o_year",
+        F.col("__nation_rev").cast("double").alias("nation_rev"),
+        F.col("__total_rev").cast("double").alias("total_rev"),
+        X.ratio_ppm(F.col("__nation_rev"), F.col("__total_rev")).alias(
+            "mkt_share_ppm"
+        ),
     )
 
 
@@ -2998,8 +3008,10 @@ def q_h12_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_total"),
         )
         .withColumn(
-            "late_ratio",
-            F.round(F.col("n_late").cast("double") / F.col("n_total"), 6),
+            # count/count → exact integer ppm, not a 6dp round (the
+            # half-way class: n_total = 2^7·5^j ties exactly at 6dp)
+            "late_ppm",
+            X.ratio_ppm(F.col("n_late"), F.col("n_total")),
         )
     )
 
@@ -3018,14 +3030,19 @@ def q_h14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", dp).otherwise(zero))
-            .cast("double")
-            .alias("promo_rev"),
-            F.sum(dp).cast("double").alias("total_rev"),
+            .alias("__promo_rev"),
+            F.sum(dp).alias("__total_rev"),
         )
     )
-    return agg.withColumn(
-        "promo_pct",
-        F.round(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6),
+    # share of exact decimal sums → integer ppm (functions/exact.py);
+    # the old promo_pct (= 100·share rounded 6dp) was the half-way class
+    return agg.select(
+        "ship_year",
+        F.col("__promo_rev").cast("double").alias("promo_rev"),
+        F.col("__total_rev").cast("double").alias("total_rev"),
+        X.ratio_ppm(F.col("__promo_rev"), F.col("__total_rev")).alias(
+            "promo_share_ppm"
+        ),
     )
 
 
@@ -3721,9 +3738,9 @@ def q_ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day_idx",
         "n",
-        F.round(
-            F.col("__s").cast("double") / 100.0 / F.col("n"), 6
-        ).alias("mean_value"),
+        # cents-sum / count → exact integer ppm of the value mean
+        # (functions/exact.py), not round(,6): the half-way class
+        X.ratio_ppm(F.col("__s"), F.col("n") * 100).alias("mean_value_ppm"),
         F.expr(
             "CAST((__s * n_total * CAST(1000000 AS DECIMAL(38,0)))"
             " DIV (CAST(n AS DECIMAL(38,0)) * __st) AS BIGINT)"
@@ -4073,7 +4090,7 @@ def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "percentile(o_totalprice, array(0.05D, 0.95D))"
         ).alias("__b"),
         F.count(F.lit(1)).alias("n"),
-        _dsum("o_totalprice").alias("__raw_sum"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__raw_sum"),
     )
     bounds = bounds.select(
         "o_orderpriority",
@@ -4094,10 +4111,14 @@ def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.max("n").alias("n"),
+            # p05/p95 round identical IEEE doubles on both engines
+            # (identical exact inputs → identical interpolation) — not
+            # the rational-ratio class; the MEANS below are, so they
+            # publish exact integer ppm of the decimal sums instead
             F.round(F.max("__lo"), 6).alias("p05"),
             F.round(F.max("__hi"), 6).alias("p95"),
             F.max("__raw_sum").alias("__rs"),
-            F.sum(clamped).cast("double").alias("__ws"),
+            F.sum(clamped).alias("__ws"),
         )
     )
     return wins.select(
@@ -4105,8 +4126,8 @@ def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "p05",
         "p95",
-        F.round(F.col("__rs") / F.col("n"), 6).alias("mean_raw"),
-        F.round(F.col("__ws") / F.col("n"), 6).alias("mean_winsorized"),
+        X.ratio_ppm(F.col("__rs"), F.col("n")).alias("mean_raw_ppm"),
+        X.ratio_ppm(F.col("__ws"), F.col("n")).alias("mean_winsorized_ppm"),
     )
 
 
@@ -4172,8 +4193,9 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_doc.withColumn(
-        "containment",
-        F.round(F.col("n_shared").cast("double") / F.col("n_shingles"), 6),
+        # count/count → exact integer ppm, not round(,6) (half-way class)
+        "containment_ppm",
+        X.ratio_ppm(F.col("n_shared"), F.col("n_shingles")),
     ).withColumn(
         "contaminated", (F.col("n_shared") >= DECON_MIN_SHARED).cast("int")
     )
@@ -4382,13 +4404,12 @@ def q_w9_dist_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "event_id",
         "event_type",
-        F.round(F.col("__rn") / F.col("__n"), 6).alias("cd"),
-        F.round(
-            F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
-                (F.col("__rn") - 1) / (F.col("__n") - 1)
-            ),
-            6,
-        ).alias("pr"),
+        # rank/count ratios → exact integer ppm (the half-way class:
+        # a group count of 2^7·5^j ties exactly at 6dp)
+        X.ratio_ppm(F.col("__rn"), F.col("__n")).alias("cd_ppm"),
+        F.when(F.col("__n") == 1, F.lit(0).cast("long"))
+        .otherwise(X.ratio_ppm(F.col("__rn") - 1, F.col("__n") - 1))
+        .alias("pr_ppm"),
         RK.exact_ntile_cols("__rn", "__n", 8).alias("bucket"),
     )
 
@@ -5039,18 +5060,22 @@ def q_text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("__id", "doc_id")
     )
-    top_frac = F.round(F.col("top_c") / F.col("n_tokens"), 6)
-    dup_frac = F.round(F.col("dup_c") / F.col("n_tokens"), 6)
-    bg_frac = F.round(F.col("dup_bg") / F.col("n_bigrams"), 6)
-    mwl = F.round(F.col("chars") / F.col("n_tokens"), 6)
+    # every signal is count/count — exact integer ppm (functions/
+    # exact.py), never round(,6): a token total of 2^7·5^j ties exactly
+    # at 6dp. The pass flag compares ppm against integer thresholds,
+    # so it is pure integer arithmetic end to end.
+    top_ppm = X.ratio_ppm(F.col("top_c"), F.col("n_tokens"))
+    dup_ppm = X.ratio_ppm(F.col("dup_c"), F.col("n_tokens"))
+    bg_ppm = X.ratio_ppm(F.col("dup_bg"), F.col("n_bigrams"))
+    mwl_ppm = X.ratio_ppm(F.col("chars"), F.col("n_tokens"))
     return uni.join(bg, "doc_id").select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        top_frac.alias("top_word_frac"),
-        dup_frac.alias("dup_word_frac"),
-        bg_frac.alias("dup_bigram_frac"),
-        mwl.alias("mean_word_len"),
-        ((top_frac <= 0.2) & (bg_frac <= 0.6))
+        top_ppm.alias("top_word_ppm"),
+        dup_ppm.alias("dup_word_ppm"),
+        bg_ppm.alias("dup_bigram_ppm"),
+        mwl_ppm.alias("mean_word_len_ppm"),
+        ((top_ppm <= 200000) & (bg_ppm <= 600000))
         .cast("int")
         .alias("pass_gopher"),
     )
@@ -5097,7 +5122,8 @@ def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("is_dup").alias("n_dup"),
-        F.round(F.sum("is_dup") / F.count(F.lit(1)), 6).alias("dup_frac"),
+        # count/count → exact integer ppm, not round(,6) (half-way class)
+        X.ratio_ppm(F.sum("is_dup"), F.count(F.lit(1))).alias("dup_ppm"),
     )
 
 
@@ -5217,16 +5243,18 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    cont = F.round(
-        F.col("shared") / F.least(F.col("a.sz"), F.col("b.sz")), 6
+    # shared/min(sz) is count/count → exact integer ppm; the threshold
+    # becomes pure integer comparison (ppm ≥ min·1e6 ⟺ ratio ≥ min)
+    cont = X.ratio_ppm(
+        F.col("shared"), F.least(F.col("a.sz"), F.col("b.sz"))
     )
     return (
         pairs.join(
             F.broadcast(sizes.alias("a")), F.col("id_a") == F.col("a.__id")
         )
         .join(F.broadcast(sizes.alias("b")), F.col("id_b") == F.col("b.__id"))
-        .select("id_a", "id_b", cont.alias("containment"))
-        .where(F.col("containment") >= CONTAINMENT_MIN)
+        .select("id_a", "id_b", cont.alias("containment_ppm"))
+        .where(F.col("containment_ppm") >= int(CONTAINMENT_MIN * 1_000_000))
     )
 
 
@@ -5291,7 +5319,11 @@ def q_evt_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_state",
         "to_state",
         "n",
-        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+        # transition probability is count/count — exact integer ppm
+        # (functions/exact.py), never a 6dp round: a row-total of
+        # 2^7·5^j (16000, 400000…) makes the quotient an exact 6dp
+        # half-way case where the engines' round() split by 1 ulp
+        X.ratio_ppm(F.col("n"), F.sum("n").over(tot)).alias("p_ppm"),
     )
 
 
@@ -5867,7 +5899,8 @@ def q_sample_mixture_temperature(
         .select(
             "lang",
             "n_tokens",
-            F.round(F.col("__wq") / F.col("__tot"), 6).alias("weight"),
+            # micro-int/micro-int → exact integer ppm (half-way class)
+            X.ratio_ppm(F.col("__wq"), F.col("__tot")).alias("weight_ppm"),
             F.expr(
                 f"(__wq * {MIXTURE_BUDGET_TOKENS}L) DIV __tot"
             ).alias("quota_tokens"),
@@ -5892,13 +5925,13 @@ def q_text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_tok.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_types"),
-        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("ttr"),
+        # count/count ratios → exact integer ppm, not round(,6)
+        X.ratio_ppm(F.count(F.lit(1)), F.sum("c")).alias("ttr_ppm"),
         F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
-        F.round(
-            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
-            / F.count(F.lit(1)),
-            6,
-        ).alias("hapax_frac"),
+        X.ratio_ppm(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)),
+            F.count(F.lit(1)),
+        ).alias("hapax_ppm"),
     )
 
 
@@ -5983,9 +6016,10 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("__f"), F.lit(0)))
         .cast("long")
         .alias("n_found"),
-        F.round(
-            F.sum(F.coalesce(F.col("__f"), F.lit(0))) / F.count(F.lit(1)), 6
-        ).alias("recall"),
+        # count/count → exact integer ppm (half-way class)
+        X.ratio_ppm(
+            F.sum(F.coalesce(F.col("__f"), F.lit(0))), F.count(F.lit(1))
+        ).alias("recall_ppm"),
     )
 
 
@@ -6205,7 +6239,8 @@ def q_pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         "n_tokens",
-        F.round(F.col("__wq") / F.col("__tot"), 6).alias("weight"),
+        # micro-int/micro-int → exact integer ppm (half-way class)
+        X.ratio_ppm(F.col("__wq"), F.col("__tot")).alias("weight_ppm"),
         F.expr(f"(__wq * {MIXTURE_BUDGET_TOKENS}L) DIV __tot").alias(
             "quota_tokens"
         ),
@@ -6229,17 +6264,20 @@ def q_emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("xi").alias("s1"),
         F.sum(F.col("xi") * F.col("xi")).alias("s2"),
     )
-    var = (
-        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
-    ) / (F.col("n") * (F.col("n") - 1))
-    # Explicit truncation toward zero on BOTH sides (Spark cast
-    # double→long truncates; the oracle spells trunc()) — integer
-    # division operators disagree across engines on negative sums,
-    # and embedding coordinate sums are frequently negative.
+    # All-integer publication (functions/exact.py): the mean is an
+    # exact truncating quotient (no double path — s1/n in double goes
+    # inexact past 2^53), and the variance is a ratio of integer
+    # aggregates — ppm = (n·Σx² − (Σx)²) DIV (n·(n−1)·1e6), exact at
+    # any magnitude, instead of the round(,6) half-way class.
+    n = F.col("n").cast("decimal(38,0)")
+    s1 = F.col("s1").cast("decimal(38,0)")
+    s2 = F.col("s2").cast("decimal(38,0)")
     return agg.select(
         "dim_idx",
-        (F.col("s1") / F.col("n")).cast("long").alias("mean_micro"),
-        F.round(var / 1e12, 6).alias("variance"),
+        X.div_trunc(F.col("s1"), F.col("n")).alias("mean_micro"),
+        X.div_trunc(
+            n * s2 - s1 * s1, n * (n - 1) * F.lit(1_000_000)
+        ).alias("variance_ppm"),
     )
 
 
@@ -6287,14 +6325,18 @@ def q_ts_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = orders.groupBy(
         "o_orderpriority",
         F.date_format("o_orderdate", "yyyy-MM").alias("month"),
-    ).agg(_dsum("o_totalprice").alias("rev"))
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__rev")
+    )
     w = Window.partitionBy("o_orderpriority").orderBy("month")
-    prev = F.lag("rev").over(w)
+    prev = F.lag("__rev").over(w)
     return monthly.select(
         "o_orderpriority",
         "month",
-        F.round("rev", 2).alias("rev"),
-        F.round((F.col("rev") - prev) / prev, 6).alias("mom_growth"),
+        F.col("__rev").cast("double").alias("rev"),
+        # growth is a ratio of exact decimal sums → integer ppm
+        # (truncation toward zero agrees cross-engine on negatives)
+        X.ratio_ppm(F.col("__rev") - prev, prev).alias("mom_growth_ppm"),
     )
 
 
@@ -6504,11 +6546,10 @@ def q_ts_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("gap_days").isNotNull())
     return gaps.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        F.round(
-            F.sum(F.col("gap_days").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_gap_days"),
+        # int-sum / count → exact integer ppm (half-way class)
+        X.ratio_ppm(
+            F.sum(F.col("gap_days").cast("long")), F.count(F.lit(1))
+        ).alias("avg_gap_ppm"),
         F.min("gap_days").alias("min_gap"),
         F.max("gap_days").alias("max_gap"),
     )
@@ -6534,11 +6575,11 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias(
                 "n_unique"
             ),
-            F.round(
-                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
-                / F.count(F.lit(1)),
-                6,
-            ).alias("novelty"),
+            # count/count → exact integer ppm (half-way class)
+            X.ratio_ppm(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0)),
+                F.count(F.lit(1)),
+            ).alias("novelty_ppm"),
         )
     )
 
@@ -6613,7 +6654,8 @@ def q_evt_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "dau",
         "wau",
-        F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        # count/count → exact integer ppm (half-way class)
+        X.ratio_ppm(F.col("dau"), F.col("wau")).alias("stickiness_ppm"),
     )
 
 
@@ -13118,8 +13160,9 @@ bf AS (
 SELECT count(*) AS n_true,
        CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
          AS BIGINT) AS n_found,
-       round(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-             / CAST(count(*) AS DOUBLE), 6) AS recall
+       CAST((CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS HUGEINT) * 1000000)
+            // CAST(count(*) AS HUGEINT) AS BIGINT) AS recall_ppm
 FROM bf LEFT JOIN pq_topk p
   ON bf.query_id = p.query_id AND bf.neighbor_id = p.neighbor_id
 """
@@ -13143,8 +13186,9 @@ bf AS (
 SELECT count(*) AS n_true,
        CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
          AS BIGINT) AS n_found,
-       round(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-             / CAST(count(*) AS DOUBLE), 6) AS recall
+       CAST((CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS HUGEINT) * 1000000)
+            // CAST(count(*) AS HUGEINT) AS BIGINT) AS recall_ppm
 FROM bf LEFT JOIN pq_topk p
   ON bf.query_id = p.query_id AND bf.neighbor_id = p.neighbor_id
 """
@@ -13619,8 +13663,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang_pred,
                    count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-                   round(CAST(sum(quality_micro) AS DOUBLE) / count(*) / 1e6, 6)
-                     AS avg_quality
+                   CAST(CAST(sum(quality_micro) AS HUGEINT)
+                        // CAST(count(*) AS HUGEINT) AS BIGINT)
+                     AS avg_quality_ppm
             FROM keepers GROUP BY lang_pred""",
         "pipeline_curation_funnel": f"""
             WITH scored AS (
@@ -14520,7 +14565,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY event_type
             )
             SELECT event_type, n,
-                   round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_v,
+                   CAST((CAST(sx * 100 AS HUGEINT) * 1000000)
+                        // (CAST(n AS HUGEINT) * 100) AS BIGINT) AS mean_v_ppm,
                    round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))),
@@ -14595,11 +14641,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rank() OVER win AS INT) AS rnk,
                    CAST(dense_rank() OVER win AS INT) AS drnk,
                    CAST(ntile(4) OVER win AS INT) AS quartile,
-                   round(percent_rank() OVER win, 6) AS prank,
-                   round(cume_dist() OVER win, 6) AS cdist
+                   CAST(CASE WHEN count(*) OVER p = 1 THEN 0
+                        ELSE (CAST(rank() OVER win - 1 AS HUGEINT) * 1000000)
+                             // CAST(count(*) OVER p - 1 AS HUGEINT)
+                        END AS BIGINT) AS prank_ppm,
+                   CAST((CAST(rank() OVER win AS HUGEINT) * 1000000)
+                        // CAST(count(*) OVER p AS HUGEINT)
+                        AS BIGINT) AS cdist_ppm
             FROM orders
             WINDOW win AS (PARTITION BY o_orderpriority
-                           ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+                           ORDER BY o_totalprice DESC, o_orderkey ASC),
+                   p AS (PARTITION BY o_orderpriority)""",
         "pv1_pivot": """
             SELECT CAST(dayofweek(ts) AS INT) AS dow,
                    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
@@ -14686,14 +14738,18 @@ def oracle_sql() -> dict[str, str]:
                                               CAST(o_orderdate AS DATE))
                            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""",
         "h8_market_share": f"""
-            SELECT o_year, nation_rev, total_rev,
-                   round(nation_rev / total_rev, 6) AS mkt_share
+            SELECT o_year,
+                   CAST(nation_rev AS DOUBLE) AS nation_rev,
+                   CAST(total_rev AS DOUBLE) AS total_rev,
+                   CAST((CAST(nation_rev * 10000 AS HUGEINT) * 1000000)
+                        // CAST(total_rev * 10000 AS HUGEINT)
+                        AS BIGINT) AS mkt_share_ppm
             FROM (
               SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-                     CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                     SUM(CASE WHEN sn.n_name = 'NATION_3'
                        THEN {_DP_SQL} ELSE CAST(0 AS DECIMAL(18,2)) END)
-                       AS DOUBLE) AS nation_rev,
-                     CAST(SUM({_DP_SQL}) AS DOUBLE) AS total_rev
+                       AS nation_rev,
+                     SUM({_DP_SQL}) AS total_rev
               FROM lineitem
               JOIN orders   ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
@@ -14706,7 +14762,8 @@ def oracle_sql() -> dict[str, str]:
             )""",
         "h12_late_ship": """
             SELECT o_orderpriority, n_late, n_total,
-                   round(CAST(n_late AS DOUBLE) / n_total, 6) AS late_ratio
+                   CAST((CAST(n_late AS HUGEINT) * 1000000)
+                        // CAST(n_total AS HUGEINT) AS BIGINT) AS late_ppm
             FROM (
               SELECT o_orderpriority,
                      SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
@@ -14717,14 +14774,18 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY o_orderpriority
             )""",
         "h14_promo": f"""
-            SELECT ship_year, promo_rev, total_rev,
-                   round(100.0 * promo_rev / total_rev, 6) AS promo_pct
+            SELECT ship_year,
+                   CAST(promo_rev AS DOUBLE) AS promo_rev,
+                   CAST(total_rev AS DOUBLE) AS total_rev,
+                   CAST((CAST(promo_rev * 10000 AS HUGEINT) * 1000000)
+                        // CAST(total_rev * 10000 AS HUGEINT)
+                        AS BIGINT) AS promo_share_ppm
             FROM (
               SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
-                     CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     SUM(CASE WHEN p_type = 'PROMO'
                        THEN {_DP_SQL} ELSE CAST(0 AS DECIMAL(18,2)) END)
-                       AS DOUBLE) AS promo_rev,
-                     CAST(SUM({_DP_SQL}) AS DOUBLE) AS total_rev
+                       AS promo_rev,
+                     SUM({_DP_SQL}) AS total_rev
               FROM lineitem JOIN part ON l_partkey = p_partkey
               GROUP BY 1
             )""",
@@ -14950,8 +15011,9 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY 1
             )
             SELECT c.event_type, c.day_idx, c.n,
-                   round(CAST(c.s AS DOUBLE) / 100.0 / c.n, 6)
-                     AS mean_value,
+                   CAST((c.s * 1000000)
+                        // (CAST(c.n AS HUGEINT) * 100) AS BIGINT)
+                     AS mean_value_ppm,
                    CAST((c.s * t.n_total * 1000000)
                         // (CAST(c.n AS HUGEINT) * t.st) AS BIGINT)
                      AS seasonal_ppm
@@ -14981,8 +15043,7 @@ def oracle_sql() -> dict[str, str]:
             WITH bounds AS (
               SELECT o_orderpriority,
                      count(*) AS n,
-                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                          AS DOUBLE) AS raw_sum,
+                     SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS raw_sum,
                      quantile_cont(o_totalprice, 0.05) AS lo,
                      quantile_cont(o_totalprice, 0.95) AS hi
               FROM orders GROUP BY o_orderpriority
@@ -14991,11 +15052,16 @@ def oracle_sql() -> dict[str, str]:
                    max(b.n) AS n,
                    round(max(b.lo), 6) AS p05,
                    round(max(b.hi), 6) AS p95,
-                   round(max(b.raw_sum) / max(b.n), 6) AS mean_raw,
-                   round(CAST(SUM(CAST(round(least(greatest(
+                   CAST((CAST(max(b.raw_sum) * 100 AS HUGEINT) * 1000000)
+                        // (CAST(max(b.n) AS HUGEINT) * 100) AS BIGINT)
+                     AS mean_raw_ppm,
+                   CAST((CAST(SUM(CAST(round(least(greatest(
                              o.o_totalprice, b.lo), b.hi), 6)
-                           AS DECIMAL(18,6))) AS DOUBLE) / max(b.n), 6)
-                     AS mean_winsorized
+                           AS DECIMAL(18,6))) * 1000000 AS HUGEINT)
+                         * 1000000)
+                        // (CAST(max(b.n) AS HUGEINT) * 1000000)
+                        AS BIGINT)
+                     AS mean_winsorized_ppm
             FROM orders o JOIN bounds b USING (o_orderpriority)
             GROUP BY o.o_orderpriority""",
         "dedup_cross_source_matrix": f"""
@@ -15159,8 +15225,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id,
                    CAST(len(c.shs) AS INT) AS n_shingles,
                    CAST(coalesce(s.n_shared, 0) AS INT) AS n_shared,
-                   round(CAST(coalesce(s.n_shared, 0) AS DOUBLE)
-                         / len(c.shs), 6) AS containment,
+                   CAST((CAST(coalesce(s.n_shared, 0) AS HUGEINT) * 1000000)
+                        // CAST(len(c.shs) AS HUGEINT) AS BIGINT)
+                     AS containment_ppm,
                    CAST(CASE WHEN coalesce(s.n_shared, 0)
                              >= {DECON_MIN_SHARED}
                         THEN 1 ELSE 0 END AS INT) AS contaminated
@@ -15450,12 +15517,18 @@ def oracle_sql() -> dict[str, str]:
             FROM z GROUP BY user_id""",
         "w9_dist_suite": """
             SELECT event_id, event_type,
-                   round(cume_dist() OVER w, 6) AS cd,
-                   round(percent_rank() OVER w, 6) AS pr,
+                   CAST((CAST(rank() OVER w AS HUGEINT) * 1000000)
+                        // CAST(count(*) OVER p AS HUGEINT)
+                        AS BIGINT) AS cd_ppm,
+                   CAST(CASE WHEN count(*) OVER p = 1 THEN 0
+                        ELSE (CAST(rank() OVER w - 1 AS HUGEINT) * 1000000)
+                             // CAST(count(*) OVER p - 1 AS HUGEINT)
+                        END AS BIGINT) AS pr_ppm,
                    ntile(8) OVER w AS bucket
             FROM events
             WINDOW w AS (PARTITION BY event_type
-                         ORDER BY value ASC, event_id ASC)""",
+                         ORDER BY value ASC, event_id ASC),
+                   p AS (PARTITION BY event_type)""",
         "sim_range_search": _range_search_oracle(),
         "h20_excess": """
             WITH per_ps AS (
@@ -15841,17 +15914,23 @@ def oracle_sql() -> dict[str, str]:
               FROM bc GROUP BY doc_id
             )
             SELECT uni.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-                   round(top_c / CAST(n_tokens AS DOUBLE), 6)
-                     AS top_word_frac,
-                   round(dup_c / CAST(n_tokens AS DOUBLE), 6)
-                     AS dup_word_frac,
-                   round(dup_bg / CAST(n_bigrams AS DOUBLE), 6)
-                     AS dup_bigram_frac,
-                   round(chars / CAST(n_tokens AS DOUBLE), 6)
-                     AS mean_word_len,
-                   CAST(round(top_c / CAST(n_tokens AS DOUBLE), 6) <= 0.2
-                        AND round(dup_bg / CAST(n_bigrams AS DOUBLE), 6)
-                              <= 0.6 AS INT) AS pass_gopher
+                   CAST((CAST(top_c AS HUGEINT) * 1000000)
+                        // CAST(n_tokens AS HUGEINT) AS BIGINT)
+                     AS top_word_ppm,
+                   CAST((CAST(dup_c AS HUGEINT) * 1000000)
+                        // CAST(n_tokens AS HUGEINT) AS BIGINT)
+                     AS dup_word_ppm,
+                   CAST((CAST(dup_bg AS HUGEINT) * 1000000)
+                        // CAST(n_bigrams AS HUGEINT) AS BIGINT)
+                     AS dup_bigram_ppm,
+                   CAST((CAST(chars AS HUGEINT) * 1000000)
+                        // CAST(n_tokens AS HUGEINT) AS BIGINT)
+                     AS mean_word_len_ppm,
+                   CAST((CAST(top_c AS HUGEINT) * 1000000)
+                          // CAST(n_tokens AS HUGEINT) <= 200000
+                        AND (CAST(dup_bg AS HUGEINT) * 1000000)
+                          // CAST(n_bigrams AS HUGEINT) <= 600000
+                        AS INT) AS pass_gopher
             FROM uni JOIN bga ON uni.doc_id = bga.doc_id""",
         "dedup_passage": """
             WITH d AS (
@@ -15876,10 +15955,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_chunks,
                    SUM(CASE WHEN first.d = doc_id AND first.c = chunk_idx
                             THEN 0 ELSE 1 END) AS n_dup,
-                   round(SUM(CASE WHEN first.d = doc_id
-                                   AND first.c = chunk_idx
-                             THEN 0 ELSE 1 END)
-                         / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+                   CAST((CAST(SUM(CASE WHEN first.d = doc_id
+                                        AND first.c = chunk_idx
+                                   THEN 0 ELSE 1 END) AS HUGEINT) * 1000000)
+                        // CAST(count(*) AS HUGEINT) AS BIGINT) AS dup_ppm
             FROM mk GROUP BY doc_id""",
         "sketch_hist_quantile": """
             WITH binned AS (
@@ -15934,13 +16013,15 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             )
             SELECT id_a, id_b,
-                   round(shared / CAST(least(a.sz, b.sz) AS DOUBLE), 6)
-                     AS containment
+                   CAST((CAST(shared AS HUGEINT) * 1000000)
+                        // CAST(least(a.sz, b.sz) AS HUGEINT) AS BIGINT)
+                     AS containment_ppm
             FROM p
             JOIN sz a ON p.id_a = a.doc_id
             JOIN sz b ON p.id_b = b.doc_id
-            WHERE round(shared / CAST(least(a.sz, b.sz) AS DOUBLE), 6)
-                  >= {CONTAINMENT_MIN}""",
+            WHERE (CAST(shared AS HUGEINT) * 1000000)
+                    // CAST(least(a.sz, b.sz) AS HUGEINT)
+                  >= {int(CONTAINMENT_MIN * 1_000_000)}""",
         "bit_suite": """
             SELECT event_type,
                    CAST(SUM(bit_count(event_id)) AS BIGINT)
@@ -16008,8 +16089,9 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY from_state, to_state
             )
             SELECT from_state, to_state, n,
-                   round(n / CAST(SUM(n) OVER (PARTITION BY from_state)
-                     AS DOUBLE), 6) AS p
+                   CAST((CAST(n AS HUGEINT) * 1000000)
+                        // CAST(SUM(n) OVER (PARTITION BY from_state)
+                                AS HUGEINT) AS BIGINT) AS p_ppm
             FROM c""",
         "emb_top_direction": """
             WITH m AS (
@@ -16268,8 +16350,9 @@ def oracle_sql() -> dict[str, str]:
               FROM counts
             ), tot AS (SELECT SUM(wq) AS t FROM powed)
             SELECT lang, n_tokens,
-                   round(wq / CAST((SELECT t FROM tot) AS DOUBLE), 6)
-                     AS weight,
+                   CAST((CAST(wq AS HUGEINT) * 1000000)
+                        // CAST((SELECT t FROM tot) AS HUGEINT)
+                        AS BIGINT) AS weight_ppm,
                    (wq * {MIXTURE_BUDGET_TOKENS}) // (SELECT t FROM tot)
                      AS quota_tokens
             FROM powed""",
@@ -16286,11 +16369,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(SUM(c) AS BIGINT) AS n_tokens,
                    count(*) AS n_types,
-                   round(count(*) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+                   CAST((CAST(count(*) AS HUGEINT) * 1000000)
+                        // CAST(SUM(c) AS HUGEINT) AS BIGINT) AS ttr_ppm,
                    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
                      AS BIGINT) AS n_hapax,
-                   round(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
-                     / CAST(count(*) AS DOUBLE), 6) AS hapax_frac
+                   CAST((CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                              AS HUGEINT) * 1000000)
+                        // CAST(count(*) AS HUGEINT) AS BIGINT)
+                     AS hapax_ppm
             FROM pt GROUP BY doc_id""",
         "pv2_unpivot": f"""
             WITH long AS (
@@ -16363,9 +16449,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_true,
                    CAST(SUM(CASE WHEN lsh.id_a IS NOT NULL
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
-                   round(SUM(CASE WHEN lsh.id_a IS NOT NULL
-                             THEN 1 ELSE 0 END)
-                         / CAST(count(*) AS DOUBLE), 6) AS recall
+                   CAST((CAST(SUM(CASE WHEN lsh.id_a IS NOT NULL
+                                  THEN 1 ELSE 0 END) AS HUGEINT) * 1000000)
+                        // CAST(count(*) AS HUGEINT) AS BIGINT)
+                     AS recall_ppm
             FROM exact LEFT JOIN lsh
               ON exact.id_a = lsh.id_a AND exact.id_b = lsh.id_b""",
         "emb_norm_outliers": """
@@ -16481,8 +16568,9 @@ def oracle_sql() -> dict[str, str]:
               FROM counts
             ), tot AS (SELECT SUM(wq) AS t FROM powed)
             SELECT lang, n_docs, n_tokens,
-                   round(wq / CAST((SELECT t FROM tot) AS DOUBLE), 6)
-                     AS weight,
+                   CAST((CAST(wq AS HUGEINT) * 1000000)
+                        // CAST((SELECT t FROM tot) AS HUGEINT)
+                        AS BIGINT) AS weight_ppm,
                    (wq * {MIXTURE_BUDGET_TOKENS}) // (SELECT t FROM tot)
                      AS quota_tokens
             FROM powed""",
@@ -16501,11 +16589,12 @@ def oracle_sql() -> dict[str, str]:
               FROM ex GROUP BY d
             )
             SELECT dim_idx,
-                   CAST(trunc(s1 / CAST(n AS DOUBLE)) AS BIGINT)
-                     AS mean_micro,
-                   round(((n * s2 - s1 * s1)
-                          / CAST(n * (n - 1) AS DOUBLE)) / 1e12, 6)
-                     AS variance
+                   CAST(CAST(s1 AS HUGEINT) // CAST(n AS HUGEINT)
+                        AS BIGINT) AS mean_micro,
+                   CAST((CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)
+                         - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))
+                        // (CAST(n AS HUGEINT) * (n - 1) * 1000000)
+                        AS BIGINT) AS variance_ppm
             FROM agg""",
         "sample_balanced_classes": """
             WITH sizes AS (
@@ -16527,13 +16616,15 @@ def oracle_sql() -> dict[str, str]:
             WITH monthly AS (
               SELECT o_orderpriority,
                      strftime(o_orderdate, '%Y-%m') AS month,
-                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                       AS DOUBLE) AS rev
+                     SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
               FROM orders GROUP BY 1, 2
             )
-            SELECT o_orderpriority, month, round(rev, 2) AS rev,
-                   round((rev - lag(rev) OVER w) / (lag(rev) OVER w), 6)
-                     AS mom_growth
+            SELECT o_orderpriority, month,
+                   CAST(rev AS DOUBLE) AS rev,
+                   CAST((CAST((rev - lag(rev) OVER w) * 100 AS HUGEINT)
+                         * 1000000)
+                        // CAST(lag(rev) OVER w * 100 AS HUGEINT)
+                        AS BIGINT) AS mom_growth_ppm
             FROM monthly
             WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)""",
         "agg_deciles": """
@@ -16599,8 +16690,10 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             )
             SELECT o_orderpriority, count(*) AS n_gaps,
-                   round(CAST(SUM(CAST(gap_days AS DECIMAL(18,2)))
-                     AS DOUBLE) / count(*), 6) AS avg_gap_days,
+                   CAST((CAST(SUM(CAST(gap_days AS BIGINT)) AS HUGEINT)
+                         * 1000000)
+                        // CAST(count(*) AS HUGEINT) AS BIGINT)
+                     AS avg_gap_ppm,
                    min(gap_days) AS min_gap, max(gap_days) AS max_gap
             FROM gaps WHERE gap_days IS NOT NULL
             GROUP BY o_orderpriority""",
@@ -16615,8 +16708,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT bg.doc_id, count(*) AS n_bigrams,
                    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)
                      AS BIGINT) AS n_unique,
-                   round(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)
-                         / CAST(count(*) AS DOUBLE), 6) AS novelty
+                   CAST((CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+                              AS HUGEINT) * 1000000)
+                        // CAST(count(*) AS HUGEINT) AS BIGINT)
+                     AS novelty_ppm
             FROM bg JOIN dfreq ON bg.sh = dfreq.sh
             GROUP BY bg.doc_id""",
         "sample_hard_negatives": f"""
@@ -16645,7 +16740,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT day, count(*) AS wau FROM contrib GROUP BY day
             )
             SELECT dau.day, dau, wau,
-                   round(dau / CAST(wau AS DOUBLE), 6) AS stickiness
+                   CAST((CAST(dau AS HUGEINT) * 1000000)
+                        // CAST(wau AS HUGEINT) AS BIGINT)
+                     AS stickiness_ppm
             FROM dau JOIN wau ON dau.day = wau.day""",
         "dedup_body_fingerprint": """
             SELECT min(doc_id) AS keeper_id, count(*) AS n_copies

@@ -7,6 +7,10 @@ md5-derived integers (``hashing.portable_hash``) instead of Spark's
 engine-specific ``hash()``/``xxhash64()``.
 """
 
+from broadway_spark.functions.exact import (
+    div_trunc,
+    ratio_ppm,
+)
 from broadway_spark.functions.hashing import (
     portable_hash,
     fingerprint,
@@ -26,6 +30,8 @@ from broadway_spark.functions.vectors import (
 )
 
 __all__ = [
+    "div_trunc",
+    "ratio_ppm",
     "portable_hash",
     "fingerprint",
     "tokens",
