@@ -929,11 +929,12 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Token total = Σ unigram counts: a 1-row aggregate over the VOCAB
     # table, not a third corpus scan.
     tot = uni.agg(F.sum("n_t").cast("bigint").alias("n_total"))
-    lift = F.round(
-        F.col("n_ab").cast("double")
-        * F.col("n_total").cast("double")
-        / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
-        6,
+    # n_ab·N/(n_a·n_b) is a ratio of integer counts → exact integer
+    # ppm (functions/exact.py), never round(,6) — the half-way class
+    lift = X.ratio_ppm(
+        F.col("n_ab").cast("decimal(38,0)")
+        * F.col("n_total").cast("decimal(38,0)"),
+        F.col("n_a").cast("decimal(38,0)") * F.col("n_b").cast("decimal(38,0)"),
     )
     scored = (
         bgc.withColumn("__t1", F.expr("split_part(bigram, ' ', 1)"))
@@ -947,13 +948,13 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__t2",
         )
         .crossJoin(F.broadcast(tot))
-        .select("bigram", "n_ab", "n_a", "n_b", lift.alias("lift"))
+        .select("bigram", "n_ab", "n_a", "n_b", lift.alias("lift_ppm"))
     )
-    wtop = Window.orderBy(F.col("lift").desc(), F.col("bigram").asc())
+    wtop = Window.orderBy(F.col("lift_ppm").desc(), F.col("bigram").asc())
     return (
         scored.withColumn("rk", F.row_number().over(wtop))
         .where(F.col("rk") <= 20)
-        .select("bigram", "n_ab", "n_a", "n_b", "lift", "rk")
+        .select("bigram", "n_ab", "n_a", "n_b", "lift_ppm", "rk")
     )
 
 
@@ -5338,36 +5339,64 @@ JOURNEY_PATTERNS = (
 )
 
 
-def _journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(user_id, journey): each user's event-initial string in strict
-    (ts, event_id) order — the sequence-pattern substrate. One keyed
-    shuffle (the same one sessionization pays); per-user arrays are
-    session-sized, never corpus-sized."""
-    ev = _t(spark, sf_dir, "events")
-    return (
+JOURNEY_MAX_EVENTS = 128
+
+
+def _journeys_from(ev: DataFrame) -> DataFrame:
+    """(user_id, journey): each user's event-initial string over its
+    FIRST ``JOURNEY_MAX_EVENTS`` events in strict (ts, event_id)
+    order — the sequence-pattern substrate. Per-user state is BOUNDED
+    by construction: the rank filter runs before the collect, so the
+    aggregation buffer holds ≤128 structs even for a bot account with
+    10⁷ events (the r11-verdict hot-user class; the uncapped form held
+    one user-lifetime-sized array per user). Gate-scale corpora top
+    out at 99 events/user, so the cap changes no fixture hash. The
+    rank window partitions on user_id — a HIGH-cardinality key, so the
+    plain window distributes (the prefix-sum core exists for
+    low-cardinality keys); one keyed shuffle total, the same one
+    sessionization pays."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
         ev.select(
             "user_id",
-            F.struct(
-                F.col("ts"),
-                F.col("event_id"),
-                F.substring("event_type", 1, 1).alias("i"),
-            ).alias("s"),
+            "ts",
+            "event_id",
+            F.substring("event_type", 1, 1).alias("i"),
         )
-        .groupBy("user_id")
-        .agg(
-            F.array_join(
-                F.expr("transform(array_sort(collect_list(s)), x -> x.i)"),
-                "",
-            ).alias("journey")
-        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= JOURNEY_MAX_EVENTS)
+    )
+    return first.groupBy("user_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(__rn, i))),"
+                " x -> x.i)"
+            ),
+            "",
+        ).alias("journey")
     )
 
 
-_JOURNEY_SQL = """
+def _journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _journeys_from(_t(spark, sf_dir, "events"))
+
+
+def _journey_sql(events_rel: str = "events") -> str:
+    """DuckDB twin of ``_journeys_from``: first-N rank filter, then
+    the ordered string_agg."""
+    return f"""
               SELECT user_id,
-                     string_agg(substr(event_type, 1, 1), ''
-                       ORDER BY ts, event_id) AS journey
-              FROM events GROUP BY user_id"""
+                     string_agg(i, '' ORDER BY rn) AS journey
+              FROM (
+                SELECT user_id, substr(event_type, 1, 1) AS i,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS rn
+                FROM {events_rel}
+              ) WHERE rn <= {JOURNEY_MAX_EVENTS}
+              GROUP BY user_id"""
+
+
+_JOURNEY_SQL = _journey_sql()
 
 
 def q_evt_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5380,7 +5409,10 @@ def q_evt_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     appear between the steps. Scale shape: journeys are built with ONE
     keyed shuffle, each pattern is a codegen rlike over |users| rows,
     and the catalog unpivots via stack — no per-pattern rescans."""
-    j = _journeys(spark, sf_dir)
+    return _journey_patterns_from(_journeys(spark, sf_dir))
+
+
+def _journey_patterns_from(j: DataFrame) -> DataFrame:
     flags = j.select(
         *[
             F.col("journey").rlike(p).cast("int").alias(name)
@@ -5407,6 +5439,27 @@ def q_evt_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("share_ppm"),
     )
+
+
+def q_edge_journey_hot_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAVY-HITTER journey stream: every 'view' event in the corpus
+    is remapped onto ONE bot account (user_id → 7) before the journey
+    build — the 10⁶-events-one-user class the r11 verdict flagged
+    against the uncapped collect_list form, where that user's
+    aggregation buffer would hold its whole lifetime. The first-N rank
+    filter (``_journeys_from``) keeps the buffer at ≤128 structs no
+    matter how many events pile on the key; AQE skew handling covers
+    the shuffle hot key. The result pins the exact pattern shares of
+    the degenerate stream to the oracle."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "view", F.lit(7).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "event_type",
+        "ts",
+        "event_id",
+    )
+    return _journey_patterns_from(_journeys_from(ev))
 
 
 def q_evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6606,15 +6659,15 @@ def q_sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=HARD_NEG_BANDS,
         threshold=None,
         shingle_k=MINHASH_K,
-    ).where(F.col("jaccard") < MINHASH_THRESHOLD)
+    ).where(F.col("jaccard_ppm") < int(MINHASH_THRESHOLD * 1_000_000))
     # NOTE: bands=HARD_NEG_BANDS (8, rows_per_band 2) — deliberately
     # MORE promiscuous than the dedup layout: mining wants the
     # near-miss collisions dedup's selective bands suppress.
     w = Window.partitionBy("id_a").orderBy(
-        F.col("jaccard").desc(), F.col("id_b").asc()
+        F.col("jaccard_ppm").desc(), F.col("id_b").asc()
     )
     return scored.select(
-        "id_a", "id_b", "jaccard", F.row_number().over(w).alias("rk")
+        "id_a", "id_b", "jaccard_ppm", F.row_number().over(w).alias("rk")
     ).where(F.col("rk") <= 3)
 
 
@@ -12563,6 +12616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_json_malformed": q_edge_json_malformed,
         "edge_media_1byte": q_edge_media_1byte,
         "edge_convert_hot_user": q_edge_convert_hot_user,
+        "edge_journey_hot_user": q_edge_journey_hot_user,
     }
 
 
@@ -12786,15 +12840,15 @@ WITH {_minhash_banded_cte(bands)}, cand AS (
   FROM banded l JOIN banded r ON l.band = r.band AND l.id < r.id
 )
 SELECT c.id_a, c.id_b,
-       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)
-         AS jaccard
+       CAST((CAST(len(list_intersect(a.sh, b.sh)) AS HUGEINT) * 1000000)
+            // CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS HUGEINT)
+            AS BIGINT) AS jaccard_ppm
 FROM cand c
 JOIN docs a ON a.id = c.id_a
 JOIN docs b ON b.id = c.id_b
-WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)
-      {comparator} {MINHASH_THRESHOLD}
+WHERE (CAST(len(list_intersect(a.sh, b.sh)) AS HUGEINT) * 1000000)
+        // CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS HUGEINT)
+      {comparator} {int(MINHASH_THRESHOLD * 1_000_000)}
 """
 
 
@@ -13631,15 +13685,18 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT l.doc_id AS id_a, r.doc_id AS id_b,
-                   round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
-                         / CAST(len(list_distinct(list_concat(l.toks, r.toks)))
-                                AS DOUBLE), 6) AS jaccard
+                   CAST((CAST(len(list_intersect(l.toks, r.toks)) AS HUGEINT)
+                         * 1000000)
+                        // CAST(len(list_distinct(list_concat(l.toks, r.toks)))
+                                AS HUGEINT) AS BIGINT) AS jaccard_ppm
             FROM d l JOIN d r
               ON l.lang = r.lang AND l.source = r.source
              AND l.doc_id < r.doc_id
-            WHERE round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
-                        / CAST(len(list_distinct(list_concat(l.toks, r.toks)))
-                               AS DOUBLE), 6) >= {JACCARD_PAIR_THRESHOLD}""",
+            WHERE (CAST(len(list_intersect(l.toks, r.toks)) AS HUGEINT)
+                   * 1000000)
+                  // CAST(len(list_distinct(list_concat(l.toks, r.toks)))
+                          AS HUGEINT)
+                  >= {int(JACCARD_PAIR_THRESHOLD * 1_000_000)}""",
         "pipeline_corpus_clean": f"""
             WITH scored AS (
               SELECT doc_id,
@@ -13696,10 +13753,11 @@ def oracle_sql() -> dict[str, str]:
               FROM surv3 l JOIN surv3 r
                 ON l.lang = r.lang AND l.source = r.source
                AND l.doc_id < r.doc_id
-              WHERE round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
-                          / CAST(len(list_distinct(
-                                 list_concat(l.toks, r.toks))) AS DOUBLE), 6)
-                    >= {JACCARD_PAIR_THRESHOLD}),
+              WHERE (CAST(len(list_intersect(l.toks, r.toks)) AS HUGEINT)
+                     * 1000000)
+                    // CAST(len(list_distinct(
+                           list_concat(l.toks, r.toks))) AS HUGEINT)
+                    >= {int(JACCARD_PAIR_THRESHOLD * 1_000_000)}),
             c AS (
               SELECT CAST(count(*) AS BIGINT) AS n0,
                      CAST(sum(q_ok) AS BIGINT) AS n1,
@@ -14023,7 +14081,7 @@ def oracle_sql() -> dict[str, str]:
                      AS new_id,
                    CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END
                      AS corpus_id,
-                   jaccard
+                   jaccard_ppm
             FROM pairs
             WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)""",
         # Connected components = min reachable id per node: a recursive
@@ -14281,17 +14339,17 @@ def oracle_sql() -> dict[str, str]:
               FROM bg GROUP BY sh
             ), scored AS (
               SELECT bigram, n_ab, ua.n_t AS n_a, ub.n_t AS n_b,
-                     round(CAST(n_ab AS DOUBLE) * CAST(n_total AS DOUBLE)
-                           / (CAST(ua.n_t AS DOUBLE)
-                              * CAST(ub.n_t AS DOUBLE)), 6) AS lift
+                     CAST((CAST(n_ab AS HUGEINT) * n_total * 1000000)
+                          // (CAST(ua.n_t AS HUGEINT) * ub.n_t)
+                          AS BIGINT) AS lift_ppm
               FROM bgc
               JOIN uni ua ON split_part(bigram, ' ', 1) = ua.t
               JOIN uni ub ON split_part(bigram, ' ', 2) = ub.t
               CROSS JOIN tot
             )
-            SELECT bigram, n_ab, n_a, n_b, lift, rk FROM (
+            SELECT bigram, n_ab, n_a, n_b, lift_ppm, rk FROM (
               SELECT *, row_number() OVER
-                     (ORDER BY lift DESC, bigram ASC) AS rk
+                     (ORDER BY lift_ppm DESC, bigram ASC) AS rk
               FROM scored
             ) WHERE rk <= 20""",
         "pipeline_redaction": f"""
@@ -15698,17 +15756,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT * FROM d0 WHERE len(grams) > 0
             )
             SELECT l.doc_id AS id_a, r.doc_id AS id_b,
-                   round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
-                         / CAST(len(list_distinct(
-                             list_concat(l.grams, r.grams))) AS DOUBLE), 6)
-                     AS jaccard
+                   CAST((CAST(len(list_intersect(l.grams, r.grams))
+                              AS HUGEINT) * 1000000)
+                        // CAST(len(list_distinct(
+                            list_concat(l.grams, r.grams))) AS HUGEINT)
+                        AS BIGINT) AS jaccard_ppm
             FROM d l JOIN d r
               ON l.lang = r.lang AND l.source = r.source
              AND l.doc_id < r.doc_id
-            WHERE round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
-                        / CAST(len(list_distinct(
-                            list_concat(l.grams, r.grams))) AS DOUBLE), 6)
-                  >= 0.15""",
+            WHERE (CAST(len(list_intersect(l.grams, r.grams)) AS HUGEINT)
+                   * 1000000)
+                  // CAST(len(list_distinct(
+                      list_concat(l.grams, r.grams))) AS HUGEINT)
+                  >= 150000""",
         "h11_important": """
             WITH per_part AS (
               SELECT l_partkey,
@@ -16441,10 +16501,11 @@ def oracle_sql() -> dict[str, str]:
               FROM cand
               JOIN dd a ON a.doc_id = cand.id_a
               JOIN dd b ON b.doc_id = cand.id_b
-              WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                          / CAST(len(list_distinct(
-                              list_concat(a.sh, b.sh))) AS DOUBLE), 6)
-                    >= {MINHASH_THRESHOLD}
+              WHERE (CAST(len(list_intersect(a.sh, b.sh)) AS HUGEINT)
+                     * 1000000)
+                    // CAST(len(list_distinct(
+                        list_concat(a.sh, b.sh))) AS HUGEINT)
+                    >= {int(MINHASH_THRESHOLD * 1_000_000)}
             )
             SELECT count(*) AS n_true,
                    CAST(SUM(CASE WHEN lsh.id_a IS NOT NULL
@@ -16717,10 +16778,10 @@ def oracle_sql() -> dict[str, str]:
         "sample_hard_negatives": f"""
             WITH cand AS ({_minhash_oracle(comparator="<",
                                            bands=HARD_NEG_BANDS)})
-            SELECT id_a, id_b, jaccard, rk FROM (
-              SELECT id_a, id_b, jaccard,
+            SELECT id_a, id_b, jaccard_ppm, rk FROM (
+              SELECT id_a, id_b, jaccard_ppm,
                      row_number() OVER (PARTITION BY id_a
-                       ORDER BY jaccard DESC, id_b ASC) AS rk
+                       ORDER BY jaccard_ppm DESC, id_b ASC) AS rk
               FROM cand
             ) WHERE rk <= 3""",
         "evt_dau_wau": """
@@ -17952,4 +18013,30 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rk = (9 * n + 9) // 10
                             THEN gap_us END) AS p90_gap_us
             FROM ranked GROUP BY cohort_week"""
+    sql["edge_journey_hot_user"] = f"""
+            WITH ev AS (
+              SELECT CASE WHEN event_type = 'view'
+                          THEN CAST(7 AS BIGINT) ELSE user_id END
+                       AS user_id,
+                     event_type, ts, event_id
+              FROM events
+            ), j AS ({_journey_sql("ev")}),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     {", ".join(
+                         f"CAST(SUM(CASE WHEN regexp_matches(journey, "
+                         f"'{p}') THEN 1 ELSE 0 END) AS BIGINT)"
+                         f" AS {name}"
+                         for name, p in JOURNEY_PATTERNS
+                     )}
+              FROM j)
+            SELECT pattern, n_users,
+                   CAST((n_users * 1000000) // n AS BIGINT) AS share_ppm
+            FROM (
+              {" UNION ALL ".join(
+                  f"SELECT '{name}' AS pattern, {name} AS n_users, n"
+                  f" FROM agg"
+                  for name, _ in JOURNEY_PATTERNS
+              )}
+            )"""
     return sql

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from broadway_spark.functions.exact import ratio_ppm
 from broadway_spark.functions.hashing import fingerprint
 from broadway_spark.functions.text import shingle_table
 from broadway_spark.functions.vectors import cosine_similarity
@@ -358,7 +359,12 @@ def minhash_lsh_pairs(
       3. distinct candidate pairs            (shuffle on pair)
       4. join shingle sets back, exact Jaccard filter ≥ threshold
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    Returns (id_a, id_b, jaccard_ppm) with id_a < id_b. The score is
+    the EXACT integer parts-per-million of |∩|/|∪| (functions/exact
+    .py): both are counts, so the ratio is a rational whose 6dp round
+    ties exactly when the union size is 2^7·5^j — publishing truncated
+    ppm removes the rounding step entirely, and the threshold becomes
+    the pure integer comparison ppm ≥ t·1e6 ⟺ J ≥ t.
 
     Skew note: a degenerate band key (e.g. thousands of identical
     boilerplate docs) produces a quadratic bucket; AQE skew-join splits
@@ -388,20 +394,22 @@ def minhash_lsh_pairs(
     )
     a = shingled.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = shingled.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("long")
     scored = (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("jaccard_ppm", ratio_ppm(inter, union))
+        .select("id_a", "id_b", "jaccard_ppm")
     )
     if threshold is None:
         # scored-candidate form: EVERY band-collision pair with its
         # exact Jaccard — the feed for hard-negative mining (pairs the
         # LSH found but that sit BELOW the near-dup threshold).
         return scored
-    return scored.filter(F.col("jaccard") >= F.lit(threshold))
+    return scored.filter(
+        F.col("jaccard_ppm") >= F.lit(int(round(threshold * 1_000_000)))
+    )
 
 
 def incremental_lsh_matches(
@@ -421,7 +429,7 @@ def incremental_lsh_matches(
     is (new × corpus) only, so ingest costs O(|new|·bands +
     collisions) however large the archive is. In production the
     corpus side's banded table is a precomputed index that the ingest
-    job only reads. Returns (new_id, corpus_id, jaccard) with the
+    job only reads. Returns (new_id, corpus_id, jaccard_ppm) with the
     same exact-verification contract as the symmetric operator.
     """
 
@@ -454,17 +462,19 @@ def incremental_lsh_matches(
     b = sh_cor.select(
         F.col("__id").alias("corpus_id"), F.col("__sh").alias("sh_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("long")
     scored = (
         cand.join(a, "new_id")
         .join(b, "corpus_id")
-        .withColumn("jaccard", F.round(inter / union, 6))
-        .select("new_id", "corpus_id", "jaccard")
+        .withColumn("jaccard_ppm", ratio_ppm(inter, union))
+        .select("new_id", "corpus_id", "jaccard_ppm")
     )
     if threshold is None:
         return scored
-    return scored.filter(F.col("jaccard") >= F.lit(threshold))
+    return scored.filter(
+        F.col("jaccard_ppm") >= F.lit(int(round(threshold * 1_000_000)))
+    )
 
 
 def compact_lsh_archive(
@@ -1015,16 +1025,18 @@ def jaccard_pairs_prefix_filter(
     serves the n-gram-Jaccard dedup family (driver north_star).
 
     ``tokens_col`` must hold distinct tokens (use ``array_distinct``).
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
-    6 places — the same contract as the all-pairs formulation.
+    Returns (id_a, id_b, jaccard_ppm) with id_a < id_b — the exact
+    integer parts-per-million of the Jaccard (functions/exact.py), so
+    acceptance is the pure integer comparison ppm ≥ t·1e6 ⟺ J ≥ t,
+    the same contract as the all-pairs formulation.
     """
     blocks = block_cols or []
-    # Acceptance is round(J, 6) >= t, so a pair with true J in
-    # [t - 5e-7, t) can round UP into the result set; candidate
-    # generation must therefore use the slightly looser t' = t - 5e-7
-    # in every bound (prefix length, length ratio, positional alpha) or
-    # such a pair could be pruned before verify — a false negative the
-    # exact verify can't recover. Verify keeps the original t.
+    # Candidate-generation bounds are computed in FLOAT (prefix
+    # length, length ratio, positional alpha); a float round-up of
+    # t·|X| could prune a boundary pair the exact-integer verify would
+    # accept — a false negative verify can't recover. Loosen every
+    # generation bound by 5e-7 (harmless extra candidates); verify
+    # keeps the exact t.
     t_gen = threshold - 5e-7
     base = docs.select(
         F.col(id_col).alias("__id"), *blocks, F.col(tokens_col).alias("__toks")
@@ -1106,12 +1118,14 @@ def jaccard_pairs_prefix_filter(
         F.col("__toks").alias("__toks_b"),
         F.col("__n").alias("__n_b"),
     )
-    inter = F.size(F.array_intersect("__toks_a", "__toks_b")).cast("double")
-    union = (F.col("__n_a") + F.col("__n_b")).cast("double") - inter
+    inter = F.size(F.array_intersect("__toks_a", "__toks_b")).cast("long")
+    union = (F.col("__n_a") + F.col("__n_b")).cast("long") - inter
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("jaccard_ppm", ratio_ppm(inter, union))
+        .filter(
+            F.col("jaccard_ppm") >= F.lit(int(round(threshold * 1_000_000)))
+        )
+        .select("id_a", "id_b", "jaccard_ppm")
     )

@@ -11,6 +11,18 @@ exact hashes remain their correctness evidence, and the report records
 WHICH queries fell back to the weaker Spark-only check — no silent
 skips, per the boundary_audit rule).
 
+r12 bounded twins (verdict item 4): every oracle-timeout query is
+re-run END-TO-END — the same Spark operator chain AND the same oracle
+SQL — against a BOUNDED copy of the sf1 directory whose hostile tables
+(documents / events / lineitem) are deterministically sliced to ~10%
+(id % 10 = 0). The slice keeps the sf1 data distribution (the 90%-
+duplicate groups are id-interleaved, so duplicate structure survives)
+while cutting the quadratic oracle cost ~100×, so the twin finishes
+inside the timeout and the comparison is EXACT again. The report
+records each timeout query's bounded verdict; the sweep exits nonzero
+if any timeout query lacks a bounded exact match — no spark-only rows
+without a failing exit, per the boundary_audit no-silent-skip rule.
+
 Usage: python scripts/sf1_sweep.py [sf1_dir] [oracle_timeout_s] [out.json]
 """
 
@@ -28,6 +40,37 @@ sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
 
 from selfcheck import TABLES, canon  # noqa: E402
+
+# Tables the hostile-volume queries fan out on, with their slice key.
+# id % 10 = 0 keeps ~10% while preserving the synth's duplicate-group
+# structure (groups are id-interleaved by construction).
+_SLICE_KEYS = {
+    "documents": "doc_id",
+    "events": "event_id",
+    "lineitem": "l_orderkey",
+}
+
+
+def _make_bounded_dir(con: "duckdb.DuckDBPyConnection", sf_dir: str) -> str:
+    """A ~10% deterministic slice of the hostile tables, other tables
+    verbatim — single-file parquet per table so BOTH engines read the
+    identical bounded input."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="sf1_bounded_")
+    for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        key = _SLICE_KEYS.get(t)
+        if key is None:
+            shutil.copyfile(src, dst)
+        else:
+            con.sql(
+                f"COPY (SELECT * FROM '{src}' WHERE {key} % 10 = 0)"
+                f" TO '{dst}' (FORMAT PARQUET)"
+            )
+    return out
 
 
 def main() -> int:
@@ -116,10 +159,73 @@ def main() -> int:
             + ")",
             flush=True,
         )
+    # --- r12 bounded twins: close every oracle-timeout gap exactly ---
+    timeouts = sorted(
+        n
+        for n, e in report.items()
+        if e.get("oracle") == "timeout_or_error"
+    )
+    n_bounded_exact = 0
+    if timeouts:
+        bdir = _make_bounded_dir(con, sf_dir)
+        bcon = duckdb.connect()
+        for t in TABLES:
+            bcon.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{bdir}/{t}.parquet'"
+            )
+        qs = entrymod.queries()
+        for name in timeouts:
+            e = report[name]
+            t0 = time.time()
+            try:
+                sdf = qs[name](spark, bdir)
+                sc, sr = canon(
+                    [tuple(r) for r in sdf.collect()], sdf.columns
+                )
+            except Exception as exc:  # noqa: BLE001 - sweep records
+                e["bounded"] = "spark_error"
+                e["bounded_note"] = str(exc)[:300]
+                n_fail += 1
+                continue
+            finally:
+                matz.release_all()
+            b_spark_s = round(time.time() - t0, 2)
+            timer = threading.Timer(oracle_timeout, bcon.interrupt)
+            timer.start()
+            t1 = time.time()
+            try:
+                res = bcon.sql(oracles[name])
+                dc, dr = canon(res.fetchall(), res.columns)
+            except Exception as exc:  # noqa: BLE001
+                e["bounded"] = "oracle_timeout_or_error"
+                e["bounded_note"] = str(exc)[:160]
+                n_fail += 1
+            else:
+                if (sc, sr) == (dc, dr):
+                    e["bounded"] = "exact_match"
+                    n_bounded_exact += 1
+                    n_spark_only -= 1
+                else:
+                    e["bounded"] = "MISMATCH"
+                    n_fail += 1
+            finally:
+                timer.cancel()
+            e["bounded_rows"] = len(sr)
+            e["bounded_spark_s"] = b_spark_s
+            e["bounded_oracle_s"] = round(time.time() - t1, 2)
+            print(
+                f"BOUNDED-{e['bounded'].upper()} {name}"
+                f" ({e.get('bounded_rows', '?')} rows,"
+                f" {b_spark_s}s spark,"
+                f" {e.get('bounded_oracle_s')}s oracle)",
+                flush=True,
+            )
+
     summary = {
         "sf_dir": sf_dir,
         "n_exact": n_exact,
         "n_spark_only": n_spark_only,
+        "n_bounded_exact": n_bounded_exact,
         "n_fail": n_fail,
         "oracle_timeout_s": oracle_timeout,
         "queries": report,
@@ -127,10 +233,11 @@ def main() -> int:
     with open(out_path, "w") as fh:
         json.dump(summary, fh, indent=1, sort_keys=True)
     print(
-        f"\n{n_exact} exact, {n_spark_only} spark-only, {n_fail} failed "
-        f"-> {out_path}"
+        f"\n{n_exact} exact, {n_bounded_exact} bounded-exact, "
+        f"{n_spark_only} spark-only, {n_fail} failed -> {out_path}"
     )
-    return 1 if n_fail else 0
+    # spark-only without a bounded exact twin is a sweep failure now.
+    return 1 if (n_fail or n_spark_only) else 0
 
 
 if __name__ == "__main__":

@@ -21,15 +21,18 @@ _DOC = st.lists(
 
 
 def _brute_force(docs):
+    # exact integer ppm, matching the operator's numeric policy:
+    # jaccard_ppm = (|∩|·1e6) DIV |∪|, acceptance ppm ≥ t·1e6 ⟺ J ≥ t
     out = set()
     sets = [(i, set(toks)) for i, toks in docs]
+    thresh_ppm = round(THRESH * 1_000_000)
     for x in range(len(sets)):
         for y in range(x + 1, len(sets)):
             ia, sa = sets[x]
             ib, sb = sets[y]
-            j = len(sa & sb) / len(sa | sb)
-            if round(j, 6) >= THRESH:
-                out.add((min(ia, ib), max(ia, ib), round(j, 6)))
+            ppm = len(sa & sb) * 1_000_000 // len(sa | sb)
+            if ppm >= thresh_ppm:
+                out.add((min(ia, ib), max(ia, ib), ppm))
     return out
 
 
@@ -46,7 +49,7 @@ def test_prefix_filter_jaccard_matches_brute_force(spark, texts):
         F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"),
     )
     got = {
-        (r["id_a"], r["id_b"], r["jaccard"])
+        (r["id_a"], r["id_b"], r["jaccard_ppm"])
         for r in jaccard_pairs_prefix_filter(
             df, "doc_id", "toks", THRESH
         ).collect()

@@ -550,9 +550,9 @@ def test_incremental_lsh_is_mixed_subset_of_symmetric(spark):
         if a_new != b_new:
             new_id = r["id_a"] if a_new else r["id_b"]
             cor_id = r["id_b"] if a_new else r["id_a"]
-            want.add((new_id, cor_id, r["jaccard"]))
+            want.add((new_id, cor_id, r["jaccard_ppm"]))
     got = {
-        (r["new_id"], r["corpus_id"], r["jaccard"])
+        (r["new_id"], r["corpus_id"], r["jaccard_ppm"])
         for r in entry.q_dedup_incremental_lsh(spark, SF).collect()
     }
     assert got == want
