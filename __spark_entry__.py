@@ -899,6 +899,33 @@ def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ivfpq_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ index maintenance
+    (operators/similarity.ivfpq_index_merge — r12 breadth, the ANN
+    mirror of r11's LSH archive compaction): vectors with
+    vec_id ≡ 0 (mod 10) play the incoming batch, the rest the
+    existing index. Coarse centroids and PQ codebooks are FROZEN from
+    the archive; the merge assigns + encodes only the new batch
+    (O(|new|)), and the per-cell codebook-drift audit — exact BIGINT
+    reconstruction errors, drift as integer ppm — is the signal that
+    schedules a retrain. Oracle: the same frozen-archive training and
+    assignment CTE-for-dataframe."""
+    emb = _t(spark, sf_dir, "embeddings")
+    new = emb.where(F.col("vec_id") % 10 == 0)
+    archive = emb.where(F.col("vec_id") % 10 != 0)
+    return S.ivfpq_index_merge(
+        archive,
+        new,
+        "vec_id",
+        "embedding",
+        m=PQ_M,
+        dim=64,
+        num_codes=PQ_CODES,
+        train_iters=PQ_TRAIN_ITERS,
+        num_centroids=IVF_NCENT,
+    )
+
+
 def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: top-20 bigrams by PMI-style lift —
     ``n_ab·N / (n_a·n_b)``, the observed-over-expected ratio under
@@ -5481,6 +5508,48 @@ def q_evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_JOURNEY_MAX = 64
+
+
+def q_evt_session_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized journeys (operators/temporal.session_journeys —
+    r12 breadth, pairs with the capped lifetime substrate): events
+    are cut into 30-min-gap sessions per user, each session's
+    event-initial string is built over its FIRST SESSION_JOURNEY_MAX
+    events (bounded aggregation state by construction), and the
+    report is the top-15 most common session journeys with their
+    frequency and total event volume — 'what does a single sitting
+    look like', the within-session complement of the lifetime
+    pattern catalog.
+
+    Scale shape: one keyed shuffle drives both window passes and the
+    session aggregate (same high-cardinality user key); the journey
+    frequency table then hash-aggregates on the string, and the
+    top-15 is a WindowGroupLimit-bounded rank. Exactness: journey
+    strings, counts, and event totals are all integers/strings — no
+    float anywhere."""
+    ev = _t(spark, sf_dir, "events")
+    j = TM.session_journeys(
+        ev,
+        "ts",
+        ["user_id"],
+        F.substring("event_type", 1, 1),
+        order_cols=["ts", "event_id"],
+        gap_minutes=SESSION_GAP_MIN,
+        max_events=SESSION_JOURNEY_MAX,
+    )
+    freq = j.groupBy("journey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("total_events"),
+    )
+    wtop = Window.orderBy(F.col("n_sessions").desc(), F.col("journey").asc())
+    return (
+        freq.withColumn("rk", F.row_number().over(wtop))
+        .where(F.col("rk") <= 15)
+        .select("journey", "n_sessions", "total_events", "rk")
+    )
+
+
 def q_emb_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One exact power-iteration step toward the corpus's top principal
     direction: y = Xᵀ(X·v₀) with v₀ = ones, all in integer micro-units
@@ -7987,19 +8056,8 @@ def q_s9_stateful_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Drain protocol: every input row acks exactly once (full chunks
     # immediately, remainders via their key timers) — poll the ack log
     # until all N arrive, then stop.
-    deadline = _time.time() + 240
-    acked = 0
     try:
-        while _time.time() < deadline:
-            try:
-                acked = spark.read.parquet(d("ack")).count()
-            except Exception:
-                acked = 0
-            if acked >= expected:
-                break
-            _time.sleep(0.5)
-        if acked < expected:
-            raise RuntimeError(f"s9 drain incomplete: {acked}/{expected}")
+        _await_acks(spark, q, d("ack"), expected, label="s9 drain")
     finally:
         q.stop()
         q.awaitTermination(60)
@@ -8717,6 +8775,41 @@ def _progress_rows(p) -> int:
     return int(d.get("numInputRows") or 0)
 
 
+def _await_acks(spark, q, path, expected, deadline_s=240, label="drain"):
+    """Wait until the ack log at ``path`` holds ≥ ``expected`` rows.
+
+    Poll shape matters for the drain floor: a parquet count() is a
+    full Spark job (~0.2-0.3 s), so the old fixed 0.5 s count loop
+    both burned jobs while batches were still running and added up to
+    0.5 s of pure granularity slop after the decisive batch. Here the
+    loop watches ``q.recentProgress`` driver-side (free) at 100 ms and
+    only re-counts the parquet when a new batch with rows has
+    committed since the last count — the count then runs immediately
+    after the batch that could have completed the drain, not half a
+    second later. (Sink writes happen inside the micro-batch, so rows
+    are visible in the ack log by the time the progress event
+    appears.) Returns the final count; raises on deadline."""
+    import time as _time
+
+    deadline = _time.time() + deadline_s
+    counted_progress = -1
+    acked = 0
+    while _time.time() < deadline:
+        rows_batches = sum(
+            1 for p in q.recentProgress if _progress_rows(p) > 0
+        )
+        if rows_batches != counted_progress:
+            counted_progress = rows_batches
+            try:
+                acked = spark.read.parquet(path).count()
+            except Exception:
+                acked = 0
+            if acked >= expected:
+                return acked
+        _time.sleep(0.1)
+    raise RuntimeError(f"{label} incomplete: {acked}/{expected} acks")
+
+
 def _kill_mid_drain(q, deadline_s: int = 120) -> int:
     """Stop a streaming query as soon as ≥1 micro-batch WITH ROWS has
     committed — the simulated executor/driver loss. The kill point is
@@ -9016,21 +9109,8 @@ def q_s15_restart_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     q2 = Pipeline(cfg, src).start_stateful(
         spark, processing_time="250 milliseconds", impl="v1"
     )
-    deadline = _time.time() + 240
-    acked = 0
     try:
-        while _time.time() < deadline:
-            try:
-                acked = spark.read.parquet(d("ack")).count()
-            except Exception:
-                acked = 0
-            if acked >= expected:
-                break
-            _time.sleep(0.5)
-        if acked < expected:
-            raise RuntimeError(
-                f"s15 resume incomplete: {acked}/{expected} acks"
-            )
+        _await_acks(spark, q2, d("ack"), expected, label="s15 resume")
     finally:
         q2.stop()
         q2.awaitTermination(60)
@@ -9370,18 +9450,9 @@ def q_f3_restart_spool(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, trigger="processingTime", processing_time="200 milliseconds"
         )
     try:
-        deadline = _time.time() + 240
-        acked = 0
-        while _time.time() < deadline:
-            try:
-                acked = spark.read.parquet(f"{base}/ack").count()
-            except Exception:
-                acked = 0
-            if acked >= n_expected:
-                break
-            _time.sleep(0.5)
-        if acked < n_expected:
-            raise RuntimeError(f"f3 resume incomplete: {acked}/{n_expected}")
+        _await_acks(
+            spark, q2, f"{base}/ack", n_expected, label="f3 resume"
+        )
     finally:
         q2.stop()
         q2.awaitTermination(60)
@@ -12493,6 +12564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_markov": q_evt_markov,
         "evt_journey_patterns": q_evt_journey_patterns,
         "evt_top_paths": q_evt_top_paths,
+        "evt_session_journeys": q_evt_session_journeys,
         "emb_top_direction": q_emb_top_direction,
         "ts_ohlc": q_ts_ohlc,
         "ts_interpolate": q_ts_interpolate,
@@ -12536,6 +12608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_recall": q_sim_pq_recall,
         "sim_ann_ivfpq": q_sim_ann_ivfpq,
         "sim_ivfpq_recall": q_sim_ivfpq_recall,
+        "sim_ivfpq_index_merge": q_sim_ivfpq_index_merge,
         "dedup_substring": q_dedup_substring,
         "s10_stream_dedup": q_s10_stream_dedup,
         "s11_stream_near_dedup": q_s11_stream_near_dedup,
@@ -13193,6 +13266,99 @@ def _ann_ivfpq_oracle() -> str:
     return f"""
 WITH {_ann_ivfpq_core()}
 SELECT query_id, neighbor_id, cos_sim, rank FROM pq_topk
+"""
+
+
+def _ivfpq_merge_oracle() -> str:
+    """DuckDB twin of operators/similarity.ivfpq_index_merge: PQ
+    training CTEs restricted to the ARCHIVE rows (frozen index), one
+    all-vector assignment against archive-sampled centroids, per-cell
+    error aggregates split by the batch predicate."""
+    sub = 64 // PQ_M
+    cos = V.cosine_similarity_sql("e.embedding", "c.pv")
+    train = ""
+    prev = "crows0"
+    for i in range(1, PQ_TRAIN_ITERS + 1):
+        train += f"""
+pqd{i} AS (
+  SELECT v.vec_id, v.m, c.code,
+         SUM((v.val - c.cm) * (v.val - c.cm)) AS d
+  FROM arows v JOIN {prev} c ON v.pos = c.pos
+  GROUP BY v.vec_id, v.m, c.code
+),
+pqa{i} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+               ORDER BY d, code) AS rk
+    FROM pqd{i}) WHERE rk = 1
+),
+pqc{i} AS (
+  SELECT a.code, v.pos, v.m,
+         CAST(floor(CAST(SUM(v.val) AS DOUBLE) / count(*)) AS BIGINT)
+           AS cm
+  FROM arows v JOIN pqa{i} a ON v.vec_id = a.vec_id AND v.m = a.m
+  GROUP BY a.code, v.pos, v.m
+),"""
+        prev = f"pqc{i}"
+    return f"""
+WITH mic AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x * 1000000) AS BIGINT)) AS vm
+  FROM embeddings
+),
+vrows AS (
+  SELECT vec_id, i - 1 AS pos, vm[i] AS val, (i - 1) // {sub} AS m
+  FROM mic CROSS JOIN generate_series(1, 64) t(i)
+),
+arows AS (SELECT * FROM vrows WHERE vec_id % 10 <> 0),
+crows0 AS (
+  SELECT vec_id AS code, pos, m, val AS cm FROM arows
+  WHERE vec_id < {PQ_CODES}
+),{train}
+cd AS (
+  SELECT v.vec_id, v.m, c.code,
+         SUM((v.val - c.cm) * (v.val - c.cm)) AS d
+  FROM vrows v JOIN {prev} c ON v.pos = c.pos
+  GROUP BY v.vec_id, v.m, c.code
+),
+best AS (
+  SELECT vec_id, m, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+               ORDER BY d, code) AS rk
+    FROM cd) WHERE rk = 1
+),
+verr AS (SELECT vec_id, SUM(d) AS err FROM best GROUP BY vec_id),
+cent AS (
+  SELECT vec_id AS cid, embedding AS pv FROM embeddings
+  WHERE vec_id < {IVF_NCENT} AND vec_id % 10 <> 0
+),
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({cos}, 6) DESC, c.cid ASC) AS rk
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rk = 1
+),
+aagg AS (
+  SELECT cell, count(*) AS na, SUM(err) AS sa
+  FROM asg JOIN verr USING (vec_id)
+  WHERE vec_id % 10 <> 0 GROUP BY cell
+),
+nagg AS (
+  SELECT cell, count(*) AS nn, SUM(err) AS sn
+  FROM asg JOIN verr USING (vec_id)
+  WHERE vec_id % 10 = 0 GROUP BY cell
+)
+SELECT a.cell,
+       CAST(na AS BIGINT) AS n_archive,
+       CAST(coalesce(nn, 0) AS BIGINT) AS n_new,
+       CAST(CAST(sa AS HUGEINT) // na AS BIGINT) AS mean_err_archive,
+       CAST(CAST(sn AS HUGEINT) // nn AS BIGINT) AS mean_err_new,
+       CAST((CAST(sn AS HUGEINT) * na * 1000000)
+            // (CAST(sa AS HUGEINT) * nn) AS BIGINT) AS drift_ppm
+FROM aagg a LEFT JOIN nagg n USING (cell)
 """
 
 
@@ -14152,6 +14318,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_pq_recall": _pq_recall_oracle(),
         "sim_ann_ivfpq": _ann_ivfpq_oracle(),
         "sim_ivfpq_recall": _ivfpq_recall_oracle(),
+        "sim_ivfpq_index_merge": _ivfpq_merge_oracle(),
         # Ground truth directly (probe-independent): the quadratic
         # contains() join is the ORACLE's luxury at sf0.01; the engine
         # side is the indexed linear plan.
@@ -16137,6 +16304,46 @@ def oracle_sql() -> dict[str, str]:
                      (ORDER BY n_users DESC, prefix ASC) AS rk
               FROM pref
             ) WHERE rk <= 10""",
+        "evt_session_journeys": f"""
+            WITH ordered AS (
+              SELECT user_id, ts, event_id,
+                     substr(event_type, 1, 1) AS i,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                          > {SESSION_GAP_MIN} * 60 * 1000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+            ), sess AS (
+              SELECT user_id, ts, event_id, i,
+                     SUM(new_s) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS s_idx
+              FROM ordered
+            ), ranked AS (
+              SELECT user_id, s_idx, i,
+                     row_number() OVER (PARTITION BY user_id, s_idx
+                       ORDER BY ts, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id, s_idx)
+                       AS n_events
+              FROM sess
+            ), j AS (
+              SELECT user_id, s_idx,
+                     string_agg(CASE WHEN rn <= {SESSION_JOURNEY_MAX}
+                                     THEN i END, '' ORDER BY rn)
+                       AS journey,
+                     CAST(max(n_events) AS BIGINT) AS n_events
+              FROM ranked GROUP BY user_id, s_idx
+            ), freq AS (
+              SELECT journey,
+                     CAST(count(*) AS BIGINT) AS n_sessions,
+                     CAST(SUM(n_events) AS BIGINT) AS total_events
+              FROM j GROUP BY journey
+            )
+            SELECT journey, n_sessions, total_events, rk FROM (
+              SELECT *, row_number() OVER
+                     (ORDER BY n_sessions DESC, journey ASC) AS rk
+              FROM freq
+            ) WHERE rk <= 15""",
         "evt_markov": """
             WITH t AS (
               SELECT event_type AS from_state,

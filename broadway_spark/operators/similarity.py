@@ -725,3 +725,113 @@ def kmeans_assignments(
         F.col("__cl").alias("cluster_id"),
         F.col("__dist").alias("dist"),
     )
+
+
+def ivfpq_index_merge(
+    archive: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    dim: int = 64,
+    num_codes: int = 16,
+    train_iters: int = 2,
+    num_centroids: int = 16,
+) -> DataFrame:
+    """Incremental IVF-PQ index maintenance — the ANN mirror of
+    ``dedup.compact_lsh_archive``: merge a NEW vector batch into an
+    EXISTING index without retraining, plus the codebook-drift audit
+    that says when a retrain is due.
+
+    The index parameters are FROZEN from the archive (coarse
+    centroids sampled from archive ids, PQ codebooks Lloyd-trained on
+    archive rows only — `_pq_trained_codebook`, the FAISS
+    ``IVFPQ.add`` convention): merging is then (a) assign each new
+    vector to its nearest existing cell and (b) PQ-encode it with the
+    existing codebooks — O(|new|) work, one broadcast join against
+    the tiny centroid/codebook relations per step; the archive is
+    never re-encoded. Everything is exact BIGINT micro-unit
+    arithmetic, so the audit is oracle-checkable.
+
+    Drift audit: per cell, the mean exact PQ reconstruction error
+    (Σ_subspace argmin squared distance, micro² units) of the new
+    batch vs the archive baseline, and ``drift_ppm`` = (mean_new ·
+    1e6) DIV mean_archive — published as exact integer ppm
+    (functions/exact.py policy; computed as (Σnew·n_arch·1e6) DIV
+    (Σarch·n_new) so no intermediate division ever rounds). A cell
+    whose new-batch error runs well past 1e6 ppm of its baseline is
+    a cell the frozen codebook no longer fits.
+
+    Scale shape: two broadcast-NLJ cell assignments (against
+    num_centroids rows), two broadcast-join + (id, m) partial-agg
+    encodes, two per-cell aggregates, one ≤num_centroids-row join.
+    Nothing is quadratic; nothing shuffles the raw vectors twice.
+
+    Returns per cell: (cell, n_archive, n_new, mean_err_archive,
+    mean_err_new, drift_ppm) — NULL new-side stats for cells the
+    batch never touched.
+    """
+    from broadway_spark.functions.exact import div_trunc, ratio_ppm
+
+    cent = _ivf_centroids(archive, id_col, vec_col, num_centroids)
+    sub = dim // m
+    arows = _pq_rows(archive, id_col, vec_col, "__vid", sub)
+    crows = _pq_rows(
+        archive.filter(F.col(id_col) < num_codes),
+        id_col,
+        vec_col,
+        "__code",
+        sub,
+    ).select("__code", "__pos", "__m", F.col("__vm").alias("__cm"))
+    crows = _pq_trained_codebook(arows, crows, train_iters)
+
+    def per_vector_err(rows: DataFrame) -> DataFrame:
+        return (
+            _pq_subspace_dists(rows, "__vid", crows)
+            .groupBy("__vid", "__m")
+            .agg(F.min(F.struct("__d", "__code")).alias("__b"))
+            .groupBy("__vid")
+            .agg(F.sum("__b.__d").alias("__err"))
+        )
+
+    nrows = _pq_rows(new, id_col, vec_col, "__vid", sub)
+    a_cell = _ivf_assign(archive, cent, id_col, vec_col, "__vid", 1).select(
+        "__vid", "__cell"
+    )
+    n_cell = _ivf_assign(new, cent, id_col, vec_col, "__vid", 1).select(
+        "__vid", "__cell"
+    )
+    a_agg = (
+        a_cell.join(per_vector_err(arows), "__vid")
+        .groupBy("__cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_archive"),
+            F.sum("__err").cast("decimal(38,0)").alias("__sa"),
+        )
+    )
+    n_agg = (
+        n_cell.join(per_vector_err(nrows), "__vid")
+        .groupBy("__cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new"),
+            F.sum("__err").cast("decimal(38,0)").alias("__sn"),
+        )
+    )
+    # Every cell is anchored by its own centroid vector on the archive
+    # side, so a left join covers all cells; new-side NULLs mean "no
+    # vectors from this batch landed here".
+    merged = a_agg.join(n_agg, "__cell", "left")
+    na = F.col("n_archive").cast("decimal(38,0)")
+    nn = F.col("n_new").cast("decimal(38,0)")
+    return merged.select(
+        F.col("__cell").alias("cell"),
+        "n_archive",
+        F.coalesce("n_new", F.lit(0).cast("long")).alias("n_new"),
+        div_trunc(F.col("__sa"), F.col("n_archive")).alias(
+            "mean_err_archive"
+        ),
+        div_trunc(F.col("__sn"), F.col("n_new")).alias("mean_err_new"),
+        ratio_ppm(F.col("__sn") * na, F.col("__sa") * nn).alias(
+            "drift_ppm"
+        ),
+    )

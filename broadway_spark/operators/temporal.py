@@ -226,3 +226,81 @@ def sessionize(
         .withColumn("session_end", F.col("__w.end"))
         .drop("__w")
     )
+
+
+def session_journeys(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    seq_col: Column | str,
+    order_cols: list[str] | None = None,
+    gap_minutes: int = 30,
+    max_events: int = 64,
+) -> DataFrame:
+    """Per-session ordered event-sequence strings — the sessionized
+    journey substrate (funnel regexes over what happens in ONE
+    sitting, not a lifetime).
+
+    Sessionization is the classic lag-gap + running-sum index: a row
+    opens a new session when it arrives more than ``gap_minutes``
+    after its predecessor within the key; the running sum of those
+    breaks is the session index. The journey is then the
+    concatenation of ``seq_col`` over the session's FIRST
+    ``max_events`` rows — the rank filter runs before the collect, so
+    per-session aggregation state is bounded by construction (the
+    same hot-user discipline as the lifetime journey substrate; a bot
+    key with 10⁷ events in one session still holds ≤ ``max_events``
+    structs).
+
+    Scale shape: two window passes and one aggregate, ALL keyed on
+    the same high-cardinality (key, [session]) columns — one shuffle
+    total (the session-index window's partitioning covers the rank
+    window and the groupBy). ``order_cols`` must make the order a
+    strict total order within a key (include a unique tiebreak).
+
+    Returns one row per (key..., session_idx): ``journey`` plus
+    ``n_events`` (pre-cap session size) and session start/end epoch
+    micros. The reference has no sequence operators; this extends its
+    per-key ordered processing (batcher_stage.ex:28-36) the same way
+    asof_join does.
+    """
+    order_cols = order_cols or [ts_col]
+    seq = F.col(seq_col) if isinstance(seq_col, str) else seq_col
+    us = ts_micros(ts_col)
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    gap_us = gap_minutes * 60 * 1_000_000
+    # Two projections: a window function can't nest inside another
+    # (lag inside the running sum) — same partitioning, so Catalyst
+    # plans both passes over ONE exchange+sort.
+    marked = df.select(
+        *key_cols,
+        *[c for c in order_cols if c not in key_cols],
+        us.alias("__us"),
+        seq.alias("__i"),
+        F.when(us - F.lag(us).over(w) > F.lit(gap_us), 1)
+        .otherwise(0)
+        .alias("__new_s"),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = marked.withColumn(
+        "session_idx", F.sum("__new_s").over(run)
+    ).drop("__new_s")
+    w_in = Window.partitionBy(*key_cols, "session_idx").orderBy(*order_cols)
+    ranked = sess.withColumn("__rn", F.row_number().over(w_in))
+    return (
+        ranked.groupBy(*key_cols, "session_idx")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "  CASE WHEN __rn <= "
+                    + str(int(max_events))
+                    + " THEN struct(__rn, __i) END)), x -> x.__i)"
+                ),
+                "",
+            ).alias("journey"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("__us").alias("session_start_us"),
+            F.max("__us").alias("session_end_us"),
+        )
+    )

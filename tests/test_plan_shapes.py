@@ -403,6 +403,7 @@ def test_no_unguarded_cartesian_in_any_query(spark):
         "sim_ann_ivfpq",  # broadcast centroid side (cell assignment)
         "sim_pq_recall",  # embeds the brute-force ground truth
         "sim_ivfpq_recall",  # brute-force ground truth + centroids
+        "sim_ivfpq_index_merge",  # broadcast centroid side (cell assign)
         "dedup_embedding",
         # 1-row scalar-threshold broadcasts
         "text_tfidf",

