@@ -352,9 +352,11 @@ def test_redaction_invariants_and_plan(spark):
 
 
 def test_collocations_lift_recomputes(spark):
-    """Each reported lift must equal n_ab·N/(n_a·n_b) recomputed from
-    the returned integer counts and an independent token total, and
-    rank order must follow (lift desc, bigram asc)."""
+    """Each reported lift_ppm must equal the exact integer ppm of
+    n_ab·N/(n_a·n_b) recomputed from the returned integer counts and
+    an independent token total (r12 numeric policy: integer ratios
+    publish as truncated ppm, never a 6dp round), and rank order must
+    follow (lift_ppm desc, bigram asc)."""
     rows = entry.q_text_collocations(spark, SF).collect()
     assert rows, "no collocations returned"
     docs = spark.read.parquet(f"{SF}/documents.parquet")
@@ -362,9 +364,9 @@ def test_collocations_lift_recomputes(spark):
         F.sum(F.size(F.split(F.lower("text"), " ")))
     ).collect()[0][0]
     for r in rows:
-        expect = round(r["n_ab"] * n_total / (r["n_a"] * r["n_b"]), 6)
-        assert abs(r["lift"] - expect) < 1e-9, r
-    ordered = sorted(rows, key=lambda r: (-r["lift"], r["bigram"]))
+        expect = r["n_ab"] * n_total * 1_000_000 // (r["n_a"] * r["n_b"])
+        assert r["lift_ppm"] == expect, r
+    ordered = sorted(rows, key=lambda r: (-r["lift_ppm"], r["bigram"]))
     assert [r["rk"] for r in ordered] == list(range(1, len(rows) + 1))
 
 
