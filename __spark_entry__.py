@@ -8775,31 +8775,54 @@ def _progress_rows(p) -> int:
     return int(d.get("numInputRows") or 0)
 
 
+def _progress_batch_id(p) -> int:
+    """batchId from a StreamingQueryProgress across PySpark's
+    dict/object/json representations (-1 when absent)."""
+    if p is None:
+        return -1
+    d = p if isinstance(p, dict) else None
+    if d is None and hasattr(p, "asDict"):
+        d = p.asDict()
+    if d is None:
+        import json as _json
+
+        d = _json.loads(p.json)
+    try:
+        return int(d.get("batchId"))
+    except (TypeError, ValueError):
+        return -1
+
+
 def _await_acks(spark, q, path, expected, deadline_s=240, label="drain"):
     """Wait until the ack log at ``path`` holds ≥ ``expected`` rows.
 
     Poll shape matters for the drain floor: a parquet count() is a
-    full Spark job (~0.2-0.3 s), so the old fixed 0.5 s count loop
-    both burned jobs while batches were still running and added up to
-    0.5 s of pure granularity slop after the decisive batch. Here the
-    loop watches ``q.recentProgress`` driver-side (free) at 100 ms and
-    only re-counts the parquet when a new batch with rows has
-    committed since the last count — the count then runs immediately
-    after the batch that could have completed the drain, not half a
-    second later. (Sink writes happen inside the micro-batch, so rows
-    are visible in the ack log by the time the progress event
-    appears.) Returns the final count; raises on deadline."""
+    full Spark job (~0.2-0.3 s), so a fixed-interval count loop both
+    burns jobs while batches are still running and adds granularity
+    slop after the decisive batch. Here the loop watches
+    ``q.lastProgress.batchId`` driver-side (free) at 100 ms and
+    re-counts the parquet only when a NEW micro-batch has committed —
+    the count runs immediately after the batch that could have
+    completed the drain. batchId (not input rows) is the correct
+    trigger: stateful drains flush their final remainders via key
+    timers in batches with ZERO input rows (watching row-batches
+    stalls for the recentProgress buffer to drift — the s9/s15 125 s
+    regression this replaced), foreachBatch sinks report no
+    numOutputRows, and with processingTime triggers Spark SKIPS
+    batches while truly idle, so batchId only advances when work
+    (rows or timers) actually ran. Sink writes happen inside the
+    micro-batch, so rows are visible in the ack log by the time the
+    progress event appears. Returns the final count; raises on
+    deadline."""
     import time as _time
 
     deadline = _time.time() + deadline_s
-    counted_progress = -1
+    counted_bid = None
     acked = 0
     while _time.time() < deadline:
-        rows_batches = sum(
-            1 for p in q.recentProgress if _progress_rows(p) > 0
-        )
-        if rows_batches != counted_progress:
-            counted_progress = rows_batches
+        bid = _progress_batch_id(q.lastProgress)
+        if bid != counted_bid:
+            counted_bid = bid
             try:
                 acked = spark.read.parquet(path).count()
             except Exception:
