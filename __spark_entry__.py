@@ -5282,7 +5282,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(sizes.alias("b")), F.col("id_b") == F.col("b.__id"))
         .select("id_a", "id_b", cont.alias("containment_ppm"))
-        .where(F.col("containment_ppm") >= int(CONTAINMENT_MIN * 1_000_000))
+        .where(F.col("containment_ppm") >= X.ppm(CONTAINMENT_MIN))
     )
 
 
@@ -6328,7 +6328,7 @@ def q_pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         qm.alias("q"),
         F.md5("text").alias("fp"),
     ).where(
-        (qm >= int(CORPUS_MIN_QUALITY * 1e6))
+        (qm >= X.ppm(CORPUS_MIN_QUALITY))
         & (F.col("nt") >= CORPUS_MIN_TOKENS)
         & (F.col("nt") <= CORPUS_MAX_TOKENS)
     )
@@ -6728,7 +6728,7 @@ def q_sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=HARD_NEG_BANDS,
         threshold=None,
         shingle_k=MINHASH_K,
-    ).where(F.col("jaccard_ppm") < int(MINHASH_THRESHOLD * 1_000_000))
+    ).where(F.col("jaccard_ppm") < X.ppm(MINHASH_THRESHOLD))
     # NOTE: bands=HARD_NEG_BANDS (8, rows_per_band 2) — deliberately
     # MORE promiscuous than the dedup layout: mining wants the
     # near-miss collisions dedup's selective bands suppress.
@@ -8822,11 +8822,19 @@ def _await_acks(spark, q, path, expected, deadline_s=240, label="drain"):
     while _time.time() < deadline:
         bid = _progress_batch_id(q.lastProgress)
         if bid != counted_bid:
-            counted_bid = bid
             try:
-                acked = spark.read.parquet(path).count()
+                n = spark.read.parquet(path).count()
             except Exception:
-                acked = 0
+                # Transient read failure (or the sink dir not created
+                # yet): do NOT advance counted_bid — if this was the
+                # drain-completing batch, advancing would mean no
+                # recount until a batch that may never come (r12
+                # ADVICE: a single transient failure stalled to the
+                # deadline). Back off briefly and retry the count.
+                _time.sleep(0.4)
+                continue
+            counted_bid = bid
+            acked = n
             if acked >= expected:
                 return acked
         _time.sleep(0.1)
@@ -12944,7 +12952,7 @@ JOIN docs a ON a.id = c.id_a
 JOIN docs b ON b.id = c.id_b
 WHERE (CAST(len(list_intersect(a.sh, b.sh)) AS HUGEINT) * 1000000)
         // CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS HUGEINT)
-      {comparator} {int(MINHASH_THRESHOLD * 1_000_000)}
+      {comparator} {X.ppm(MINHASH_THRESHOLD)}
 """
 
 
@@ -13885,7 +13893,7 @@ def oracle_sql() -> dict[str, str]:
                    * 1000000)
                   // CAST(len(list_distinct(list_concat(l.toks, r.toks)))
                           AS HUGEINT)
-                  >= {int(JACCARD_PAIR_THRESHOLD * 1_000_000)}""",
+                  >= {X.ppm(JACCARD_PAIR_THRESHOLD)}""",
         "pipeline_corpus_clean": f"""
             WITH scored AS (
               SELECT doc_id,
@@ -13946,7 +13954,7 @@ def oracle_sql() -> dict[str, str]:
                      * 1000000)
                     // CAST(len(list_distinct(
                            list_concat(l.toks, r.toks))) AS HUGEINT)
-                    >= {int(JACCARD_PAIR_THRESHOLD * 1_000_000)}),
+                    >= {X.ppm(JACCARD_PAIR_THRESHOLD)}),
             c AS (
               SELECT CAST(count(*) AS BIGINT) AS n0,
                      CAST(sum(q_ok) AS BIGINT) AS n1,
@@ -16271,7 +16279,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz b ON p.id_b = b.doc_id
             WHERE (CAST(shared AS HUGEINT) * 1000000)
                     // CAST(least(a.sz, b.sz) AS HUGEINT)
-                  >= {int(CONTAINMENT_MIN * 1_000_000)}""",
+                  >= {X.ppm(CONTAINMENT_MIN)}""",
         "bit_suite": """
             SELECT event_type,
                    CAST(SUM(bit_count(event_id)) AS BIGINT)
@@ -16735,7 +16743,7 @@ def oracle_sql() -> dict[str, str]:
                      * 1000000)
                     // CAST(len(list_distinct(
                         list_concat(a.sh, b.sh))) AS HUGEINT)
-                    >= {int(MINHASH_THRESHOLD * 1_000_000)}
+                    >= {X.ppm(MINHASH_THRESHOLD)}
             )
             SELECT count(*) AS n_true,
                    CAST(SUM(CASE WHEN lsh.id_a IS NOT NULL
@@ -16838,7 +16846,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), gated AS (
               SELECT * FROM scored
-              WHERE q >= {int(CORPUS_MIN_QUALITY * 1e6)}
+              WHERE q >= {X.ppm(CORPUS_MIN_QUALITY)}
                 AND nt BETWEEN {CORPUS_MIN_TOKENS} AND {CORPUS_MAX_TOKENS}
             ), kept AS (
               SELECT (k).doc_id AS doc_id, (k).lang AS lang,

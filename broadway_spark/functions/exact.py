@@ -56,10 +56,17 @@ def div_trunc(num: Column, den: Column) -> Column:
     """Exact integral quotient of num/den truncated toward zero, as
     BIGINT — the Column-API equivalent of SQL ``num DIV den`` (and of
     DuckDB's ``//`` over HUGEINT). Exact for inputs with ≤ 6 fractional
-    decimal digits and quotients within BIGINT."""
+    decimal digits and quotients within BIGINT.
+
+    Zero denominators publish NULL, never raise: decimal ``%`` and
+    ``/`` throw DIVIDE_BY_ZERO under Spark ANSI defaults, where the
+    double path this helper replaced produced NULL per row and DuckDB's
+    HUGEINT ``//`` yields NULL — one zero-denominator group (a
+    zero-reconstruction-error archive cell, a zero-shingle doc) must
+    not abort the whole query (r12 ADVICE)."""
     a = num.cast("decimal(38,6)")
     d = den.cast("decimal(38,6)")
-    return ((a - a % d) / d).cast("long")
+    return F.when(d != 0, (a - a % d) / d).cast("long")
 
 
 def ratio_ppm(num: Column, den: Column, unit: int = PPM) -> Column:
@@ -68,3 +75,17 @@ def ratio_ppm(num: Column, den: Column, unit: int = PPM) -> Column:
     fixed-dp-round replacement mandated by the numeric policy for
     ratios of integer-typed (or exact-decimal) aggregates."""
     return div_trunc(num.cast("decimal(38,6)") * F.lit(unit), den)
+
+
+def ppm(threshold: float, unit: int = PPM) -> int:
+    """The canonical Python-side threshold→ppm conversion, used by BOTH
+    operator filters and oracle-SQL literals so the two sides can never
+    disagree (r12 ADVICE: operators used ``int(round(t*1e6))`` while
+    entry filters/oracles used truncating ``int(t*1e6)`` — identical at
+    0.2/0.5/0.8 but off by 1 for thresholds like 0.29 whose float·1e6
+    lands just below an integer). ``Decimal(str(t))`` recovers the
+    decimal the human wrote (repr round-trip), so 0.29 → 290000
+    exactly; sub-ppm digits truncate."""
+    from decimal import Decimal
+
+    return int(Decimal(str(threshold)) * unit)

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from broadway_spark.functions.exact import ratio_ppm
+from broadway_spark.functions.exact import ppm, ratio_ppm
 from broadway_spark.functions.hashing import fingerprint
 from broadway_spark.functions.text import shingle_table
 from broadway_spark.functions.vectors import cosine_similarity
@@ -408,7 +408,7 @@ def minhash_lsh_pairs(
         # LSH found but that sit BELOW the near-dup threshold).
         return scored
     return scored.filter(
-        F.col("jaccard_ppm") >= F.lit(int(round(threshold * 1_000_000)))
+        F.col("jaccard_ppm") >= F.lit(ppm(threshold))
     )
 
 
@@ -473,7 +473,7 @@ def incremental_lsh_matches(
     if threshold is None:
         return scored
     return scored.filter(
-        F.col("jaccard_ppm") >= F.lit(int(round(threshold * 1_000_000)))
+        F.col("jaccard_ppm") >= F.lit(ppm(threshold))
     )
 
 
@@ -1125,7 +1125,7 @@ def jaccard_pairs_prefix_filter(
         .join(b, "id_b")
         .withColumn("jaccard_ppm", ratio_ppm(inter, union))
         .filter(
-            F.col("jaccard_ppm") >= F.lit(int(round(threshold * 1_000_000)))
+            F.col("jaccard_ppm") >= F.lit(ppm(threshold))
         )
         .select("id_a", "id_b", "jaccard_ppm")
     )

@@ -91,7 +91,7 @@ def main() -> int:
     drains = getattr(entrymod, "STREAMING_DRAINS", frozenset())
     oracles = entrymod.oracle_sql()
     report: dict[str, dict] = {}
-    n_exact = n_spark_only = n_fail = 0
+    n_exact = n_spark_only = n_fail = n_no_oracle = 0
     for name, fn in entrymod.queries().items():
         if name in drains:
             continue
@@ -150,6 +150,14 @@ def main() -> int:
         elif entry["oracle"] == "MISMATCH":
             n_fail += 1
             tag = "MISMATCH"
+        elif entry["oracle"] == "no_oracle":
+            # Registry queries without an oracle twin (the driver's
+            # weaker rows-only class) are tracked separately from
+            # timeout-driven spark-only: they have no bounded-twin
+            # remediation path and must not permanently fail the
+            # sweep's spark-only exit rule (r12 ADVICE).
+            n_no_oracle += 1
+            tag = "NO-ORACLE"
         else:
             n_spark_only += 1
             tag = "SPARK-ONLY"
@@ -167,7 +175,51 @@ def main() -> int:
     )
     n_bounded_exact = 0
     if timeouts:
+        # The bounded slice is hundreds of MB at sf1 — always removed,
+        # even when a twin raises (r12 ADVICE: try/finally rmtree).
         bdir = _make_bounded_dir(con, sf_dir)
+        try:
+            n_bounded_exact, n_spark_only, n_fail = _run_bounded_twins(
+                spark, entrymod, matz, oracles, report, timeouts, bdir,
+                oracle_timeout, n_spark_only, n_fail,
+            )
+        finally:
+            import shutil
+
+            shutil.rmtree(bdir, ignore_errors=True)
+
+    summary = {
+        "sf_dir": sf_dir,
+        "n_exact": n_exact,
+        "n_spark_only": n_spark_only,
+        "n_no_oracle": n_no_oracle,
+        "n_bounded_exact": n_bounded_exact,
+        "n_fail": n_fail,
+        "oracle_timeout_s": oracle_timeout,
+        "queries": report,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(summary, fh, indent=1, sort_keys=True)
+    print(
+        f"\n{n_exact} exact, {n_bounded_exact} bounded-exact, "
+        f"{n_spark_only} spark-only, {n_no_oracle} no-oracle, "
+        f"{n_fail} failed -> {out_path}"
+    )
+    # Timeout-driven spark-only without a bounded exact twin is a sweep
+    # failure; no_oracle queries are reported above but cannot fail a
+    # gate they have no remediation path for.
+    return 1 if (n_fail or n_spark_only) else 0
+
+
+def _run_bounded_twins(
+    spark, entrymod, matz, oracles, report, timeouts, bdir,
+    oracle_timeout, n_spark_only, n_fail,
+):
+    """r12 bounded twins: re-run each oracle-timeout query end-to-end
+    (Spark chain AND oracle SQL) against the bounded slice; exact match
+    converts its spark-only row. Returns updated counters."""
+    n_bounded_exact = 0
+    if timeouts:
         bcon = duckdb.connect()
         for t in TABLES:
             bcon.sql(
@@ -220,24 +272,7 @@ def main() -> int:
                 f" {e.get('bounded_oracle_s')}s oracle)",
                 flush=True,
             )
-
-    summary = {
-        "sf_dir": sf_dir,
-        "n_exact": n_exact,
-        "n_spark_only": n_spark_only,
-        "n_bounded_exact": n_bounded_exact,
-        "n_fail": n_fail,
-        "oracle_timeout_s": oracle_timeout,
-        "queries": report,
-    }
-    with open(out_path, "w") as fh:
-        json.dump(summary, fh, indent=1, sort_keys=True)
-    print(
-        f"\n{n_exact} exact, {n_bounded_exact} bounded-exact, "
-        f"{n_spark_only} spark-only, {n_fail} failed -> {out_path}"
-    )
-    # spark-only without a bounded exact twin is a sweep failure now.
-    return 1 if (n_fail or n_spark_only) else 0
+    return n_bounded_exact, n_spark_only, n_fail
 
 
 if __name__ == "__main__":
