@@ -851,7 +851,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.token_count("text").alias("n_tokens"),
         T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
-        T.quality_score("text").alias("quality"),
+        # exact integer-ppm composite — no published double (r12
+        # verdict item 2; the allowlist entry this retires)
+        T.quality_ppm("text").alias("quality_ppm"),
     )
 
 
@@ -1192,21 +1194,22 @@ def q_pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one projection (codegen'd scalar library), one filter,
     then two partial-agg shuffles. The dedup groupBy keys on the md5
     fingerprint, so the shuffle carries 32-char digests — never the
-    document text; avg quality uses integer micro-unit sums (exact,
-    associative) so the result is bit-identical across engines."""
+    document text; quality is the exact integer-ppm composite
+    end-to-end (functions/text.quality_ppm — no double anywhere, r12
+    verdict item 2), so the quality gate and the mean are bit-identical
+    across engines at any scale."""
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
         T.language_id("text").alias("lang_pred"),
         T.token_count("text").alias("n_tokens"),
-        F.round(T.quality_score("text") * F.lit(1e6))
-        .cast("bigint")
-        .alias("quality_micro"),
+        T.quality_ppm("text").alias("quality_micro"),
         H.fingerprint("text").alias("fp"),
-        T.quality_score("text").alias("quality"),
     )
     kept = scored.filter(
-        (F.col("quality") >= F.lit(CORPUS_MIN_QUALITY))
+        # floor(1e6·q) >= t·1e6  <=>  q >= t — EXACT thresholding on
+        # the integer composite, no float boundary anywhere
+        (F.col("quality_micro") >= F.lit(X.ppm(CORPUS_MIN_QUALITY)))
         & F.col("n_tokens").between(CORPUS_MIN_TOKENS, CORPUS_MAX_TOKENS)
     )
     keepers = kept.groupBy("fp").agg(
@@ -1254,11 +1257,11 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"),
-        T.quality_score("text").alias("quality"),
+        T.quality_ppm("text").alias("quality_ppm"),
         T.token_count("text").alias("n_tokens"),
         H.fingerprint("text").alias("fp"),
     )
-    q_ok = F.col("quality") >= F.lit(CORPUS_MIN_QUALITY)
+    q_ok = F.col("quality_ppm") >= F.lit(X.ppm(CORPUS_MIN_QUALITY))
     b_ok = q_ok & F.col("n_tokens").between(
         CORPUS_MIN_TOKENS, CORPUS_MAX_TOKENS
     )
@@ -3628,13 +3631,12 @@ def q_pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms are bounded < 1000003 so their BIGINT sum is safe past 10¹²
     docs."""
     docs = _t(spark, sf_dir, "documents")
-    q = T.quality_score("text")
     qp = T.quality_ppm("text")
     t1, t2, t3 = CURRICULUM_TIER_CUTS_PPM
     scored = docs.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
-        q.alias("quality"),
+        qp.alias("quality_ppm"),
         F.when(qp >= t1, 1)
         .when(qp >= t2, 2)
         .when(qp >= t3, 3)
@@ -3656,8 +3658,10 @@ def q_pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_tokens").cast("decimal(38,0)"))
         .cast("long")
         .alias("sum_tokens"),
-        F.round(F.min("quality"), 6).alias("min_quality"),
-        F.round(F.max("quality"), 6).alias("max_quality"),
+        # floor·1e6 is monotone, so min/max commute with the ppm map —
+        # the tier bounds are the same documents', now exact integers
+        F.min("quality_ppm").alias("min_quality_ppm"),
+        F.max("quality_ppm").alias("max_quality_ppm"),
         F.sum(
             F.expr(
                 "CAST((CAST(position AS DECIMAL(38,0)) * __h) % 1000003"
@@ -4701,7 +4705,10 @@ def q_h2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "p_name",
             "s_name",
-            F.round(F.col("__um") / F.lit(1_000_000.0), 6).alias("unit_price"),
+            # exact integer micro-units end-to-end — the old
+            # round(um/1e6, 6) was the identity on a ≤6-decimal value;
+            # publishing the integer retires the allowlist entry (r13)
+            F.col("__um").alias("unit_price_micro"),
         )
     )
 
@@ -4928,9 +4935,7 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         T.token_count("text").alias("n_tokens"),
-        F.round(T.quality_score("text") * F.lit(1e6))
-        .cast("bigint")
-        .alias("q_micro"),
+        T.quality_ppm("text").alias("q_micro"),
     )
     return (
         B.running_sums_distributed(
@@ -5210,7 +5215,7 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one hash-aggregate keyed on the md5 fingerprint (the
     shuffle carries 32-char digests + two ints, never text)."""
     docs = _t(spark, sf_dir, "documents")
-    qm = F.round(T.quality_score("text") * 1e6).cast("long")
+    qm = T.quality_ppm("text")
     scored = docs.select(
         F.md5("text").alias("fp"), "doc_id", qm.alias("q_micro")
     )
@@ -5864,7 +5869,7 @@ def q_pipeline_near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id",
         "lang",
-        F.round(T.quality_score("text") * 1e6).cast("long").alias("q"),
+        T.quality_ppm("text").alias("q"),
         T.token_count("text").alias("nt"),
     )
     lab = (
@@ -6320,7 +6325,7 @@ def q_pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each stage is the audited form; nothing new joins on
     text, and the mixture normalizer stays an integer broadcast."""
     docs = _t(spark, sf_dir, "documents")
-    qm = F.round(T.quality_score("text") * 1e6).cast("long")
+    qm = T.quality_ppm("text")
     scored = docs.select(
         "doc_id",
         "lang",
@@ -12130,9 +12135,7 @@ def q_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "source",
         T.token_count("text").alias("n_tokens"),
-        F.round(T.quality_score("text") * F.lit(1e6))
-        .cast("bigint")
-        .alias("q_micro"),
+        T.quality_ppm("text").alias("q_micro"),
         T.language_id("text").alias("lang_pred"),
         H.fingerprint("text").alias("fp"),
     )
@@ -13899,14 +13902,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      {T.language_id_sql('text')} AS lang_pred,
                      {T.token_count_sql('text')} AS n_tokens,
-                     CAST(round({T.quality_score_sql('text')} * 1e6) AS BIGINT)
-                       AS quality_micro,
-                     {H.fingerprint_sql('text')} AS fp,
-                     {T.quality_score_sql('text')} AS quality
+                     {T.quality_ppm_sql('text')} AS quality_micro,
+                     {H.fingerprint_sql('text')} AS fp
               FROM documents),
             kept AS (
               SELECT * FROM scored
-              WHERE quality >= {CORPUS_MIN_QUALITY}
+              WHERE quality_micro >= {X.ppm(CORPUS_MIN_QUALITY)}
                 AND n_tokens BETWEEN {CORPUS_MIN_TOKENS} AND {CORPUS_MAX_TOKENS}),
             keepers AS (
               SELECT min(doc_id) AS keeper_id,
@@ -13925,15 +13926,15 @@ def oracle_sql() -> dict[str, str]:
             WITH scored AS (
               SELECT doc_id, lang, source,
                      list_distinct(string_split(lower(text), ' ')) AS toks,
-                     {T.quality_score_sql('text')} AS quality,
+                     {T.quality_ppm_sql('text')} AS quality_ppm,
                      {T.token_count_sql('text')} AS n_tokens,
                      {H.fingerprint_sql('text')} AS fp
               FROM documents),
             flagged AS (
               SELECT doc_id, lang, source, toks, fp,
-                     CASE WHEN quality >= {CORPUS_MIN_QUALITY}
+                     CASE WHEN quality_ppm >= {X.ppm(CORPUS_MIN_QUALITY)}
                           THEN 1 ELSE 0 END AS q_ok,
-                     CASE WHEN quality >= {CORPUS_MIN_QUALITY}
+                     CASE WHEN quality_ppm >= {X.ppm(CORPUS_MIN_QUALITY)}
                            AND n_tokens BETWEEN {CORPUS_MIN_TOKENS}
                                            AND {CORPUS_MAX_TOKENS}
                           THEN 1 ELSE 0 END AS b_ok
@@ -14501,7 +14502,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    {T.token_count_sql('text')} AS n_tokens,
                    {T.bpe_ish_token_count_sql('text')} AS n_bpe_tokens,
-                   {T.quality_score_sql('text')} AS quality
+                   {T.quality_ppm_sql('text')} AS quality_ppm
             FROM documents""",
         "text_langid": f"""
             SELECT {T.language_id_sql('text')} AS lang_pred, count(*) AS n
@@ -15192,7 +15193,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d CROSS JOIN tot""",
         "pipeline_curriculum": f"""
             WITH scored AS (
-              SELECT doc_id, n_tokens, quality, __h,
+              SELECT doc_id, n_tokens, q_ppm, __h,
                      CASE WHEN q_ppm >= {CURRICULUM_TIER_CUTS_PPM[0]} THEN 1
                           WHEN q_ppm >= {CURRICULUM_TIER_CUTS_PPM[1]} THEN 2
                           WHEN q_ppm >= {CURRICULUM_TIER_CUTS_PPM[2]} THEN 3
@@ -15200,14 +15201,13 @@ def oracle_sql() -> dict[str, str]:
               FROM (
                 SELECT doc_id,
                        {T.token_count_sql('text')} AS n_tokens,
-                       {T.quality_score_sql('text')} AS quality,
                        {T.quality_ppm_sql('text')} AS q_ppm,
                        {H.portable_hash_sql('CAST(doc_id AS VARCHAR)',
                                             seed=CURRICULUM_SEED)} AS __h
                 FROM documents
               )
             ), ranked AS (
-              SELECT tier, n_tokens, quality, __h,
+              SELECT tier, n_tokens, q_ppm, __h,
                      row_number() OVER (
                        ORDER BY tier ASC, __h ASC, doc_id ASC
                      ) AS position
@@ -15218,8 +15218,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(position) AS BIGINT) AS last_pos,
                    CAST(SUM(CAST(n_tokens AS HUGEINT)) AS BIGINT)
                      AS sum_tokens,
-                   round(min(quality), 6) AS min_quality,
-                   round(max(quality), 6) AS max_quality,
+                   CAST(min(q_ppm) AS BIGINT) AS min_quality_ppm,
+                   CAST(max(q_ppm) AS BIGINT) AS max_quality_ppm,
                    CAST(SUM((CAST(position AS HUGEINT) * __h) % 1000003)
                         AS BIGINT) AS order_checksum
             FROM ranked GROUP BY tier""",
@@ -15923,8 +15923,7 @@ def oracle_sql() -> dict[str, str]:
             WITH scored AS (
               SELECT doc_id, lang,
                      {T.token_count_sql('text')} AS n_tokens,
-                     CAST(round({T.quality_score_sql('text')} * 1e6)
-                       AS BIGINT) AS q_micro
+                     {T.quality_ppm_sql('text')} AS q_micro
               FROM documents
             ), cum AS (
               SELECT *,
@@ -16009,7 +16008,7 @@ def oracle_sql() -> dict[str, str]:
               FROM offers GROUP BY p_partkey, p_name
             )
             SELECT p_partkey, p_name, s_name,
-                   round(b.um / 1000000.0, 6) AS unit_price
+                   b.um AS unit_price_micro
             FROM best JOIN supplier ON b.sk = s_suppkey""",
         "sample_split": f"""
             SELECT split, lang, count(*) AS n_docs,
@@ -16240,8 +16239,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical": f"""
             WITH s AS (
               SELECT md5(text) AS fp, doc_id,
-                     CAST(round({T.quality_score_sql('text')} * 1e6)
-                       AS BIGINT) AS q
+                     {T.quality_ppm_sql('text')} AS q
               FROM documents
             ), g AS (
               SELECT fp,
@@ -16549,8 +16547,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             scored AS (
               SELECT doc_id, lang,
-                     CAST(round({T.quality_score_sql('text')} * 1e6)
-                       AS BIGINT) AS q,
+                     {T.quality_ppm_sql('text')} AS q,
                      {T.token_count_sql('text')} AS nt
               FROM documents
             ),
@@ -16840,8 +16837,7 @@ def oracle_sql() -> dict[str, str]:
             WITH scored AS (
               SELECT doc_id, lang,
                      {T.token_count_sql('text')} AS nt,
-                     CAST(round({T.quality_score_sql('text')} * 1e6)
-                       AS BIGINT) AS q,
+                     {T.quality_ppm_sql('text')} AS q,
                      md5(text) AS fp
               FROM documents
             ), gated AS (
@@ -18070,8 +18066,7 @@ def oracle_sql() -> dict[str, str]:
             WITH scored AS (
               SELECT source,
                      {T.token_count_sql('text')} AS n_tokens,
-                     CAST(round({T.quality_score_sql('text')} * 1e6)
-                       AS BIGINT) AS q_micro,
+                     {T.quality_ppm_sql('text')} AS q_micro,
                      {T.language_id_sql('text')} AS lang_pred,
                      {H.fingerprint_sql('text')} AS fp
               FROM documents

@@ -19,6 +19,16 @@ Hardening against this host's up-to-4× wall-clock variance:
 - Plan fingerprints: an 8-hex hash of the normalized initial physical
   plan per query, so a plan regression (lost broadcast, extra shuffle)
   is visible in BENCH_r{N}.json diffs even when timing noise hides it.
+- HOST CALIBRATION (r12 verdict item 1): a fixed, data-independent
+  scan+shuffle+agg job (24M-row range, hash keys, two aggregates, noop
+  sink) is sampled once before each pass and once after the last;
+  the median over those samples against the committed idle-host
+  reference (BASELINE.md "Host calibration") yields
+  ``calibration.ratio``. When the ratio drifts beyond
+  CALIBRATION_MAX_DRIFT the JSON carries ``"comparable": false`` —
+  the harness itself flags a slow host window as non-comparable, so a
+  +20% uniform wall shift (the BENCH_r12 event) can no longer read as
+  a code regression. Raw timings are always reported unmodified.
 """
 
 from __future__ import annotations
@@ -36,6 +46,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod  # noqa: E402
 from broadway_spark import get_spark  # noqa: E402
 from broadway_spark.operators import materialize as matz  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+# Idle-host median of the calibration job (9 samples, 2026-08-16,
+# load < 0.5 — BASELINE.md "Host calibration"). The job is fixed
+# forever; re-baseline only with a BASELINE.md entry explaining why.
+CALIBRATION_REF_S = 1.15
+CALIBRATION_MAX_DRIFT = 0.15  # ratio beyond 1±this => non-comparable
+
+
+def _calibration_sample(spark) -> float:
+    """One timed run of the fixed calibration job: a 32-partition 24M
+    range scan, multiplicative-hash keys into ~1M groups, a shuffle
+    aggregate, a scalar reduce, noop sink. Data-independent (no
+    sf_dir), touches the same machinery the suite does (codegen scan,
+    hash exchange, partial+final agg), ~1.15 s on an idle host."""
+    t0 = time.time()
+    (
+        spark.range(0, 24_000_000, 1, 32)
+        .select(
+            (F.col("id") * F.lit(2654435761) % F.lit(1000003)).alias("k"),
+            F.col("id"),
+        )
+        .groupBy("k")
+        .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("c"))
+        .select(F.sum(F.col("s") % F.lit(97)).alias("x"), F.sum("c").alias("n"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.time() - t0
 
 _NOISE = re.compile(
     r"#\d+L?"  # expression ids
@@ -200,13 +240,18 @@ def main() -> None:
 
     qs = entrymod.queries()
     # Warm the JVM + parquet footer caches once with the cheapest query
-    # so per-query numbers measure the plan, not JIT warmup.
+    # so per-query numbers measure the plan, not JIT warmup; warm the
+    # calibration job's codegen the same way (its first run costs ~6 s
+    # of JIT that is not host signal).
     qs["s1_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    _calibration_sample(spark)
 
     plans = {name: plan_fingerprint(fn(spark, sf_dir)) for name, fn in qs.items()}
 
+    calib_samples: list[float] = []
     samples: dict[str, list[float]] = {name: [] for name in qs}
     for _ in range(passes):
+        calib_samples.append(_calibration_sample(spark))
         for name, fn in qs.items():
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -216,10 +261,23 @@ def main() -> None:
             # run under pass N's accumulated storage memory.
             matz.release_all()
             spark.catalog.clearCache()
+    calib_samples.append(_calibration_sample(spark))
     timings = {
         name: round(statistics.median(vals), 3) for name, vals in samples.items()
     }
     total = round(sum(timings.values()), 3)
+
+    calib_observed = round(statistics.median(calib_samples), 3)
+    calib_ratio = round(calib_observed / CALIBRATION_REF_S, 3)
+    comparable = abs(calib_ratio - 1.0) <= CALIBRATION_MAX_DRIFT
+    calibration = {
+        "reference_s": CALIBRATION_REF_S,
+        "observed_s": calib_observed,
+        "samples": [round(v, 3) for v in calib_samples],
+        "ratio": calib_ratio,
+        "max_drift": CALIBRATION_MAX_DRIFT,
+        "comparable": comparable,
+    }
 
     # Machine-readable drains decomposition (r5 verdict item 5): the
     # streaming-drain queries carry ~4-6 s of fixed trigger/state
@@ -257,6 +315,12 @@ def main() -> None:
         "drains_total": drains_total,
         "value_excl_drains": value_excl_drains,
         "subset50_total": subset50_total,
+        "subset50_calibrated": (
+            round(subset50_total / calib_ratio, 3)
+            if subset50_total is not None and calib_ratio > 0
+            else None
+        ),
+        "calibration": calibration,
         "drain_queries": drain_names,
     }
     # Full per-query detail: printed FIRST and persisted to a file, so
@@ -284,6 +348,8 @@ def main() -> None:
                 "drains_total": drains_total,
                 "value_excl_drains": value_excl_drains,
                 "subset50_total": subset50_total,
+                "subset50_calibrated": detail["subset50_calibrated"],
+                "calibration": calibration,
                 "queries": slowest,
                 "queries_file": "bench_detail.json",
             }

@@ -29,23 +29,22 @@ entry = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(entry)
 
 
-# Operands containing these substrings carry an irrational factor —
-# half-way cases have measure zero and fixed-dp rounds are legal.
-_IRRATIONAL_MARKERS = (
-    "sqrt",
-    "power",
-    "pow(",
-    "exp(",
-    "ln(",
-    "log",
-    "stddev",
-    "corr(",
-    "var_samp",
-    "var_pop",
-    "sin(",
-    "cos(",
-    "pi(",
+# Operands whose expression CALLS one of these functions carry an
+# irrational factor — half-way cases have measure zero and fixed-dp
+# rounds are legal. Matching is STRUCTURAL (r12 verdict finding 3): the
+# token must be an actual function-call head (`name(`), not a substring
+# — a column aliased `backlog_ratio` or `exposure` must NOT exempt its
+# round() from the sweep.
+_IRRATIONAL_CALL = re.compile(
+    r"\b(sqrt|power|pow|exp|ln|log|log2|log10|log1p"
+    r"|stddev|stddev_samp|stddev_pop|var_samp|var_pop|corr"
+    r"|sin|cos|tan|asin|acos|atan|atan2|pi)\s*\(",
+    re.I,
 )
+
+
+def _has_irrational_call(arg: str) -> bool:
+    return _IRRATIONAL_CALL.search(arg) is not None
 
 # Queries whose surviving round-over-division is justified — each entry
 # documents WHY the operand is not in the exact-rational-tie class.
@@ -58,31 +57,20 @@ _ALLOWLIST = {
     # scales; the boundary audit covers the gate scales).
     "agg_linreg": "identical-double-path regression formula",
     "agg_skew_kurtosis": "identical-double-path moment formula",
-    # quality_score is a double composite evaluated from the same
-    # generated expression on both engines; exact thresholding uses
-    # the integer twin functions/text.py::quality_ppm instead.
-    "dedup_canonical": "identical-double-path quality composite",
-    "pipeline_corpus_clean": "identical-double-path quality composite",
-    "pipeline_curation_funnel": "identical-double-path quality composite",
-    "pipeline_curriculum": "identical-double-path quality composite",
-    "pipeline_dataset_card": "identical-double-path quality composite",
-    "pipeline_near_dedup_keep": "identical-double-path quality composite",
-    "pipeline_training_mix": "identical-double-path quality composite",
-    "sample_token_budget": "identical-double-path quality composite",
-    "text_stats": "identical-double-path quality composite",
     # scale = max|x|/127 and x/scale run in double identically on both
     # engines; both round() tie rules are away-from-zero on doubles.
     "emb_quantize_int8": "identical-double-path quantizer",
     # Σprice/7: a reduced denominator of 7·10^k can never equal the
     # 2^(d+1)·5^j tie form — no 2dp half-way case exists.
     "h17_small_qty": "denominator 7 cannot tie at any fixed dp",
-    # um/1e6 of an integer is an EXACT 6-decimal value; round(,6) is
-    # the identity on it.
-    "h2_min_cost": "exact micro-unit scaling, round is identity",
     # The oracle runs the SAME generated SQL string as the Spark side
     # (lag-chain dyadic truncation) — identical doubles by
     # construction.
     "ts_ewma": "oracle runs the identical generated expression",
+    # r13: the 9 quality-composite entries are RETIRED — those queries
+    # now publish functions/text.quality_ppm end-to-end (no double
+    # path exists to allowlist); h2_min_cost publishes exact integer
+    # micro-units (its round was the identity).
 }
 
 
@@ -109,10 +97,9 @@ def test_no_fixed_dp_round_over_rational_ratio():
     offenders = []
     for name, sql in entry.oracle_sql().items():
         for arg in _round_args(sql):
-            low = arg.lower()
             if "/" not in arg:
                 continue
-            if any(k in low for k in _IRRATIONAL_MARKERS):
+            if _has_irrational_call(arg):
                 continue
             if name in _ALLOWLIST:
                 continue
@@ -133,15 +120,27 @@ def test_allowlist_entries_still_needed():
         sql = oracles.get(name)
         assert sql is not None, f"allowlisted query {name} vanished"
         live = any(
-            "/" in arg
-            and not any(
-                k in arg.lower() for k in _IRRATIONAL_MARKERS
-            )
+            "/" in arg and not _has_irrational_call(arg)
             for arg in _round_args(sql)
         )
         if not live:
             stale.append(name)
     assert not stale, f"stale allowlist entries: {stale}"
+
+
+def test_irrational_marker_is_call_anchored():
+    """A column NAME containing a marker substring must not exempt its
+    round-over-division (the `backlog_ratio` rot the r12 verdict
+    flagged); a genuine call must. Red-on-revert for the structural
+    matcher."""
+    assert not _has_irrational_call("backlog_ratio / total")
+    assert not _has_irrational_call("exposure / n")  # 'pow'/'exp' inside words
+    assert not _has_irrational_call("dialog_count / n")
+    assert not _has_irrational_call("powers / n")
+    assert _has_irrational_call("log(x) / y")
+    assert _has_irrational_call("sqrt(a / b)")
+    assert _has_irrational_call("stddev_samp(x) / n")
+    assert _has_irrational_call("2 * pi ( ) / n") is True
 
 
 @pytest.mark.parametrize(
