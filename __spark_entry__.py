@@ -7401,6 +7401,213 @@ def q_s33_restart_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).select("purchase_id", "user_id", "p_us")
 
 
+_DOC_STAGE_CACHE: dict = {}
+
+
+def _stage_document_files(spark: SparkSession, sf_dir: str, m: int = 4):
+    """Stage documents.parquet as ``m`` single parquet files holding
+    contiguous doc_id-ordered row ranges, mtime-ordered so the file
+    source processes them oldest-first one per micro-batch — the
+    document-table sibling of ``_stage_event_files`` (no time
+    contiguity constraint: the quality gate is watermark-free, the
+    split only has to be deterministic). Same one-job partitionBy
+    write. Returns (watch_dir, schema, n_rows)."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    cached = _DOC_STAGE_CACHE.get((sf_dir, m))
+    if cached is not None and os.path.isdir(cached[0]):
+        return cached
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    tiled = docs.withColumn(
+        "file_idx", F.ntile(m).over(Window.orderBy("doc_id")) - 1
+    )
+    base = tempfile.mkdtemp(prefix="bw_docstage_")
+    watch = os.path.join(base, "src")
+    os.makedirs(watch)
+    stage = os.path.join(base, "_stage")
+    (
+        tiled.withColumn("file_part", F.col("file_idx"))
+        .repartition(m, "file_part")
+        .sortWithinPartitions("doc_id")
+        .drop("file_idx")
+        .write.partitionBy("file_part")
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    t0 = _time.time() - 7200
+    for i in range(m):
+        part = _glob.glob(
+            os.path.join(stage, f"file_part={i}", "part-*.parquet")
+        )
+        assert len(part) == 1, f"doc staging tile {i}: {len(part)} files"
+        dst = os.path.join(watch, f"doc{i:03d}.parquet")
+        _shutil.move(part[0], dst)
+        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+    _shutil.rmtree(stage, ignore_errors=True)
+    schema = spark.read.parquet(watch).schema
+    _DOC_STAGE_CACHE[(sf_dir, m)] = (watch, schema, n)
+    return watch, schema, n
+
+
+def _quality_gate_stream(spark: SparkSession, watch, schema) -> DataFrame:
+    """The streaming corpus-clean admission chain shared by s34/s35:
+    stateless codegen scoring + reason assignment (the SAME gates and
+    precedence as q_pipeline_corpus_clean / q_pipeline_curation_funnel
+    — quality floor first, then token budget), then the keyed
+    running-totals accumulator. Only (reason, lang, two ints) rows
+    reach the state shuffle — text never leaves the scoring stage."""
+    from broadway_spark.streaming.quality_gate import (
+        streaming_admission_stats,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    scored = stream.select(
+        "lang",
+        T.token_count("text").alias("n_tokens"),
+        T.quality_ppm("text").alias("quality_ppm"),
+    )
+    reason = (
+        F.when(
+            F.col("quality_ppm") < X.ppm(CORPUS_MIN_QUALITY),
+            F.lit("rejected_quality"),
+        )
+        .when(
+            ~F.col("n_tokens").between(CORPUS_MIN_TOKENS, CORPUS_MAX_TOKENS),
+            F.lit("rejected_length"),
+        )
+        .otherwise(F.lit("accepted"))
+    )
+    flagged = scored.select(
+        reason.alias("reason"), "lang", "n_tokens", "quality_ppm"
+    )
+    return streaming_admission_stats(
+        flagged, ["reason", "lang"], ["n_tokens", "quality_ppm"]
+    )
+
+
+def _admission_final_totals(rows: DataFrame) -> DataFrame:
+    """Stream-lifetime totals from the accumulator's emission log: the
+    max-seq row per key IS the total (running sums are monotone in
+    seq), published with the mean as an exact truncating quotient.
+    Batch packing only changes HOW MANY intermediate rows exist, never
+    the max-seq totals — the kill-point/batch-split invariance the
+    restart twin hashes."""
+    best = rows.groupBy("reason", "lang").agg(
+        F.max(
+            F.struct("seq", "n_docs", "sum_n_tokens", "sum_quality_ppm")
+        ).alias("b")
+    )
+    return best.select(
+        "reason",
+        "lang",
+        F.col("b.n_docs").alias("n_docs"),
+        F.col("b.sum_n_tokens").alias("n_tokens"),
+        X.div_trunc(
+            F.col("b.sum_quality_ppm"), F.col("b.n_docs")
+        ).alias("mean_quality_ppm"),
+    )
+
+
+def q_s34_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING QUALITY GATE ON THE ORACLE GATE (r10 item 7's third
+    composite, r12 verdict item 3): corpus-clean as a stateful stream.
+    Documents arrive in 4 staged micro-batches; each is scored with
+    the EXACT integer quality/token gates, assigned an admission
+    reason, and folded into per-(reason, lang) running totals held in
+    transformWithStateInPandas ValueState (streaming/quality_gate.py).
+    The drained emission log's max-seq row per key is the
+    stream-lifetime total — hash-checked against the batch GROUP BY
+    oracle, so the accumulator's cross-batch arithmetic (not just its
+    plumbing) is on the gate.
+
+    Scale shape: scoring is stateless codegen before the shuffle;
+    state is one 4-int tuple per (reason, lang) — dozens of keys
+    regardless of corpus size."""
+    import uuid as _uuid
+
+    from broadway_spark.streaming.stateful_dedup import scoped_rocksdb_state
+
+    watch, schema, _n = _stage_document_files(spark, sf_dir)
+    qname = f"s34_quality_gate_{_uuid.uuid4().hex[:8]}"
+    with scoped_rocksdb_state(spark), _pinned_state_partitions(spark):
+        q = (
+            _quality_gate_stream(spark, watch, schema)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise RuntimeError(f"{qname} did not drain in 240s")
+    return _admission_final_totals(spark.table(qname))
+
+
+def q_s35_restart_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT-RESTART EQUIVALENCE for the admission accumulator:
+    the s34 stream killed after the first committed batch — running
+    totals resident in the RocksDB store — resumed, drained
+    availableNow. The restart hazard is DOUBLE-COUNTING: a replayed
+    micro-batch whose state commit survived would fold its rows into
+    the totals twice if state were not versioned per batch; the
+    max-seq totals would then exceed the corpus and break the hash.
+    The idempotent batch_id-keyed sink absorbs the replayed batch's
+    re-emission; the final totals are kill-point-invariant, so the
+    s34 oracle applies verbatim. Extends the restart matrix to the
+    running-counter state family (s14-s33 cover topology, timers,
+    windows, joins, dedup — this is the accumulator)."""
+    import os
+    import tempfile
+
+    from broadway_spark.streaming.stateful_dedup import scoped_rocksdb_state
+
+    watch, schema, _n = _stage_document_files(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="bw_s35_")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    writer = _idempotent_parquet_writer(sink)
+    with scoped_rocksdb_state(spark), _pinned_state_partitions(spark):
+        q = (
+            _quality_gate_stream(spark, watch, schema)
+            .writeStream.foreachBatch(writer)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        _kill_mid_drain(q)
+        q2 = (
+            _quality_gate_stream(spark, watch, schema)
+            .writeStream.foreachBatch(writer)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q2.awaitTermination(600):
+                raise RuntimeError("s35 resume did not complete in 600s")
+        finally:
+            if q2.isActive:
+                q2.stop()
+    return _admission_final_totals(
+        spark.read.parquet(sink).select(
+            "reason", "lang", "n_docs", "sum_n_tokens",
+            "sum_quality_ppm", "seq",
+        )
+    )
+
+
 S30_N = 5000  # events through the spool batch-read path
 
 
@@ -8999,9 +9206,16 @@ def q_s14_restart_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, trigger="processingTime", processing_time="1 second"
         )
     _kill_mid_drain(q)
-    # Phase 2: resume from the checkpoint and drain what remains.
+    # Phase 2: resume from the checkpoint and drain what remains —
+    # WITHOUT the 1-file-per-trigger cadence (r12 verdict item 5).
+    # The cadence exists only to give phase 1 a mid-stream kill point;
+    # the chunk structure keys on the PERSISTED file_idx, not on
+    # micro-batch packing, so packing every outstanding file into one
+    # resume batch is oracle-identical by construction and saves the
+    # per-batch state-store/commit floor on m-2 batches.
+    src_resume = FileStreamSource("events", watch, schema)
     with _pinned_state_partitions(spark):
-        q2 = Pipeline(cfg, src).start(spark, trigger="availableNow")
+        q2 = Pipeline(cfg, src_resume).start(spark, trigger="availableNow")
     try:
         if not q2.awaitTermination(600):
             raise RuntimeError("s14 resume did not complete in 600s")
@@ -12705,6 +12919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s31_restart_semi_join": q_s31_restart_semi_join,
         "s32_stream_anti_join": q_s32_stream_anti_join,
         "s33_restart_anti_join": q_s33_restart_anti_join,
+        "s34_stream_quality_gate": q_s34_stream_quality_gate,
+        "s35_restart_quality_gate": q_s35_restart_quality_gate,
         "ts_gaps": q_ts_gaps,
         "agg_gini": q_agg_gini,
         "sim_hybrid_rrf": q_sim_hybrid_rrf,
@@ -12762,6 +12978,8 @@ STREAMING_DRAINS = frozenset(
         "s31_restart_semi_join",
         "s32_stream_anti_join",
         "s33_restart_anti_join",
+        "s34_stream_quality_gate",
+        "s35_restart_quality_gate",
     }
 )
 
@@ -17212,6 +17430,35 @@ def oracle_sql() -> dict[str, str]:
     # EXISTS — the s29 oracle verbatim.
     sql["s31_restart_semi_join"] = sql["s29_stream_semi_join"]
     sql["s33_restart_anti_join"] = sql["s32_stream_anti_join"]
+    # s34/s35: the admission accumulator's stream-lifetime totals are
+    # batch-split- and kill-point-invariant, so one batch GROUP BY
+    # serves both the drain and its restart twin (the s10/s18 pattern).
+    sql["s34_stream_quality_gate"] = f"""
+            WITH scored AS (
+              SELECT lang,
+                     {T.token_count_sql('text')} AS n_tokens,
+                     {T.quality_ppm_sql('text')} AS q_ppm
+              FROM documents
+            ), flagged AS (
+              SELECT CASE
+                       WHEN q_ppm < {X.ppm(CORPUS_MIN_QUALITY)}
+                         THEN 'rejected_quality'
+                       WHEN n_tokens NOT BETWEEN {CORPUS_MIN_TOKENS}
+                                             AND {CORPUS_MAX_TOKENS}
+                         THEN 'rejected_length'
+                       ELSE 'accepted'
+                     END AS reason,
+                     lang, n_tokens, q_ppm
+              FROM scored
+            )
+            SELECT reason, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(CAST(SUM(q_ppm) AS HUGEINT)
+                        // CAST(count(*) AS HUGEINT) AS BIGINT)
+                     AS mean_quality_ppm
+            FROM flagged GROUP BY reason, lang"""
+    sql["s35_restart_quality_gate"] = sql["s34_stream_quality_gate"]
     sql["l4_topology"] = """
             SELECT 'producer' AS layer, 'events' AS name,
                    'kind' AS setting, 'FileStreamSource' AS value

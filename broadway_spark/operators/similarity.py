@@ -347,7 +347,7 @@ def _pq_trained_codebook(
     (m·num_codes·sub codebook rows — ~1k, always broadcastable) + two
     partial-agg shuffles, the canonical distributed Lloyd's at n·m
     assignment rows."""
-    for _ in range(train_iters):
+    for i in range(train_iters):
         t_assign = (
             _pq_subspace_dists(vrows, "__vid", crows)
             .groupBy("__vid", "__m")
@@ -363,11 +363,18 @@ def _pq_trained_codebook(
                 .alias("__cm")
             )
         )
-    # The trained codebook feeds BOTH corpus encoding and the query ADC
-    # tables — materialize it so the train_iters-deep subtree (2 rounds
-    # = 4 shuffles over n·m rows) executes once, not once per consumer.
-    if train_iters > 0:
-        crows = materialize(crows, "pq_codebook")
+        # Materialization barrier PER ITERATION (r12 verdict item 6):
+        # without it the final consumer inlines the full train_iters-
+        # deep tree and whole-stage codegen compiles one unrolled
+        # giant (measured ~30 s cold at 3 iters on the merge query).
+        # Each round's codebook is m·num_codes rows (~1k), so the
+        # barrier is a trivial count; every iteration then compiles a
+        # ONE-round tree over the previous round's materialized
+        # relation — the same per-iteration checkpoint discipline as
+        # the graph family's localCheckpoint barriers. It also keeps
+        # the 2-round subtree from re-executing once per consumer
+        # (the original reason the post-loop barrier existed).
+        crows = materialize(crows, f"pq_codebook_i{i}")
     return crows
 
 

@@ -116,3 +116,29 @@ def test_operator_and_oracle_thresholds_share_ppm_helper():
             src,
         )
         assert not bad, f"{p}: raw threshold→ppm conversion {bad}"
+
+
+def test_admission_final_totals_packing_invariant(spark):
+    """_admission_final_totals must return identical totals for any
+    micro-batch packing of the same corpus: the emission log differs
+    (one row per touching batch), the max-seq row per key does not."""
+    cols = (
+        "reason string, lang string, n_docs long, sum_n_tokens long,"
+        " sum_quality_ppm long, seq long"
+    )
+    # packing A: one batch saw everything
+    log_a = [("accepted", "en", 10, 500, 6_000_000, 1)]
+    # packing B: three batches accumulated to the same totals
+    log_b = [
+        ("accepted", "en", 3, 150, 1_800_000, 1),
+        ("accepted", "en", 7, 350, 4_100_000, 2),
+        ("accepted", "en", 10, 500, 6_000_000, 3),
+    ]
+    got = []
+    for log in (log_a, log_b):
+        rows = entry._admission_final_totals(
+            spark.createDataFrame(log, cols)
+        ).collect()
+        got.append(sorted(tuple(r) for r in rows))
+    assert got[0] == got[1]
+    assert got[0] == [("accepted", "en", 10, 500, 600000)]
