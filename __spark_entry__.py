@@ -901,6 +901,131 @@ def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA between the corpus's labeled ``lang`` and the
+    n-gram classifier's prediction — the chance-corrected agreement
+    statistic a labeling/QA pipeline reports before trusting weak
+    labels (r13 breadth: label-noise audit; text_lang_confusion gives
+    the per-cell decomposition, this gives the headline number).
+
+    Exact integer formulation: with N docs, D = Σ diagonal cells,
+    S = Σ_i row_i·col_i (marginal products),
+    po = D/N, pe = S/N², and
+
+        kappa = (po − pe)/(1 − pe) = (N·D − S)/(N² − S)
+
+    — a ratio of exact integers, published as BIGINT ppm (the numeric
+    policy; no double path exists). N² and the marginal products
+    widen to DECIMAL(38,0) INSIDE the arithmetic: exact until
+    N ~ 10¹⁶ docs (the HUGEINT twin matches). A single-class
+    degenerate corpus makes the denominator 0 → NULL (div_trunc's
+    NULL-on-zero, same as DuckDB's //).
+
+    Scale shape: one corpus scan into a (lang, lang_pred) partial-agg
+    shuffle; everything after operates on the ≤|langs|² cell table —
+    marginals, diagonal, and the scalar kappa are all sub-kilobyte
+    broadcast work regardless of corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = (
+        docs.select("lang", T.language_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cells = materialize(cells, "kappa_cells")
+    rows = cells.groupBy(F.col("lang").alias("lab")).agg(
+        F.sum("n").alias("row_n")
+    )
+    colsum = cells.groupBy(F.col("lang_pred").alias("lab")).agg(
+        F.sum("n").alias("col_n")
+    )
+    # full outer on the label set: a label seen only as truth (or only
+    # as prediction) contributes row·0 or 0·col = 0, but must not drop
+    marg = (
+        rows.join(colsum, "lab", "full_outer")
+        .select(
+            (
+                F.coalesce(F.col("row_n"), F.lit(0)).cast("decimal(38,0)")
+                * F.coalesce(F.col("col_n"), F.lit(0)).cast("decimal(38,0)")
+            ).alias("rc")
+        )
+        .agg(F.sum("rc").alias("s"))
+    )
+    diag = cells.agg(
+        F.sum(F.when(F.col("lang") == F.col("lang_pred"), F.col("n"))
+              .otherwise(F.lit(0))).alias("d"),
+        F.sum("n").alias("n_docs"),
+    )
+    nn = F.col("n_docs").cast("decimal(38,0)")
+    return (
+        diag.crossJoin(F.broadcast(marg))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("d").cast("long").alias("n_agree"),
+            X.ratio_ppm(F.col("d"), F.col("n_docs")).alias("po_ppm"),
+            X.ratio_ppm(F.col("s"), nn * nn).alias("pe_ppm"),
+            X.ratio_ppm(nn * F.col("d") - F.col("s"), nn * nn - F.col("s"))
+            .alias("kappa_ppm"),
+        )
+    )
+
+
+DRIFT_TOKEN_BUCKETS = (50, 200, 1000)  # token-count bucket upper bounds
+
+
+def q_text_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION-DRIFT MONITOR between two corpus slices — the
+    ingest-QA gate that catches a new crawl whose language or length
+    mix shifted before it trains a model (r13 breadth). Even doc_ids
+    play the reference corpus, odd the candidate batch; categories are
+    (lang × token-count bucket). Per category: both counts, both
+    shares in exact integer ppm, and |Δshare| — the summands of the
+    total-variation distance TV = ½·Σ|p_i − q_i| (the drift statistic
+    with an exact rational form; χ² needs count SQUARES that overflow
+    128-bit integers at planetary scale, TV does not). Shares are
+    count·1e6 DIV slice_total on DECIMAL(38,0) — exact at any corpus
+    size within 10³² rows, no double anywhere.
+
+    Scale shape: one scan into a (slice, lang, bucket) partial-agg
+    shuffle; slice totals are a 2-row broadcast; the category table is
+    |langs|·|buckets| rows — all post-shuffle work is constant-size
+    regardless of corpus volume."""
+    docs = _t(spark, sf_dir, "documents")
+    b1, b2, b3 = DRIFT_TOKEN_BUCKETS
+    nt = T.token_count("text")
+    bucket = (
+        F.when(nt < b1, F.lit(f"lt{b1}"))
+        .when(nt < b2, F.lit(f"lt{b2}"))
+        .when(nt < b3, F.lit(f"lt{b3}"))
+        .otherwise(F.lit(f"ge{b3}"))
+    )
+    sliced = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("is_ref"),
+        "lang",
+        bucket.alias("bucket"),
+    )
+    cells = sliced.groupBy("lang", "bucket").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("n_cand"),
+    )
+    tot = cells.agg(
+        F.sum("n_ref").alias("tot_ref"), F.sum("n_cand").alias("tot_cand")
+    )
+    share_ref = X.ratio_ppm(F.col("n_ref"), F.col("tot_ref"))
+    share_cand = X.ratio_ppm(F.col("n_cand"), F.col("tot_cand"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "bucket",
+            "n_ref",
+            "n_cand",
+            share_ref.alias("share_ref_ppm"),
+            share_cand.alias("share_cand_ppm"),
+            F.abs(share_ref - share_cand).alias("abs_delta_ppm"),
+        )
+    )
+
+
 def q_sim_ivfpq_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF-PQ index maintenance
     (operators/similarity.ivfpq_index_merge — r12 breadth, the ANN
@@ -12710,6 +12835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_lang_confusion": q_text_lang_confusion,
+        "text_annotator_agreement": q_text_annotator_agreement,
+        "text_corpus_drift": q_text_corpus_drift,
         "text_collocations": q_text_collocations,
         "pipeline_redaction": q_pipeline_redaction,
         "j4_fuzzy_names": q_j4_fuzzy_names,
@@ -14735,6 +14862,71 @@ def oracle_sql() -> dict[str, str]:
                         // sum(n) OVER (PARTITION BY lang) AS BIGINT)
                      AS recall_ppm
             FROM cells""",
+        "text_annotator_agreement": f"""
+            WITH cells AS (
+              SELECT lang, {T.language_id_sql('text')} AS lang_pred,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2
+            ), marg AS (
+              SELECT COALESCE(SUM(COALESCE(CAST(r.row_n AS HUGEINT), 0)
+                                  * COALESCE(c.col_n, 0)), 0) AS s
+              FROM (SELECT lang AS lab, SUM(n) AS row_n
+                    FROM cells GROUP BY 1) r
+              FULL OUTER JOIN
+                   (SELECT lang_pred AS lab, SUM(n) AS col_n
+                    FROM cells GROUP BY 1) c
+              USING (lab)
+            ), diag AS (
+              SELECT CAST(SUM(CASE WHEN lang = lang_pred THEN n
+                               ELSE 0 END) AS BIGINT) AS d,
+                     CAST(SUM(n) AS BIGINT) AS n_docs
+              FROM cells
+            )
+            SELECT n_docs, d AS n_agree,
+                   CAST((CAST(d AS HUGEINT) * 1000000)
+                        // n_docs AS BIGINT) AS po_ppm,
+                   CAST((s * 1000000)
+                        // (CAST(n_docs AS HUGEINT) * n_docs)
+                     AS BIGINT) AS pe_ppm,
+                   CAST(((CAST(n_docs AS HUGEINT) * d - s) * 1000000)
+                        // (CAST(n_docs AS HUGEINT) * n_docs - s)
+                     AS BIGINT) AS kappa_ppm
+            FROM diag, marg""",
+        "text_corpus_drift": f"""
+            WITH sliced AS (
+              SELECT (doc_id % 2 = 0) AS is_ref, lang,
+                     CASE WHEN nt < {DRIFT_TOKEN_BUCKETS[0]}
+                            THEN 'lt{DRIFT_TOKEN_BUCKETS[0]}'
+                          WHEN nt < {DRIFT_TOKEN_BUCKETS[1]}
+                            THEN 'lt{DRIFT_TOKEN_BUCKETS[1]}'
+                          WHEN nt < {DRIFT_TOKEN_BUCKETS[2]}
+                            THEN 'lt{DRIFT_TOKEN_BUCKETS[2]}'
+                          ELSE 'ge{DRIFT_TOKEN_BUCKETS[2]}'
+                     END AS bucket
+              FROM (SELECT doc_id, lang,
+                           {T.token_count_sql('text')} AS nt
+                    FROM documents)
+            ), cells AS (
+              SELECT lang, bucket,
+                     CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_ref,
+                     CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END)
+                       AS BIGINT) AS n_cand
+              FROM sliced GROUP BY 1, 2
+            ), tot AS (
+              SELECT SUM(n_ref) AS tot_ref, SUM(n_cand) AS tot_cand
+              FROM cells
+            )
+            SELECT lang, bucket, n_ref, n_cand,
+                   CAST((CAST(n_ref AS HUGEINT) * 1000000)
+                        // tot_ref AS BIGINT) AS share_ref_ppm,
+                   CAST((CAST(n_cand AS HUGEINT) * 1000000)
+                        // tot_cand AS BIGINT) AS share_cand_ppm,
+                   abs(CAST((CAST(n_ref AS HUGEINT) * 1000000)
+                            // tot_ref AS BIGINT)
+                       - CAST((CAST(n_cand AS HUGEINT) * 1000000)
+                              // tot_cand AS BIGINT)) AS abs_delta_ppm
+            FROM cells, tot""",
         "text_collocations": """
             WITH tok AS (
               SELECT unnest(string_split(lower(text), ' ')) AS t

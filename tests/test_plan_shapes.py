@@ -428,6 +428,8 @@ def test_no_unguarded_cartesian_in_any_query(spark):
         "rec_assoc_rules",  # 1-row basket-count broadcast
         "edge_zero_vectors",  # broadcast query side (zero-norm ANN)
         "agg_benford",  # 1-row positive-count total broadcast
+        "text_annotator_agreement",  # 1-row marginal-product broadcast
+        "text_corpus_drift",  # 2-row slice-totals broadcast
     }
     offenders = {}
     for name, plan in _registry_plans(spark).items():
