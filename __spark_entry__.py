@@ -3191,11 +3191,16 @@ def q_h14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # share of exact decimal sums → integer ppm (functions/exact.py);
-    # the old promo_pct (= 100·share rounded 6dp) was the half-way class
+    # the old promo_pct (= 100·share rounded 6dp) was the half-way
+    # class. r13: the revenue sums publish as exact scale-4 integer
+    # units too — the double casts sat at 0.975·2^52 after the 1e6
+    # boundary-audit scaling (ulp 0.5 — no sub-unit resolution), the
+    # audit's large-identical-path artifact class; integers retire the
+    # cells outright.
     return agg.select(
         "ship_year",
-        F.col("__promo_rev").cast("double").alias("promo_rev"),
-        F.col("__total_rev").cast("double").alias("total_rev"),
+        (F.col("__promo_rev") * 10000).cast("long").alias("promo_rev_e4"),
+        (F.col("__total_rev") * 10000).cast("long").alias("total_rev_e4"),
         X.ratio_ppm(F.col("__promo_rev"), F.col("__total_rev")).alias(
             "promo_share_ppm"
         ),
@@ -15442,8 +15447,8 @@ def oracle_sql() -> dict[str, str]:
             )""",
         "h14_promo": f"""
             SELECT ship_year,
-                   CAST(promo_rev AS DOUBLE) AS promo_rev,
-                   CAST(total_rev AS DOUBLE) AS total_rev,
+                   CAST(promo_rev * 10000 AS BIGINT) AS promo_rev_e4,
+                   CAST(total_rev * 10000 AS BIGINT) AS total_rev_e4,
                    CAST((CAST(promo_rev * 10000 AS HUGEINT) * 1000000)
                         // CAST(total_rev * 10000 AS HUGEINT)
                         AS BIGINT) AS promo_share_ppm

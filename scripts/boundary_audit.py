@@ -68,11 +68,18 @@ def main() -> None:
                     continue
                 n_cells += 1
                 scaled = abs(v) * 1e6
-                # past 2^52 the double has no sub-unit resolution at
-                # this scale: frac(scaled) is quantization noise, and
-                # such columns are decimal-exact sums cast to double
-                # (identical on both engines), not rounded ratios
-                if scaled >= 2.0**52:
+                # once ulp(scaled) exceeds TOL the fractional part
+                # cannot carry half-way signal at this tolerance —
+                # frac is pure quantization noise and lands EXACTLY on
+                # representable points like 0.5 (r13: two h14 revenue
+                # sums at 0.975·2^52, ulp 0.5, false-flagged under the
+                # old `scaled >= 2^52` proxy for the same rationale).
+                # Columns that large are decimal-exact sums cast to
+                # double (identical-double-path on both engines), not
+                # rounded ratios; the 6th decimal does not exist in
+                # the value, so there is no rounding decision to
+                # diverge on.
+                if math.ulp(scaled) > TOL:
                     continue
                 frac = scaled - math.floor(scaled)
                 if abs(frac - 0.5) < TOL:
