@@ -1910,12 +1910,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = MM.attach_media(docs, "content", "text/plain")
     feats = MM.featurize(media, "content", backend="deterministic_stub")
+    # published as the exact integer numerator k (f = k/65536 — the
+    # float32 division by 2^16 is lossless, so *65536 recovers k
+    # exactly): r13 boundary-audit hygiene — the dyadic doubles were
+    # value-coincident with 6dp half-way points (k ≡ 0 mod 512), and
+    # integers keep the published surface free of look-alike risk
     return feats.select(
         "doc_id",
         "byte_len",
         "content_md5",
-        F.element_at("feature", 1).cast("double").alias("f0"),
-        F.element_at("feature", 2).cast("double").alias("f1"),
+        (F.element_at("feature", 1) * 65536).cast("int").alias("f0_u16"),
+        (F.element_at("feature", 2) * 65536).cast("int").alias("f1_u16"),
     )
 
 
@@ -12753,12 +12758,13 @@ def q_edge_media_1byte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = MM.attach_media(docs, "content", "application/octet-stream")
     feats = MM.featurize(media, "content", backend="deterministic_stub")
+    # same exact-integer publication as multimodal_features (r13)
     return feats.select(
         "doc_id",
         "byte_len",
         "content_md5",
-        F.element_at("feature", 1).cast("double").alias("f0"),
-        F.element_at("feature", 2).cast("double").alias("f1"),
+        (F.element_at("feature", 1) * 65536).cast("int").alias("f0_u16"),
+        (F.element_at("feature", 2) * 65536).cast("int").alias("f1_u16"),
     )
 
 
@@ -14494,10 +14500,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS INT) AS byte_len,
                    md5(text) AS content_md5,
-                   CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) / 65536.0
-                     AS f0,
-                   CAST(concat('0x', substr(md5(text), 5, 4)) AS INT) / 65536.0
-                     AS f1
+                   CAST(concat('0x', substr(md5(text), 1, 4)) AS INT)
+                     AS f0_u16,
+                   CAST(concat('0x', substr(md5(text), 5, 4)) AS INT)
+                     AS f1_u16
             FROM documents""",
         "h4_priority_exists": """
             SELECT o_orderpriority, count(*) AS n_orders
@@ -18647,9 +18653,9 @@ def oracle_sql() -> dict[str, str]:
                      AS byte_len,
                    md5(substr(text, 1, 1)) AS content_md5,
                    CAST(concat('0x', substr(md5(substr(text, 1, 1)), 1, 4))
-                        AS INT) / 65536.0 AS f0,
+                        AS INT) AS f0_u16,
                    CAST(concat('0x', substr(md5(substr(text, 1, 1)), 5, 4))
-                        AS INT) / 65536.0 AS f1
+                        AS INT) AS f1_u16
             FROM documents"""
     sql["edge_convert_hot_user"] = """
             WITH ev AS (
