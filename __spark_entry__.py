@@ -7590,7 +7590,12 @@ def _stage_document_files(spark: SparkSession, sf_dir: str, m: int = 4):
     return watch, schema, n
 
 
-def _quality_gate_stream(spark: SparkSession, watch, schema) -> DataFrame:
+def _quality_gate_stream(
+    spark: SparkSession,
+    watch,
+    schema,
+    files_per_trigger: int | None = 1,
+) -> DataFrame:
     """The streaming corpus-clean admission chain shared by s34/s35:
     stateless codegen scoring + reason assignment (the SAME gates and
     precedence as q_pipeline_corpus_clean / q_pipeline_curation_funnel
@@ -7601,11 +7606,10 @@ def _quality_gate_stream(spark: SparkSession, watch, schema) -> DataFrame:
         streaming_admission_stats,
     )
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(watch)
-    )
+    reader = spark.readStream.schema(schema)
+    if files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    stream = reader.parquet(watch)
     scored = stream.select(
         "lang",
         T.token_count("text").alias("n_tokens"),
@@ -7721,8 +7725,10 @@ def q_s35_restart_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         _kill_mid_drain(q)
+        # resume lifts the 1-file cadence (s14/s33 toolkit): the hashed
+        # max-seq totals are batch-packing-independent by construction
         q2 = (
-            _quality_gate_stream(spark, watch, schema)
+            _quality_gate_stream(spark, watch, schema, files_per_trigger=None)
             .writeStream.foreachBatch(writer)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
@@ -9490,8 +9496,14 @@ def q_s15_restart_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     _kill_mid_drain(q)
     # Phase 2: resume from the checkpoint; the restored buffers absorb
     # the remaining files; timers flush the final remainders. Drain =
-    # every one of the N rows acked exactly once.
-    q2 = Pipeline(cfg, src).start_stateful(
+    # every one of the N rows acked exactly once. The resume source
+    # lifts the 1-file cadence (s14/s33 toolkit): delivery totals and
+    # the exactly-once invariant are batch-packing-independent by
+    # design (WHICH trigger flushes a chunk is already timing-
+    # dependent), and each extra micro-batch costs a fixed stateful-
+    # commit round.
+    src_resume = FileStreamSource("events", watch, schema)
+    q2 = Pipeline(cfg, src_resume).start_stateful(
         spark, processing_time="250 milliseconds", impl="v1"
     )
     try:
@@ -9607,9 +9619,13 @@ def q_s16_restart_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="bw_s16_")
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
 
-    def build():
+    def build(files_per_trigger: int | None = 1):
+        # run 1 paces one file per trigger for a mid-drain kill point;
+        # the RESUME lifts the cap (s14/s33 toolkit): the emitted set
+        # is the final-watermark cutoff — batch-packing-independent —
+        # and each extra batch costs a fixed stateful-commit round
         return D.streaming_near_dedup(
-            _staged_events_stream(spark, watch, schema),
+            _staged_events_stream(spark, watch, schema, files_per_trigger),
             "event_id",
             "props",
             "ts",
@@ -9633,7 +9649,7 @@ def q_s16_restart_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _kill_mid_drain(q)
     with _pinned_state_partitions(spark):
         q2 = (
-            build()
+            build(files_per_trigger=None)
             .writeStream.foreachBatch(writer)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
@@ -9667,8 +9683,10 @@ def q_s17_restart_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="bw_s17_")
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
 
-    def build():
-        ev = _staged_events_stream(spark, watch, schema)
+    def build(files_per_trigger: int | None = 1):
+        # resume lifts the 1-file cadence (s14/s33 toolkit): inner-join
+        # completeness is batch-packing-independent
+        ev = _staged_events_stream(spark, watch, schema, files_per_trigger)
         purchases, clicks = _purchase_click_sides(ev)
         return purchases.join(clicks, _click_window_cond()).select(
             "purchase_id",
@@ -9692,7 +9710,7 @@ def q_s17_restart_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _kill_mid_drain(q)
     with _pinned_state_partitions(spark):
         q2 = (
-            build()
+            build(files_per_trigger=None)
             .writeStream.foreachBatch(writer)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
@@ -9728,8 +9746,10 @@ def q_s31_restart_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="bw_s31_")
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
 
-    def build():
-        ev = _staged_events_stream(spark, watch, schema)
+    def build(files_per_trigger: int | None = 1):
+        # resume lifts the 1-file cadence (s14/s33 toolkit): the EXISTS
+        # set is batch-packing-independent
+        ev = _staged_events_stream(spark, watch, schema, files_per_trigger)
         purchases, clicks = _purchase_click_sides(ev, with_click_id=False)
         return purchases.join(
             clicks,
@@ -9754,7 +9774,7 @@ def q_s31_restart_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _kill_mid_drain(q)
     with _pinned_state_partitions(spark):
         q2 = (
-            build()
+            build(files_per_trigger=None)
             .writeStream.foreachBatch(writer)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
@@ -9903,12 +9923,15 @@ def q_s18_restart_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer = _idempotent_parquet_writer(sink)
     try:
 
-        def build():
-            stream = (
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(watch)
-            )
+        def build(files_per_trigger: int | None = 1):
+            # resume lifts the 1-file cadence (s14/s33 toolkit): the
+            # keeper per key is the min-event_id row (DedupProcessor
+            # sorts by order_by within the batch), so the emitted set
+            # is batch-packing-independent
+            reader = spark.readStream.schema(schema)
+            if files_per_trigger is not None:
+                reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+            stream = reader.parquet(watch)
             slim = stream.select("user_id", "event_id", "event_type", "value")
             return streaming_exact_dedup(slim, ["user_id"], order_by="event_id")
 
@@ -9922,7 +9945,7 @@ def q_s18_restart_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _kill_mid_drain(q)
         q2 = (
-            build()
+            build(files_per_trigger=None)
             .writeStream.foreachBatch(writer)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
@@ -10405,13 +10428,14 @@ def q_s21_restart_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(target)
     upsert, read_current = _manifest_upsert_sink(spark, target)
 
-    def build():
-        return (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(watch)
-            .select("user_id", "event_type", "value")
-        )
+    def build(files_per_trigger: int | None = 1):
+        # resume lifts the 1-file cadence (s14/s33 toolkit): the merge
+        # is additive per key, so the final table is batch-packing-
+        # independent
+        reader = spark.readStream.schema(schema)
+        if files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+        return reader.parquet(watch).select("user_id", "event_type", "value")
 
     with _pinned_state_partitions(spark):
         q = (
@@ -10423,7 +10447,7 @@ def q_s21_restart_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _kill_mid_drain(q)
         q2 = (
-            build()
+            build(files_per_trigger=None)
             .writeStream.foreachBatch(upsert)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -11540,8 +11564,10 @@ def q_s27_restart_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="bw_s27_")
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
 
-    def build():
-        ev = _staged_events_stream(spark, watch, schema)
+    def build(files_per_trigger: int | None = 1):
+        # resume lifts the 1-file cadence (s14/s33 toolkit): the
+        # distinct key set is batch-packing-independent
+        ev = _staged_events_stream(spark, watch, schema, files_per_trigger)
         return (
             ev.withWatermark("ts", "1 hour")
             .withColumn(
@@ -11569,7 +11595,7 @@ def q_s27_restart_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _kill_mid_drain(q)
     with _pinned_state_partitions(spark):
         q2 = (
-            build()
+            build(files_per_trigger=None)
             .writeStream.foreachBatch(writer)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
@@ -11902,8 +11928,10 @@ def q_s26_restart_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="bw_s26_")
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
 
-    def build():
-        ev = _staged_events_stream(spark, watch, schema)
+    def build(files_per_trigger: int | None = 1):
+        # resume lifts the 1-file cadence (s14/s33 toolkit): the
+        # min-per-side-watermark cutoff set is batch-packing-independent
+        ev = _staged_events_stream(spark, watch, schema, files_per_trigger)
         purchases, clicks = _purchase_click_sides(
             ev, purchase_user="p_user"
         )
@@ -11937,7 +11965,7 @@ def q_s26_restart_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         _kill_mid_drain(q)
         with _pinned_state_partitions(spark):
             q2 = (
-                build()
+                build(files_per_trigger=None)
                 .writeStream.foreachBatch(writer)
                 .outputMode("append")
                 .option("checkpointLocation", ckpt)

@@ -308,83 +308,313 @@ def ann_lsh_topk(
     )
 
 
-def _pq_rows(
-    side: DataFrame, id_col: str, vec_col: str, alias: str, sub: int
-) -> DataFrame:
-    """ROW form of a vector column in integer micro-units: one row per
-    (id, component) with its subspace index ``__m``."""
-    micro = (
-        f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), "
-        f"x -> CAST(floor(x * 1000000) AS BIGINT))"
-    )
-    return side.select(
-        F.col(id_col).alias(alias),
-        F.posexplode(F.expr(micro)).alias("__pos", "__vm"),
-    ).withColumn("__m", F.expr(f"__pos DIV {sub}"))
+# ---------------------------------------------------------------------------
+# Vectorized (Arrow + numpy) forms of the integer PQ / k-means kernels
+# (r14 optimization, guide §4.2).
+#
+# The PQ codebook (dim·num_codes integers) and the k-means centroid table
+# (k·dim integers) are CONSTANT-SIZE relations, so Lloyd training can hold
+# them driver-side between rounds (the k-row-scalar-collect pattern the
+# k-means seeds always used) and do each round's assignment + partial
+# centroid-update in ONE corpus pass: a mapInArrow kernel hands whole Arrow
+# batches to numpy and emits per-batch partial sums — ≤dim·num_codes rows
+# per task — which one tiny aggregate folds and the driver collects. The
+# original DataFrame form paid, per round, a broadcast join plus two
+# n·m(·num_codes)-row shuffles and a persist+count barrier.
+#
+# Exactness: every quantity here is exact int64 (micro-unit quantization,
+# squared distances, member sums), which is summation-order-independent, so
+# numpy vectorization cannot change a value; np.argmin returns the FIRST
+# minimal index and codes are kept sorted ascending, reproducing the
+# min(struct(dist, code)) lower-code tiebreak; the centroid update divides
+# the SAME int64 totals in the same double floor(sum/count) expression.
+# FLOAT paths (cosines, IVF cell assignment) deliberately stay in the JVM:
+# their sequential fold order is part of the oracle contract.
+# ---------------------------------------------------------------------------
 
 
-def _pq_subspace_dists(
-    rows: DataFrame, ida: str, codebook: DataFrame
-) -> DataFrame:
-    """Exact-BIGINT squared distance from every vector's subvector to
-    every codebook entry of that subspace — one broadcast join + one
-    (id, m, code) partial-agg shuffle."""
-    diff = F.col("__vm") - F.col("__cm")
-    return (
-        rows.join(F.broadcast(codebook), ["__pos", "__m"])
-        .groupBy(ida, "__m", "__code")
-        .agg(F.sum(diff * diff).alias("__d"))
-    )
+def _list_to_matrix(arr):
+    """(n, dim) float64 matrix from an Arrow list<float|double> array —
+    flatten() respects batch slicing; vectors are fixed-length."""
+    import numpy as np
+
+    n = len(arr)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    if n == 0:
+        return np.empty((0, 0))
+    dim = len(flat) // n
+    if dim * n != len(flat):
+        raise ValueError("ragged vector column in PQ/k-means kernel")
+    return flat.reshape(n, dim).astype(np.float64)
 
 
-def _pq_trained_codebook(
-    vrows: DataFrame, crows: DataFrame, train_iters: int
-) -> DataFrame:
-    """Lloyd refinement, per subspace (all m subspaces train in the
-    same two dataframes per round): assignment = exact-BIGINT argmin
-    with the lower-code tiebreak; update = element-wise
-    floor(sum/count). Each round is one broadcast join
-    (m·num_codes·sub codebook rows — ~1k, always broadcastable) + two
-    partial-agg shuffles, the canonical distributed Lloyd's at n·m
-    assignment rows."""
-    for i in range(train_iters):
-        t_assign = (
-            _pq_subspace_dists(vrows, "__vid", crows)
-            .groupBy("__vid", "__m")
-            .agg(F.min(F.struct("__d", "__code")).alias("__best"))
-            .select("__vid", "__m", F.col("__best.__code").alias("__code"))
+def _micro(mat):
+    """Integer micro-units: floor(x · 1e6) in float64 then int64 — the
+    exact arithmetic of transform(CAST(v AS ARRAY<DOUBLE>),
+    x -> CAST(floor(x * 1000000) AS BIGINT)) element-for-element."""
+    import numpy as np
+
+    return np.floor(mat * 1000000.0).astype(np.int64)
+
+
+def _pq_cb_matrices(cb, m, sub):
+    """codes + codebook matrices per subspace from the collected form
+    cb[mi] = [(code, [cm...])...] (sorted by code)."""
+    import numpy as np
+
+    codes = [np.array([c for c, _ in cb[mi]], dtype=np.int64) for mi in range(m)]
+    mats = [
+        np.array([cm for _, cm in cb[mi]], dtype=np.int64).reshape(
+            len(cb[mi]), sub
         )
-        crows = (
-            vrows.join(t_assign, ["__vid", "__m"])
+        for mi in range(m)
+    ]
+    return codes, mats
+
+
+def _pq_assign_batch(vm, codes, mats, m, sub):
+    """Per-row argmin code per subspace (n×m int64) plus the argmin
+    squared distances (n×m int64) — exact int64, lower-code tiebreak
+    via first-minimal-index over ascending codes."""
+    import numpy as np
+
+    n = vm.shape[0]
+    acodes = np.empty((n, m), dtype=np.int64)
+    adists = np.empty((n, m), dtype=np.int64)
+    for mi in range(m):
+        x = vm[:, mi * sub : (mi + 1) * sub]
+        d = ((x[:, None, :] - mats[mi][None, :, :]) ** 2).sum(axis=2)
+        ai = np.argmin(d, axis=1)
+        acodes[:, mi] = codes[mi][ai]
+        adists[:, mi] = d[np.arange(n), ai]
+    return acodes, adists
+
+
+def _pq_train_collect(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    dim: int,
+    num_codes: int,
+    train_iters: int,
+) -> list[list[tuple[int, list[int]]]]:
+    """Lloyd-train the PQ codebook with the codebook collected driver-
+    side between rounds. Identical recurrence to the DataFrame form
+    (init = subvectors of the id<num_codes corpus vectors; assignment =
+    exact-int argmin, lower-code tiebreak; update = floor over the
+    double sum/count quotient of the same int64 totals; a code with no
+    members in a subspace drops out) — but each round is ONE corpus
+    pass: a numpy mapInArrow kernel emits per-batch partial sums, one
+    aggregate folds them to ≤dim·num_codes rows, the driver collects.
+    Returns cb[mi] = [(code, [cm for local pos 0..sub-1]), ...] sorted
+    by code."""
+    sub = dim // m
+    init = (
+        corpus.filter(F.col(id_col) < num_codes)
+        .select(
+            F.col(id_col).cast("long").alias("__code"),
+            F.expr(
+                f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), "
+                f"x -> CAST(floor(x * 1000000) AS BIGINT))"
+            ).alias("__vm"),
+        )
+        .collect()  # ≤ num_codes rows — constant-size, like k-means seeds
+    )
+    cb: list[list[tuple[int, list[int]]]] = [
+        sorted(
+            (
+                int(r["__code"]),
+                [int(v) for v in r["__vm"][mi * sub : (mi + 1) * sub]],
+            )
+            for r in init
+        )
+        for mi in range(m)
+    ]
+    vec_only = corpus.select(F.col(vec_col).alias("__vec"))
+    for _ in range(train_iters):
+        codes, mats = _pq_cb_matrices(cb, m, sub)
+
+        def _partials(batches, _codes=codes, _mats=mats):
+            import numpy as np
+            import pyarrow as pa
+
+            sums = [np.zeros((len(_codes[mi]), sub), dtype=np.int64) for mi in range(m)]
+            cnts = [np.zeros(len(_codes[mi]), dtype=np.int64) for mi in range(m)]
+            seen = False
+            for batch in batches:
+                vm = _micro(_list_to_matrix(batch.column(0)))
+                if vm.shape[0] == 0:
+                    continue
+                seen = True
+                for mi in range(m):
+                    x = vm[:, mi * sub : (mi + 1) * sub]
+                    d = ((x[:, None, :] - _mats[mi][None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    ai = np.argmin(d, axis=1)
+                    np.add.at(sums[mi], ai, x)
+                    np.add.at(cnts[mi], ai, 1)
+            if not seen:
+                return
+            ms, cs, ps, ss, ns = [], [], [], [], []
+            for mi in range(m):
+                for ci in range(len(_codes[mi])):
+                    if cnts[mi][ci] == 0:
+                        continue
+                    for j in range(sub):
+                        ms.append(mi)
+                        cs.append(int(_codes[mi][ci]))
+                        ps.append(mi * sub + j)
+                        ss.append(int(sums[mi][ci][j]))
+                        ns.append(int(cnts[mi][ci]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ms, type=pa.int64()),
+                    pa.array(cs, type=pa.int64()),
+                    pa.array(ps, type=pa.int64()),
+                    pa.array(ss, type=pa.int64()),
+                    pa.array(ns, type=pa.int64()),
+                ],
+                names=["__m", "__code", "__pos", "__s", "__n"],
+            )
+
+        upd = (
+            vec_only.mapInArrow(
+                _partials,
+                schema="__m long, __code long, __pos long, __s long, __n long",
+            )
             .groupBy("__m", "__code", "__pos")
             .agg(
-                F.floor(F.sum("__vm") / F.count(F.lit(1)))
+                # the exact update expression of the DataFrame form:
+                # floor over the DOUBLE quotient of the int64 totals
+                F.floor(F.sum("__s") / F.sum("__n"))
                 .cast("bigint")
                 .alias("__cm")
             )
+            .collect()  # ≤ dim·num_codes rows — constant-size
         )
-        # Materialization barrier PER ITERATION (r12 verdict item 6):
-        # without it the final consumer inlines the full train_iters-
-        # deep tree and whole-stage codegen compiles one unrolled
-        # giant (measured ~30 s cold at 3 iters on the merge query).
-        # Each round's codebook is m·num_codes rows (~1k), so the
-        # barrier is a trivial count; every iteration then compiles a
-        # ONE-round tree over the previous round's materialized
-        # relation — the same per-iteration checkpoint discipline as
-        # the graph family's localCheckpoint barriers. It also keeps
-        # the 2-round subtree from re-executing once per consumer
-        # (the original reason the post-loop barrier existed).
-        crows = materialize(crows, f"pq_codebook_i{i}")
-    return crows
+        nxt: list[dict[int, list[int | None]]] = [dict() for _ in range(m)]
+        for r in upd:
+            mi, code, pos = int(r["__m"]), int(r["__code"]), int(r["__pos"])
+            nxt[mi].setdefault(code, [None] * sub)[pos - mi * sub] = int(
+                r["__cm"]
+            )
+        cb = [
+            sorted((code, cms) for code, cms in d.items())  # type: ignore[misc]
+            for d in nxt
+        ]
+    return cb
 
 
-def _pq_encode(vrows: DataFrame, crows: DataFrame) -> DataFrame:
-    """Corpus encoding: per (vector, subspace) the argmin code."""
+def _pq_codes_from_cb(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cb: list[list[tuple[int, list[int]]]],
+    m: int,
+    sub: int,
+) -> DataFrame:
+    """Corpus PQ encoding from a collected codebook: the numpy argmin
+    kernel emits (__vid, __codes) per row; a codegen posexplode yields
+    (__vid, __m, __code) — no join, no shuffle (the original paid a
+    broadcast join plus two keyed exchanges)."""
+    codes, mats = _pq_cb_matrices(cb, m, sub)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def _encode(batches, _codes=codes, _mats=mats):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            vm = _micro(_list_to_matrix(batch.column(1)))
+            acodes, _ = _pq_assign_batch(vm, _codes, _mats, m, sub)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(acodes.tolist(), type=pa.list_(pa.int64())),
+                ],
+                names=["__vid", "__codes"],
+            )
+
     return (
-        _pq_subspace_dists(vrows, "__vid", crows)
-        .groupBy("__vid", "__m")
-        .agg(F.min(F.struct("__d", "__code")).alias("__best"))
-        .select("__vid", "__m", F.col("__best.__code").alias("__code"))
+        corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec"))
+        .mapInArrow(_encode, schema=f"__vid {id_type}, __codes array<long>")
+        .select("__vid", F.posexplode("__codes").alias("__mi", "__code"))
+        .select(
+            "__vid",
+            F.col("__mi").cast("bigint").alias("__m"),
+            "__code",
+        )
+    )
+
+
+def _pq_err_from_cb(
+    side: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cb: list[list[tuple[int, list[int]]]],
+    m: int,
+    sub: int,
+) -> DataFrame:
+    """Per-vector exact PQ reconstruction error (Σ over subspaces of
+    the argmin squared distance) — (__vid, __err), one pass, no join."""
+    codes, mats = _pq_cb_matrices(cb, m, sub)
+    id_type = side.schema[id_col].dataType.simpleString()
+
+    def _err(batches, _codes=codes, _mats=mats):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            vm = _micro(_list_to_matrix(batch.column(1)))
+            _, adists = _pq_assign_batch(vm, _codes, _mats, m, sub)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(adists.sum(axis=1).tolist(), type=pa.int64()),
+                ],
+                names=["__vid", "__err"],
+            )
+
+    return side.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec")
+    ).mapInArrow(_err, schema=f"__vid {id_type}, __err long")
+
+
+def _pq_qtable_from_cb(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cb: list[list[tuple[int, list[int]]]],
+    m: int,
+    sub: int,
+) -> DataFrame:
+    """Query ADC distance tables from a collected codebook, computed
+    driver-side (the query set is broadcast-small by contract, and
+    every distance is exact int64): (__qid, __m, __code, __qd)."""
+    import math
+
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        )
+        .collect()  # query side is small by the ANN contract
+    )
+    spark = queries.sparkSession
+    out = []
+    for r in qrows:
+        vm = [int(math.floor(x * 1000000.0)) for x in r["__qv"]]
+        for mi in range(m):
+            x = vm[mi * sub : (mi + 1) * sub]
+            for code, cm in cb[mi]:
+                d = sum((a - b) * (a - b) for a, b in zip(x, cm))
+                out.append((r["__qid"], mi, code, d))
+    return spark.createDataFrame(
+        out, "__qid long, __m long, __code long, __qd long"
     )
 
 
@@ -485,18 +715,14 @@ def ann_pq_topk(
     Returns (query_id, neighbor_id, cos_sim, rank).
     """
     sub = dim // m
-    vrows = _pq_rows(corpus, id_col, vec_col, "__vid", sub)
-    crows = _pq_rows(
-        corpus.filter(F.col(id_col) < num_codes), id_col, vec_col, "__code", sub
-    ).select("__code", "__pos", "__m", F.col("__vm").alias("__cm"))
-    crows = _pq_trained_codebook(vrows, crows, train_iters)
-
-    # corpus encoding: per (vector, subspace) the argmin code
-    codes = _pq_encode(vrows, crows)
+    cb = _pq_train_collect(
+        corpus, id_col, vec_col, m, dim, num_codes, train_iters
+    )
+    # corpus encoding: per (vector, subspace) the argmin code — the
+    # numpy kernel against the collected codebook (no join, no shuffle)
+    codes = _pq_codes_from_cb(corpus, id_col, vec_col, cb, m, sub)
     # query ADC tables: distance from each query subvector to each code
-    qtable = _pq_subspace_dists(
-        _pq_rows(queries, id_col, vec_col, "__qid", sub), "__qid", crows
-    ).select(F.col("__qid"), "__m", "__code", F.col("__d").alias("__qd"))
+    qtable = _pq_qtable_from_cb(queries, id_col, vec_col, cb, m, sub)
     approx = (
         codes.join(F.broadcast(qtable), ["__m", "__code"])
         .filter(F.col("__qid") != F.col("__vid"))
@@ -570,15 +796,11 @@ def ann_ivfpq_topk(
     # vectors — the by_residual=false variant keeps ADC tables
     # query-only and the oracle CTE-for-CTE with ann_pq_topk)
     sub = dim // m
-    vrows = _pq_rows(corpus, id_col, vec_col, "__vid", sub)
-    crows = _pq_rows(
-        corpus.filter(F.col(id_col) < num_codes), id_col, vec_col, "__code", sub
-    ).select("__code", "__pos", "__m", F.col("__vm").alias("__cm"))
-    crows = _pq_trained_codebook(vrows, crows, train_iters)
-    codes = _pq_encode(vrows, crows)
-    qtable = _pq_subspace_dists(
-        _pq_rows(queries, id_col, vec_col, "__qid", sub), "__qid", crows
-    ).select(F.col("__qid"), "__m", "__code", F.col("__d").alias("__qd"))
+    cb = _pq_train_collect(
+        corpus, id_col, vec_col, m, dim, num_codes, train_iters
+    )
+    codes = _pq_codes_from_cb(corpus, id_col, vec_col, cb, m, sub)
+    qtable = _pq_qtable_from_cb(queries, id_col, vec_col, cb, m, sub)
 
     # candidate pruning: (query, candidate) pairs sharing a probed cell
     # — each pair appears at most once (a candidate's cell is unique)
@@ -664,73 +886,148 @@ def kmeans_assignments(
     ``iterations`` Lloyd's updates, dist = exact squared distance to
     the final centroid in micro-units².
     """
-    vrows = df.select(
-        F.col(id_col).alias("__vid"),
-        F.posexplode(
+    # Vectorized Lloyd's (r14 optimization, guide §4.2): the centroid
+    # table is k·dim integers — constant-size — so it lives driver-side
+    # between rounds (the seeds were always collected) and each round
+    # is ONE corpus pass: a numpy mapInArrow kernel emits per-batch
+    # partial member sums, one tiny aggregate folds them, the driver
+    # collects ≤k·dim rows. Recurrence, tiebreaks (np.argmin first-
+    # minimal index = lower cluster), the floor-over-double-quotient
+    # update, and dropped-empty-cluster semantics are identical to the
+    # join form (oracle-verified); every quantity is exact int64, so
+    # vectorization cannot change a value.
+    seeds = (
+        df.select(
+            F.col(id_col).alias("__vid"),
             F.expr(
                 f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), "
                 f"x -> CAST(floor(x * 1000000) AS BIGINT))"
-            )
-        ).alias("__pos", "__vm"),
-    )
-    first_ids = [
-        r["__vid"]
-        for r in df.select(F.col(id_col).alias("__vid"))
+            ).alias("__vm"),
+        )
         .orderBy("__vid")
         .limit(k)
         .collect()
-    ]
-    if not first_ids:
+    )
+    if not seeds:
         raise ValueError(
             "k-means on empty input: no vectors to seed centroids from"
         )
-    # Fewer than k distinct ids seeds len(first_ids) < k clusters —
-    # every vector is its own centroid; the result simply has fewer
-    # clusters rather than empty ones.
-    cl_expr = F.when(F.col("__vid") == first_ids[0], 0)
-    for i, vid in enumerate(first_ids[1:], start=1):
-        cl_expr = cl_expr.when(F.col("__vid") == vid, i)
-    crows = (
-        vrows.filter(F.col("__vid").isin(first_ids))
-        .select(
-            cl_expr.alias("__cl"),
-            "__pos",
-            F.col("__vm").alias("__cm"),
-        )
-    )
+    # Fewer than k distinct ids seeds len(seeds) < k clusters — every
+    # vector is its own centroid; the result simply has fewer clusters
+    # rather than empty ones. Cluster index = id rank among the seeds.
+    cents: list[tuple[int, list[int]]] = [
+        (i, [int(v) for v in r["__vm"]]) for i, r in enumerate(seeds)
+    ]
+    vec_only = df.select(F.col(vec_col).alias("__vec"))
 
-    def _assign(centroid_rows: DataFrame) -> DataFrame:
-        diff = F.col("__vm") - F.col("__cm")
+    def _cent_matrices(cs):
+        import numpy as np
+
         return (
-            vrows.join(F.broadcast(centroid_rows), "__pos")
-            .groupBy("__vid", "__cl")
-            .agg(F.sum(diff * diff).alias("__dist"))
-            .groupBy("__vid")
-            .agg(F.min(F.struct("__dist", "__cl")).alias("__best"))
-            .select(
-                "__vid",
-                F.col("__best.__cl").alias("__cl"),
-                F.col("__best.__dist").alias("__dist"),
-            )
+            np.array([cl for cl, _ in cs], dtype=np.int64),
+            np.array([cm for _, cm in cs], dtype=np.int64),
         )
 
-    assign = None
     for _ in range(iterations):
-        assign = _assign(crows)
-        crows = (
-            vrows.join(assign.select("__vid", "__cl"), "__vid")
+        cls, mat = _cent_matrices(cents)
+
+        def _partials(batches, _cls=cls, _mat=mat):
+            import numpy as np
+            import pyarrow as pa
+
+            sums = np.zeros_like(_mat)
+            cnts = np.zeros(len(_cls), dtype=np.int64)
+            seen = False
+            for batch in batches:
+                vm = _micro(_list_to_matrix(batch.column(0)))
+                if vm.shape[0] == 0:
+                    continue
+                seen = True
+                d = ((vm[:, None, :] - _mat[None, :, :]) ** 2).sum(axis=2)
+                ai = np.argmin(d, axis=1)
+                np.add.at(sums, ai, vm)
+                np.add.at(cnts, ai, 1)
+            if not seen:
+                return
+            cl_o, pos_o, s_o, n_o = [], [], [], []
+            for ci in range(len(_cls)):
+                if cnts[ci] == 0:
+                    continue
+                for j in range(sums.shape[1]):
+                    cl_o.append(int(_cls[ci]))
+                    pos_o.append(j)
+                    s_o.append(int(sums[ci][j]))
+                    n_o.append(int(cnts[ci]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cl_o, type=pa.int32()),
+                    pa.array(pos_o, type=pa.int32()),
+                    pa.array(s_o, type=pa.int64()),
+                    pa.array(n_o, type=pa.int64()),
+                ],
+                names=["__cl", "__pos", "__s", "__n"],
+            )
+
+        upd = (
+            vec_only.mapInArrow(
+                _partials, schema="__cl int, __pos int, __s long, __n long"
+            )
             .groupBy("__cl", "__pos")
             .agg(
-                F.floor(
-                    F.sum("__vm") / F.count(F.lit(1))
-                ).cast("bigint").alias("__cm")
+                # the exact update expression of the join form: floor
+                # over the DOUBLE quotient of the int64 totals
+                F.floor(F.sum("__s") / F.sum("__n"))
+                .cast("bigint")
+                .alias("__cm")
             )
+            .collect()  # ≤ k·dim rows — constant-size
         )
-    # final assignment against the last updated centroids
-    return _assign(crows).select(
-        F.col("__vid").alias(id_col),
-        F.col("__cl").alias("cluster_id"),
-        F.col("__dist").alias("dist"),
+        nxt: dict[int, dict[int, int]] = {}
+        for r in upd:
+            nxt.setdefault(int(r["__cl"]), {})[int(r["__pos"])] = int(
+                r["__cm"]
+            )
+        cents = [
+            (cl, [poss[p] for p in sorted(poss)])
+            for cl, poss in sorted(nxt.items())
+        ]
+
+    # final assignment against the last updated centroids — one pass,
+    # no shuffle at all
+    cls, mat = _cent_matrices(cents)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _final(batches, _cls=cls, _mat=mat):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            vm = _micro(_list_to_matrix(batch.column(1)))
+            d = ((vm[:, None, :] - _mat[None, :, :]) ** 2).sum(axis=2)
+            ai = np.argmin(d, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(_cls[ai].tolist(), type=pa.int32()),
+                    pa.array(
+                        d[np.arange(len(ai)), ai].tolist(), type=pa.int64()
+                    ),
+                ],
+                names=["__kid", "__cl", "__dist"],
+            )
+
+    return (
+        df.select(F.col(id_col), F.col(vec_col).alias("__vec"))
+        .mapInArrow(
+            _final, schema=f"__kid {id_type}, __cl int, __dist long"
+        )
+        .select(
+            F.col("__kid").alias(id_col),
+            F.col("__cl").alias("cluster_id"),
+            F.col("__dist").alias("dist"),
+        )
     )
 
 
@@ -782,26 +1079,15 @@ def ivfpq_index_merge(
 
     cent = _ivf_centroids(archive, id_col, vec_col, num_centroids)
     sub = dim // m
-    arows = _pq_rows(archive, id_col, vec_col, "__vid", sub)
-    crows = _pq_rows(
-        archive.filter(F.col(id_col) < num_codes),
-        id_col,
-        vec_col,
-        "__code",
-        sub,
-    ).select("__code", "__pos", "__m", F.col("__vm").alias("__cm"))
-    crows = _pq_trained_codebook(arows, crows, train_iters)
+    cb = _pq_train_collect(
+        archive, id_col, vec_col, m, dim, num_codes, train_iters
+    )
 
-    def per_vector_err(rows: DataFrame) -> DataFrame:
-        return (
-            _pq_subspace_dists(rows, "__vid", crows)
-            .groupBy("__vid", "__m")
-            .agg(F.min(F.struct("__d", "__code")).alias("__b"))
-            .groupBy("__vid")
-            .agg(F.sum("__b.__d").alias("__err"))
-        )
+    def per_vector_err(side: DataFrame) -> DataFrame:
+        # numpy kernel: (__vid, __err) in one pass — the original paid
+        # a broadcast join plus two keyed aggregates per side
+        return _pq_err_from_cb(side, id_col, vec_col, cb, m, sub)
 
-    nrows = _pq_rows(new, id_col, vec_col, "__vid", sub)
     a_cell = _ivf_assign(archive, cent, id_col, vec_col, "__vid", 1).select(
         "__vid", "__cell"
     )
@@ -809,7 +1095,7 @@ def ivfpq_index_merge(
         "__vid", "__cell"
     )
     a_agg = (
-        a_cell.join(per_vector_err(arows), "__vid")
+        a_cell.join(per_vector_err(archive), "__vid")
         .groupBy("__cell")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_archive"),
@@ -817,7 +1103,7 @@ def ivfpq_index_merge(
         )
     )
     n_agg = (
-        n_cell.join(per_vector_err(nrows), "__vid")
+        n_cell.join(per_vector_err(new), "__vid")
         .groupBy("__cell")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_new"),
