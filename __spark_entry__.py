@@ -5017,11 +5017,9 @@ def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_hash="md5",  # oracle-portable; production uses xxhash64
         block_cols=("lang", "source"),
     )
-    # Three consumers inside the prefix-filter operator (token-df
-    # count, prefix table, verify sides) — materialize so the 10M-row
-    # gram explode + md5 runs once, not three times (pluggable
-    # persist | staging-table strategy, released between suite queries).
-    grams = materialize(grams, "char_ngram_grams")
+    # The prefix-filter operator materializes its token-set projection
+    # itself (r14) — the 10M-row gram explode + md5 runs once; the
+    # extra outer materialize this query used to carry is redundant.
     return D.jaccard_pairs_prefix_filter(
         grams, "doc_id", "grams", 0.15, block_cols=["lang", "source"]
     )
@@ -6253,20 +6251,24 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit adds one pair-keyed left join and a single-row
     aggregate."""
     docs = _t(spark, sf_dir, "documents")
-    sh = T.shingle_table(docs, "doc_id", "text", MINHASH_K).select(
+    # ONE shingle table for both pair generators (r14): ground truth
+    # and candidates score the same shingle sets, so the explode+hash
+    # shingling pass runs once, not once per generator.
+    shingled = materialize(
+        T.shingle_table(docs, "doc_id", "text", MINHASH_K),
+        "lsh_recall_shingles",
+    )
+    sh = shingled.select(
         F.col("__id").alias("doc_id"), F.col("__sh").alias("toks")
     )
     exact = D.jaccard_pairs_prefix_filter(
         sh, "doc_id", "toks", MINHASH_THRESHOLD
     )
-    lsh = D.minhash_lsh_pairs(
-        docs,
-        "doc_id",
-        "text",
+    lsh = D.minhash_lsh_pairs_from_shingles(
+        shingled,
         num_hashes=MINHASH_NUM,
         bands=MINHASH_BANDS,
         threshold=MINHASH_THRESHOLD,
-        shingle_k=MINHASH_K,
     )
     found = exact.select("id_a", "id_b").join(
         lsh.select("id_a", "id_b").withColumn("__f", F.lit(1)),

@@ -246,6 +246,42 @@ def main() -> None:
     qs["s1_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     _calibration_sample(spark)
 
+    # Opportunistic comparable-window scheduler (r13 verdict item 1):
+    # both r13 runs self-flagged non-comparable — the calibration guard
+    # diagnosed a slow host window but could not WAIT for a good one.
+    # Probe the calibration job before starting the pass; while the
+    # probe runs above the comparability threshold, sleep and re-probe
+    # up to a bounded deadline, then proceed regardless (the in-run
+    # calibration samples still decide the "comparable" flag exactly
+    # as before — raw timings are never modified). The threshold
+    # scales with the configured core count: the 1.15 s reference is a
+    # local[32] number, so a deliberate low-core run (the driver's
+    # scaling measurement) is expected to probe ~32/cpus slower and
+    # must not burn the deadline waiting for a window that cannot
+    # exist. Tunables (env): SPARK_GRAFT_BENCH_WAIT_S (default 900,
+    # 0 disables), SPARK_GRAFT_BENCH_PROBE_INTERVAL_S (default 120).
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    except ValueError:
+        cpus = 32
+    expected_base = max(1.0, 32.0 / max(1, min(cpus, 32)))
+    wait_threshold = expected_base * (1.0 + CALIBRATION_MAX_DRIFT)
+    wait_deadline = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "900"))
+    probe_interval = float(
+        os.environ.get("SPARK_GRAFT_BENCH_PROBE_INTERVAL_S", "120")
+    )
+    window_probes: list[float] = []
+    wait_t0 = time.time()
+    while True:
+        probe = _calibration_sample(spark)
+        window_probes.append(round(probe, 3))
+        if probe / CALIBRATION_REF_S <= wait_threshold:
+            break
+        if time.time() - wait_t0 + probe_interval > wait_deadline:
+            break
+        time.sleep(probe_interval)
+    window_waited_s = round(time.time() - wait_t0, 3)
+
     plans = {name: plan_fingerprint(fn(spark, sf_dir)) for name, fn in qs.items()}
 
     calib_samples: list[float] = []
@@ -277,7 +313,20 @@ def main() -> None:
         "ratio": calib_ratio,
         "max_drift": CALIBRATION_MAX_DRIFT,
         "comparable": comparable,
+        # window scheduler evidence: the pre-pass probe log and how
+        # long the bench waited for a comparable window (r13 item 1)
+        "window_probes": window_probes,
+        "window_waited_s": window_waited_s,
     }
+
+    def _calibrated(raw):
+        # ratio-normalized value, published ONLY for comparable windows:
+        # scaling by a >15%-off ratio would dress a flagged window up as
+        # a trustworthy number (r13 advice item 3) — raw values and the
+        # full calibration block always carry the unmodified evidence.
+        if raw is None or not comparable or calib_ratio <= 0:
+            return None
+        return round(raw / calib_ratio, 3)
 
     # Machine-readable drains decomposition (r5 verdict item 5): the
     # streaming-drain queries carry ~4-6 s of fixed trigger/state
@@ -315,11 +364,12 @@ def main() -> None:
         "drains_total": drains_total,
         "value_excl_drains": value_excl_drains,
         "subset50_total": subset50_total,
-        "subset50_calibrated": (
-            round(subset50_total / calib_ratio, 3)
-            if subset50_total is not None and calib_ratio > 0
-            else None
-        ),
+        "subset50_calibrated": _calibrated(subset50_total),
+        # r13 verdict item 1: normalization extended beyond subset50 —
+        # null whenever the window is non-comparable (advice item 3)
+        "total_calibrated": _calibrated(total),
+        "drains_calibrated": _calibrated(drains_total),
+        "value_excl_drains_calibrated": _calibrated(value_excl_drains),
         "calibration": calibration,
         "drain_queries": drain_names,
     }
@@ -349,6 +399,11 @@ def main() -> None:
                 "value_excl_drains": value_excl_drains,
                 "subset50_total": subset50_total,
                 "subset50_calibrated": detail["subset50_calibrated"],
+                "total_calibrated": detail["total_calibrated"],
+                "drains_calibrated": detail["drains_calibrated"],
+                "value_excl_drains_calibrated": detail[
+                    "value_excl_drains_calibrated"
+                ],
                 "calibration": calibration,
                 "queries": slowest,
                 "queries_file": "bench_detail.json",

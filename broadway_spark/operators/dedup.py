@@ -380,6 +380,24 @@ def minhash_lsh_pairs(
     shingled = materialize(
         shingle_table(df, id_col, text_col, shingle_k), "lsh_shingles"
     )
+    return minhash_lsh_pairs_from_shingles(
+        shingled, num_hashes=num_hashes, bands=bands, threshold=threshold
+    )
+
+
+def minhash_lsh_pairs_from_shingles(
+    shingled: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float | None = 0.5,
+) -> DataFrame:
+    """``minhash_lsh_pairs`` over an existing (__id, __sh) shingle
+    table — the entry point for callers that already hold (and have
+    materialized) the shingle table so a composite query computes the
+    shingling ONCE (dedup_lsh_recall runs the exact prefix-filter pair
+    generator AND this one over the same corpus; r14 optimization).
+    The caller owns materialization: this plan reads ``shingled`` from
+    three branches."""
     banded = _banded_keys(shingled, num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
@@ -1041,6 +1059,14 @@ def jaccard_pairs_prefix_filter(
     base = docs.select(
         F.col(id_col).alias("__id"), *blocks, F.col(tokens_col).alias("__toks")
     ).withColumn("__n", F.size("__toks"))
+    # Materialize the token-set projection too (r14): it feeds THREE
+    # plan branches (the df-count explode and both verify sides), and
+    # for callers whose tokens_col is itself a computed subtree (the
+    # curation funnel's fingerprint-window survivor slice, gram-set
+    # builders) each branch would otherwise recompute that whole
+    # subtree. Same pluggable persist|staging strategy as the prefix
+    # table below.
+    base = materialize(base, "ppjoin_base")
 
     tk = base.select("__id", *blocks, "__n", F.explode("__toks").alias("__tok"))
     dfreq = tk.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
