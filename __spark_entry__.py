@@ -9991,9 +9991,18 @@ def _co_order_triangles(spark: SparkSession, sf_dir: str):
     (pp, edges, deg, tri) where tri rows are one per triangle with
     vertices in orientation order."""
     li = _t(spark, sf_dir, "lineitem")
-    pp = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    # pp and deg are barriers too (r14): pp feeds both sides of the
+    # edge self-join AND q_graph_triangles' vertex-total branch (which
+    # otherwise re-scans lineitem + re-runs the distinct); deg feeds
+    # the orientation join twice here plus two more consumers in
+    # q_graph_edge_strength's Jaccard denominators — each would re-run
+    # the 2|E|-row union + aggregate from the edge cache.
+    pp = materialize(
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct(),
+        "tri_pp",
+    )
     e = materialize(
         pp.alias("a")
         .join(
@@ -10005,11 +10014,12 @@ def _co_order_triangles(spark: SparkSession, sf_dir: str):
         .distinct(),
         "tri_edges",
     )
-    deg = (
+    deg = materialize(
         e.select(F.col("u").alias("x"))
         .unionAll(e.select(F.col("v").alias("x")))
         .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.count(F.lit(1)).alias("d")),
+        "tri_deg",
     )
     ed = (
         e.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u")

@@ -84,6 +84,30 @@ def test_staging_strategy_prefix_filter_end_to_end(spark, tmp_path):
     assert staged == base and len(base) >= 1
 
 
+def test_from_shingles_matches_text_entry_point(spark):
+    """minhash_lsh_pairs_from_shingles over a caller-materialized
+    shingle table is pair-identical to the text entry point — the
+    contract that lets a composite query (dedup_lsh_recall) shingle
+    the corpus once for several pair generators (r14)."""
+    from broadway_spark.functions import text as T
+
+    docs = _docs(spark)
+    base = sorted(
+        tuple(r)
+        for r in D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3)
+        .collect()
+    )
+    shingled = M.materialize(
+        T.shingle_table(docs, "doc_id", "text", 3), "test_shingles"
+    )
+    shared = sorted(
+        tuple(r)
+        for r in D.minhash_lsh_pairs_from_shingles(shingled, threshold=0.3)
+        .collect()
+    )
+    assert shared == base and len(base) >= 1
+
+
 def test_release_all_unpersists_tracked_frames(spark):
     docs = _docs(spark)
     cached = M.materialize(docs, "t")
