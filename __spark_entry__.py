@@ -1412,6 +1412,11 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks",
         JACCARD_PAIR_THRESHOLD,
         block_cols=["lang", "source"],
+        # r15 (r14 verdict item 1): the blanket base barrier was this
+        # query's +27% r14 regression — persisting the window-filtered
+        # survivor slice costs more than the three-branch recompute it
+        # saves (same-window interleaved A/B: off wins by 1.6 s).
+        materialize_base=False,
     )
     removed = pairs.select("id_b").distinct()
     counts = (
@@ -1709,6 +1714,11 @@ def q_text_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks",
         JACCARD_PAIR_THRESHOLD,
         block_cols=["lang", "source"],
+        # r15: tokens is a one-expression projection of a stored
+        # column — the base barrier measured flat here in both r15
+        # same-window A/Bs, so it stays off (cache pressure for
+        # nothing).
+        materialize_base=False,
     )
 
 
@@ -5018,10 +5028,16 @@ def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=("lang", "source"),
     )
     # The prefix-filter operator materializes its token-set projection
-    # itself (r14) — the 10M-row gram explode + md5 runs once; the
-    # extra outer materialize this query used to carry is redundant.
+    # (opt-in since r15) — the 10M-row gram explode + md5 runs once;
+    # without the barrier each of the three plan branches re-runs it
+    # (same-window interleaved A/B: +2.2 s with it off).
     return D.jaccard_pairs_prefix_filter(
-        grams, "doc_id", "grams", 0.15, block_cols=["lang", "source"]
+        grams,
+        "doc_id",
+        "grams",
+        0.15,
+        block_cols=["lang", "source"],
+        materialize_base=True,
     )
 
 
@@ -6262,7 +6278,15 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__id").alias("doc_id"), F.col("__sh").alias("toks")
     )
     exact = D.jaccard_pairs_prefix_filter(
-        sh, "doc_id", "toks", MINHASH_THRESHOLD
+        sh,
+        "doc_id",
+        "toks",
+        MINHASH_THRESHOLD,
+        # r15: keeps a small consistent edge in the same-window A/Bs
+        # (+0.1/+0.5 s without it) — the barrier caches the projected
+        # (__id, __toks, __n) form so the verify branches skip the
+        # re-projection of the shared shingle cache.
+        materialize_base=True,
     )
     lsh = D.minhash_lsh_pairs_from_shingles(
         shingled,
@@ -6965,6 +6989,15 @@ def _drain_handle_batch(name, pdf):
     return pdf
 
 
+# State/chunking shuffle partition count for the full-topology drains
+# (pipeline_topology_drain, l5_spans) — r15, r14 verdict item 2: the
+# drain anti-scaled (0.76 at 8-vs-32 cores) because the default 32
+# state partitions pay per-partition store init/commit for a ~20-key
+# (batcher, batch_key) space. 8 is the restart family's convention;
+# module-level so scripts/ab_qtime.py can A/B it (--values 8,32).
+_TOPO_DRAIN_STATE_PARTITIONS = 8
+
+
 def q_pipeline_topology_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE STREAMING ROUTER ON THE ORACLE GATE: a full Broadway
     topology — file-stream source → transformer → handle_message
@@ -7071,6 +7104,16 @@ def q_pipeline_topology_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=d("ckpt"),
         handle_batch=_drain_handle_batch,
         handle_failed=lambda pdf: pdf,  # identity, exercises the hook path
+        # r15 (r14 verdict item 2 — this drain anti-scaled 0.76 at
+        # 8-vs-32 cores): pin the state/chunking shuffle partitions to
+        # the restart family's convention instead of the default 32.
+        # The distinct (batcher, batch_key) space is ~20 keys, so 32
+        # state partitions paid per-partition store init/commit for
+        # mostly-empty shards, growing with concurrent task count.
+        # Results are partition-count invariant: chunk assignment is a
+        # window ordered by event_id within (batcher, batch_key) and
+        # every summary value is a count or decimal-exact sum.
+        state_partitions=_TOPO_DRAIN_STATE_PARTITIONS,
     )
     q = Pipeline(cfg, src).start(spark, trigger="availableNow")
     try:
@@ -8971,6 +9014,11 @@ def q_l5_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         handle_failed=lambda pdf: pdf,
         checkpoint_dir=os.path.join(base, "ckpt"),
         telemetry=rec,
+        # r15: same state-partition pin as pipeline_topology_drain —
+        # ~20 distinct (batcher, batch_key) values; spans are emitted
+        # per micro-batch on the driver, never per partition, so the
+        # span counts (the query result) are partition-count invariant.
+        state_partitions=_TOPO_DRAIN_STATE_PARTITIONS,
     )
     Pipeline(cfg, src).run_to_completion(spark, timeout_s=240)
 
@@ -9060,7 +9108,19 @@ def _stage_event_files(spark: SparkSession, sf_dir: str, m: int = RESTART_M):
     and therefore results. The r10 cost fix keeps ntile but writes
     ALL m files in ONE job (partitionBy over a duplicated tile
     column) instead of m sequential filtered full scans — the staging
-    that the r9 verdict flagged as the drain family's fixed cost."""
+    that the r9 verdict flagged as the drain family's fixed cost.
+
+    r14/r15 resume-cadence invariant (r14 advice item 4): the restart
+    drains lift maxFilesPerTrigger on RESUME (all outstanding files in
+    one availableNow batch). For first-seen dedup (s16/s18) a key's
+    keeper is "earliest batch wins, min order_by within batch" — the
+    packed-batch form matches the per-file form only because this
+    ntile split keeps each key's rows in order_by-contiguous ranges
+    (a row's (ts, event_id) in file i sorts before every row of file
+    i+1, so min-within-the-packed-batch == min-within-the-earliest-
+    file). Changing the split to anything non-contiguous (hash,
+    round-robin) silently breaks that equivalence as well as the
+    watermark monotonicity above — keep ntile over (ts, event_id)."""
     import glob as _glob
     import os
     import shutil as _shutil
@@ -9981,6 +10041,14 @@ def q_s18_restart_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRI_TOPK = 10  # ranked vertices reported by graph_triangles
 
+# Whether _co_order_triangles materializes its pp/deg auxiliary tables
+# (the r14 §4 change). Module-level so scripts/ab_qtime.py can flip it
+# for interleaved same-window A/Bs; the shipped value is the measured
+# winner (OPTIMIZATION_r15.md). The edge table `e` stays materialized
+# unconditionally — it feeds the wedge join twice plus the closure
+# join and was a win before r14.
+_TRI_AUX_BARRIERS = True
+
 
 def _co_order_triangles(spark: SparkSession, sf_dir: str):
     """Shared graph prefix for the triangle-family queries: the
@@ -9996,13 +10064,15 @@ def _co_order_triangles(spark: SparkSession, sf_dir: str):
     # otherwise re-scans lineitem + re-runs the distinct); deg feeds
     # the orientation join twice here plus two more consumers in
     # q_graph_edge_strength's Jaccard denominators — each would re-run
-    # the 2|E|-row union + aggregate from the edge cache.
-    pp = materialize(
-        li.select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-        ).distinct(),
-        "tri_pp",
-    )
+    # the 2|E|-row union + aggregate from the edge cache. r15: the
+    # module toggle exists only for interleaved same-window A/Bs
+    # (scripts/ab_qtime.py); the shipped value reflects the measured
+    # winner (OPTIMIZATION_r15.md).
+    pp = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    if _TRI_AUX_BARRIERS:
+        pp = materialize(pp, "tri_pp")
     e = materialize(
         pp.alias("a")
         .join(
@@ -10014,13 +10084,14 @@ def _co_order_triangles(spark: SparkSession, sf_dir: str):
         .distinct(),
         "tri_edges",
     )
-    deg = materialize(
+    deg = (
         e.select(F.col("u").alias("x"))
         .unionAll(e.select(F.col("v").alias("x")))
         .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("d")),
-        "tri_deg",
+        .agg(F.count(F.lit(1)).alias("d"))
     )
+    if _TRI_AUX_BARRIERS:
+        deg = materialize(deg, "tri_deg")
     ed = (
         e.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")

@@ -1013,12 +1013,24 @@ def _clusters_label_prop(
     )
 
 
+# Default for jaccard_pairs_prefix_filter(materialize_base=None):
+# opt-IN (r15, r14 verdict item 1) — the blanket r14 barrier lost for
+# callers whose tokens column is a stored column or cheap projection
+# (pipeline_curation_funnel −1.6 s with it off, same-window interleaved
+# A/B) and only pays when the tokens subtree is expensive to recompute
+# (dedup_char_ngram's gram explode + md5: +2.2 s with it off).
+# Module-level so a measurement harness can flip it for interleaved
+# same-window A/Bs without editing call sites (scripts/ab_qtime.py).
+MATERIALIZE_BASE_DEFAULT = False
+
+
 def jaccard_pairs_prefix_filter(
     docs: DataFrame,
     id_col: str,
     tokens_col: str,
     threshold: float,
     block_cols: list[str] | None = None,
+    materialize_base: bool | None = None,
 ) -> DataFrame:
     """EXACT token-set Jaccard pairs ≥ threshold via prefix filtering
     (the AllPairs/PPJoin candidate bound — Bayardo et al., WWW'07),
@@ -1059,14 +1071,17 @@ def jaccard_pairs_prefix_filter(
     base = docs.select(
         F.col(id_col).alias("__id"), *blocks, F.col(tokens_col).alias("__toks")
     ).withColumn("__n", F.size("__toks"))
-    # Materialize the token-set projection too (r14): it feeds THREE
-    # plan branches (the df-count explode and both verify sides), and
-    # for callers whose tokens_col is itself a computed subtree (the
-    # curation funnel's fingerprint-window survivor slice, gram-set
-    # builders) each branch would otherwise recompute that whole
-    # subtree. Same pluggable persist|staging strategy as the prefix
-    # table below.
-    base = materialize(base, "ppjoin_base")
+    # Optionally materialize the token-set projection (r14/r15): it
+    # feeds THREE plan branches (the df-count explode and both verify
+    # sides). The barrier pays when tokens_col is itself an expensive
+    # computed subtree (gram explode + hash sampling); when it is a
+    # stored column or a cheap projection, the persist+count pass
+    # costs more than the recompute it saves (measured r15 — see
+    # OPTIMIZATION_r15.md), so callers opt in per site.
+    if materialize_base is None:
+        materialize_base = MATERIALIZE_BASE_DEFAULT
+    if materialize_base:
+        base = materialize(base, "ppjoin_base")
 
     tk = base.select("__id", *blocks, "__n", F.explode("__toks").alias("__tok"))
     dfreq = tk.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))

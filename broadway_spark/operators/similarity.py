@@ -357,6 +357,41 @@ def _micro(mat):
     return np.floor(mat * 1000000.0).astype(np.int64)
 
 
+# Row-block size for the distance kernels (r15, guide §5): the argmin
+# temp is (rows × num_codes × sub) int64 — ~80 MB/task at 10k-row Arrow
+# batches and small sub, but linear in dim. Processing each Arrow batch
+# in fixed row blocks caps peak executor memory regardless of dim or
+# batch size (2048 × 256 codes × 8 sub × 8 B ≈ 34 MB worst-case here).
+# Blocking cannot change a value: assignments are per-row, and the
+# int64 partial sums are summation-order independent.
+_PQ_ROW_BLOCK = 2048
+
+# Bounded-collect guard for the driver-side ADC query tables: at
+# m=8/num_codes=16 each query expands to 128 Python tuples, so 1e5
+# queries ≈ 13M tuples — the comfortable ceiling for "broadcast-small".
+_QTABLE_MAX_QUERIES = 100_000
+
+
+def _check_pq_dims(dim: int, m: int) -> None:
+    """The vectorized PQ kernels slice subvectors as dim/m contiguous
+    blocks covering positions 0..m·(dim//m)-1; a non-divisible dim/m
+    would silently drop the remainder components (the pre-r14
+    DataFrame form folded them into a partial extra subspace). All
+    shipped callers use dim % m == 0 — fail loudly rather than
+    silently change semantics (r14 advice item 1)."""
+    if dim % m != 0:
+        raise ValueError(
+            f"PQ requires dim % m == 0 (got dim={dim}, m={m}): "
+            "the subspace kernels cover only m*(dim//m) components"
+        )
+
+
+def _row_blocks(vm):
+    """Yield fixed-size row blocks of a matrix (guide §5 memory cap)."""
+    for s in range(0, vm.shape[0], _PQ_ROW_BLOCK):
+        yield vm[s : s + _PQ_ROW_BLOCK], s
+
+
 def _pq_cb_matrices(cb, m, sub):
     """codes + codebook matrices per subspace from the collected form
     cb[mi] = [(code, [cm...])...] (sorted by code)."""
@@ -381,12 +416,14 @@ def _pq_assign_batch(vm, codes, mats, m, sub):
     n = vm.shape[0]
     acodes = np.empty((n, m), dtype=np.int64)
     adists = np.empty((n, m), dtype=np.int64)
-    for mi in range(m):
-        x = vm[:, mi * sub : (mi + 1) * sub]
-        d = ((x[:, None, :] - mats[mi][None, :, :]) ** 2).sum(axis=2)
-        ai = np.argmin(d, axis=1)
-        acodes[:, mi] = codes[mi][ai]
-        adists[:, mi] = d[np.arange(n), ai]
+    for blk, s in _row_blocks(vm):
+        bn = blk.shape[0]
+        for mi in range(m):
+            x = blk[:, mi * sub : (mi + 1) * sub]
+            d = ((x[:, None, :] - mats[mi][None, :, :]) ** 2).sum(axis=2)
+            ai = np.argmin(d, axis=1)
+            acodes[s : s + bn, mi] = codes[mi][ai]
+            adists[s : s + bn, mi] = d[np.arange(bn), ai]
     return acodes, adists
 
 
@@ -447,14 +484,15 @@ def _pq_train_collect(
                 if vm.shape[0] == 0:
                     continue
                 seen = True
-                for mi in range(m):
-                    x = vm[:, mi * sub : (mi + 1) * sub]
-                    d = ((x[:, None, :] - _mats[mi][None, :, :]) ** 2).sum(
-                        axis=2
-                    )
-                    ai = np.argmin(d, axis=1)
-                    np.add.at(sums[mi], ai, x)
-                    np.add.at(cnts[mi], ai, 1)
+                for blk, _ in _row_blocks(vm):
+                    for mi in range(m):
+                        x = blk[:, mi * sub : (mi + 1) * sub]
+                        d = (
+                            (x[:, None, :] - _mats[mi][None, :, :]) ** 2
+                        ).sum(axis=2)
+                        ai = np.argmin(d, axis=1)
+                        np.add.at(sums[mi], ai, x)
+                        np.add.at(cnts[mi], ai, 1)
             if not seen:
                 return
             ms, cs, ps, ss, ns = [], [], [], [], []
@@ -594,16 +632,29 @@ def _pq_qtable_from_cb(
 ) -> DataFrame:
     """Query ADC distance tables from a collected codebook, computed
     driver-side (the query set is broadcast-small by contract, and
-    every distance is exact int64): (__qid, __m, __code, __qd)."""
+    every distance is exact int64): (__qid, __m, __code, __qd).
+
+    The driver-side expansion is |Q|·m·num_codes rows; a bounded-count
+    guard enforces the "query side is small" ANN contract with a clear
+    error instead of a driver OOM (r14 advice item 3)."""
     import math
 
+    limit = _QTABLE_MAX_QUERIES
     qrows = (
         queries.select(
             F.col(id_col).alias("__qid"),
             F.col(vec_col).cast("array<double>").alias("__qv"),
         )
-        .collect()  # query side is small by the ANN contract
+        .limit(limit + 1)
+        .collect()  # bounded: the ANN contract pins the query side small
     )
+    if len(qrows) > limit:
+        raise ValueError(
+            f"PQ query side exceeds {limit} rows; the ADC distance "
+            "tables are built driver-side (|Q|*m*num_codes rows) and "
+            "assume a broadcast-small query set — batch the queries "
+            "or raise similarity._QTABLE_MAX_QUERIES deliberately"
+        )
     spark = queries.sparkSession
     out = []
     for r in qrows:
@@ -714,6 +765,7 @@ def ann_pq_topk(
     shortlist bounds the exact-cosine work to shortlist·q pairs.
     Returns (query_id, neighbor_id, cos_sim, rank).
     """
+    _check_pq_dims(dim, m)
     sub = dim // m
     cb = _pq_train_collect(
         corpus, id_col, vec_col, m, dim, num_codes, train_iters
@@ -795,6 +847,7 @@ def ann_ivfpq_topk(
     # PQ code index + trained codebook (whole-corpus training, raw
     # vectors — the by_residual=false variant keeps ADC tables
     # query-only and the oracle CTE-for-CTE with ann_pq_topk)
+    _check_pq_dims(dim, m)
     sub = dim // m
     cb = _pq_train_collect(
         corpus, id_col, vec_col, m, dim, num_codes, train_iters
@@ -885,6 +938,12 @@ def kmeans_assignments(
     Returns (id_col, cluster_id, dist): the final assignment after
     ``iterations`` Lloyd's updates, dist = exact squared distance to
     the final centroid in micro-units².
+
+    Contract: ``id_col`` must be unique per row. The final assignment
+    is a pure per-row map (one output row per input row); duplicate
+    ids would surface as duplicate output rows, where the pre-r14
+    grouped form collapsed them (r14 advice item 2). Every shipped
+    caller feeds a primary-key id.
     """
     # Vectorized Lloyd's (r14 optimization, guide §4.2): the centroid
     # table is k·dim integers — constant-size — so it lives driver-side
@@ -943,10 +1002,13 @@ def kmeans_assignments(
                 if vm.shape[0] == 0:
                     continue
                 seen = True
-                d = ((vm[:, None, :] - _mat[None, :, :]) ** 2).sum(axis=2)
-                ai = np.argmin(d, axis=1)
-                np.add.at(sums, ai, vm)
-                np.add.at(cnts, ai, 1)
+                for blk, _ in _row_blocks(vm):
+                    d = ((blk[:, None, :] - _mat[None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    ai = np.argmin(d, axis=1)
+                    np.add.at(sums, ai, blk)
+                    np.add.at(cnts, ai, 1)
             if not seen:
                 return
             cl_o, pos_o, s_o, n_o = [], [], [], []
@@ -1005,15 +1067,20 @@ def kmeans_assignments(
             if batch.num_rows == 0:
                 continue
             vm = _micro(_list_to_matrix(batch.column(1)))
-            d = ((vm[:, None, :] - _mat[None, :, :]) ** 2).sum(axis=2)
-            ai = np.argmin(d, axis=1)
+            n = vm.shape[0]
+            cl_out = np.empty(n, dtype=np.int64)
+            d_out = np.empty(n, dtype=np.int64)
+            for blk, s in _row_blocks(vm):
+                bn = blk.shape[0]
+                d = ((blk[:, None, :] - _mat[None, :, :]) ** 2).sum(axis=2)
+                ai = np.argmin(d, axis=1)
+                cl_out[s : s + bn] = _cls[ai]
+                d_out[s : s + bn] = d[np.arange(bn), ai]
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(0),
-                    pa.array(_cls[ai].tolist(), type=pa.int32()),
-                    pa.array(
-                        d[np.arange(len(ai)), ai].tolist(), type=pa.int64()
-                    ),
+                    pa.array(cl_out.tolist(), type=pa.int32()),
+                    pa.array(d_out.tolist(), type=pa.int64()),
                 ],
                 names=["__kid", "__cl", "__dist"],
             )
@@ -1078,6 +1145,7 @@ def ivfpq_index_merge(
     from broadway_spark.functions.exact import div_trunc, ratio_ppm
 
     cent = _ivf_centroids(archive, id_col, vec_col, num_centroids)
+    _check_pq_dims(dim, m)
     sub = dim // m
     cb = _pq_train_collect(
         archive, id_col, vec_col, m, dim, num_codes, train_iters

@@ -62,12 +62,13 @@ def main() -> None:
             samples.append(time.time() - t0)
             matz.release_all()
             spark.catalog.clearCache()
-        med = statistics.median(samples)
-        print(
-            f"{name}: median={med:.3f}s samples="
-            + ",".join(f"{s:.3f}" for s in samples),
-            flush=True,
-        )
+        if samples:  # --reps 0 = plans-only mode
+            med = statistics.median(samples)
+            print(
+                f"{name}: median={med:.3f}s samples="
+                + ",".join(f"{s:.3f}" for s in samples),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
