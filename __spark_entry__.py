@@ -7553,6 +7553,13 @@ def q_s33_restart_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer = _idempotent_parquet_writer(sink)
     # scoped RocksDB on BOTH starts (kill + resume) — never leaked to
     # later queries of the session (r10 bench finding)
+    #
+    # s33 keeps the 1 s kill-phase cadence (the ONE restart drain
+    # where the r15 idle-gap lift LOST: 10s arm 11.6 vs 1s arm 9.4
+    # same-window A/B — its Python-state anti-join resume pays more
+    # for the extra file in the packed availableNow batch than the
+    # faster stop() saves; every sibling drain won or tied, see
+    # OPTIMIZATION_r15.md).
     with scoped_rocksdb_state(spark), _pinned_state_partitions(spark):
         q = (
             build()
@@ -7766,7 +7773,7 @@ def q_s35_restart_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .writeStream.foreachBatch(writer)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
-            .trigger(processingTime="1 second")
+            .trigger(processingTime=_RESTART_KILL_TRIGGER)
             .start()
         )
         _kill_mid_drain(q)
@@ -9086,6 +9093,21 @@ def q_l5_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RESTART_M = 4  # staged micro-batch files per restart drain
 
+# Phase-1 (kill-phase) trigger interval for the restart drains (r15,
+# r14 verdict item 5). The kill fires as soon as the FIRST batch with
+# rows commits; with the old 0.2-1 s cadences batch 2 was usually
+# already in flight by then, so q.stop() blocked until that batch
+# aborted/completed — measured 1-6 s of pure wait per drain
+# (scripts/drain_decompose.py). A long interval means the engine sits
+# in the post-batch-1 idle gap when the kill lands: stop() returns at
+# once, and the files batch 2 would have carried shift to the resume's
+# packed availableNow batch (strictly cheaper than per-file batches).
+# The kill point is unchanged in kind — ≥1 committed stateful batch,
+# staged files outstanding — and every drain hashes only
+# kill-point-invariant facts, so results cannot move. Resume cadences
+# (s15 timer flushes, f3 spool admission) are NOT touched.
+_RESTART_KILL_TRIGGER = "10 seconds"
+
 # Staging is deterministic in (sf_dir, m) and the staged dir is
 # read-only to the drains (checkpoints/sinks are per-call tempdirs),
 # so one staging serves every restart query and every bench pass in
@@ -9406,7 +9428,7 @@ def q_s14_restart_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32-task overhead dominates (measured 13.7 -> 8.7 s warm).
     with _pinned_state_partitions(spark):
         q = Pipeline(cfg, src).start(
-            spark, trigger="processingTime", processing_time="1 second"
+            spark, trigger="processingTime", processing_time=_RESTART_KILL_TRIGGER
         )
     _kill_mid_drain(q)
     # Phase 2: resume from the checkpoint and drain what remains —
@@ -9553,7 +9575,7 @@ def q_s15_restart_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Phase 1: kill after the first committed batch (state store holds
     # per-key remainders; later files unread).
     q = Pipeline(cfg, src).start_stateful(
-        spark, processing_time="250 milliseconds", impl="v1"
+        spark, processing_time=_RESTART_KILL_TRIGGER, impl="v1"
     )
     _kill_mid_drain(q)
     # Phase 2: resume from the checkpoint; the restored buffers absorb
@@ -9705,7 +9727,7 @@ def q_s16_restart_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .writeStream.foreachBatch(writer)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
-            .trigger(processingTime="1 second")
+            .trigger(processingTime=_RESTART_KILL_TRIGGER)
             .start()
         )
     _kill_mid_drain(q)
@@ -9766,7 +9788,7 @@ def q_s17_restart_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .writeStream.foreachBatch(writer)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
-            .trigger(processingTime="1 second")
+            .trigger(processingTime=_RESTART_KILL_TRIGGER)
             .start()
         )
     _kill_mid_drain(q)
@@ -9830,7 +9852,7 @@ def q_s31_restart_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .writeStream.foreachBatch(writer)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
-            .trigger(processingTime="1 second")
+            .trigger(processingTime=_RESTART_KILL_TRIGGER)
             .start()
         )
     _kill_mid_drain(q)
@@ -9909,7 +9931,7 @@ def q_f3_restart_spool(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_expected = len(records)
     with _pinned_state_partitions(spark):
         q = Pipeline(cfg, src).start(
-            spark, trigger="processingTime", processing_time="200 milliseconds"
+            spark, trigger="processingTime", processing_time=_RESTART_KILL_TRIGGER
         )
     _kill_mid_drain(q)
     with _pinned_state_partitions(spark):
@@ -10002,7 +10024,7 @@ def q_s18_restart_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .writeStream.foreachBatch(writer)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
-            .trigger(processingTime="1 second")
+            .trigger(processingTime=_RESTART_KILL_TRIGGER)
             .start()
         )
         _kill_mid_drain(q)
@@ -10525,7 +10547,7 @@ def q_s21_restart_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             build()
             .writeStream.foreachBatch(upsert)
             .option("checkpointLocation", ckpt)
-            .trigger(processingTime="1 second")
+            .trigger(processingTime=_RESTART_KILL_TRIGGER)
             .start()
         )
         _kill_mid_drain(q)
@@ -11672,7 +11694,7 @@ def q_s27_restart_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .writeStream.foreachBatch(writer)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
-            .trigger(processingTime="1 second")
+            .trigger(processingTime=_RESTART_KILL_TRIGGER)
             .start()
         )
     _kill_mid_drain(q)
@@ -12042,7 +12064,7 @@ def q_s26_restart_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .writeStream.foreachBatch(writer)
                 .outputMode("append")
                 .option("checkpointLocation", ckpt)
-                .trigger(processingTime="1 second")
+                .trigger(processingTime=_RESTART_KILL_TRIGGER)
                 .start()
             )
         _kill_mid_drain(q)

@@ -50,9 +50,13 @@ def main() -> None:
     def _parse(v: str):
         if v in ("True", "False"):
             return v == "True"
-        return int(v)
+        try:
+            return int(v)
+        except ValueError:
+            return v  # string values, e.g. trigger intervals
 
-    val_a, val_b = (_parse(v) for v in args.values.split(","))
+    sep = ";" if ";" in args.values else ","
+    val_a, val_b = (_parse(v) for v in args.values.split(sep))
 
     import __spark_entry__ as entrymod
     from broadway_spark import get_spark
